@@ -1,0 +1,54 @@
+"""MongoDB structured-log source (reference M1/M2/M13).
+
+``spark.read.text`` gives one row per line (the reference's
+``readlines()`` at ``Mongo/mongo_parser.py:215-216`` — but streamed
+and splittable instead of fully materialized). Line numbers are added
+with the shuffle-free two-pass scheme in
+:mod:`sressentials_spark.operators.rownum`; JSON is parsed once with
+the typed envelope, and malformed lines surface in ``_corrupt_record``
+instead of killing the job (the reference's per-line ``try/except`` at
+``Mongo/mongo_parser.py:29,91-94``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sressentials_spark.operators.rownum import with_row_numbers
+from sressentials_spark.schemas import CORRUPT_COL, MONGO_ENVELOPE
+
+#: Raw JSON text of the open-ended command subtree; '{}' when absent
+#: (reference default ``attr.get('command', {})``).
+_COMMAND_PATH = "$.attr.command"
+
+
+def read_mongo_log(spark: SparkSession, path: str, number_lines: bool = True) -> DataFrame:
+    """Scan a MongoDB log into ``(value, line_no, parsed, command, valid)``.
+
+    * ``value`` — the raw line;
+    * ``line_no`` — 1-based file-order line number;
+    * ``parsed`` — typed envelope struct (nulls where absent);
+    * ``command`` — raw JSON string of ``attr.command`` (``'{}'`` default);
+    * ``valid`` — whether the line parsed as a JSON object (the
+      reference's ``json.loads`` success; scalars/arrays/empty lines
+      are invalid, matching its routing to ``parse_errors``).
+    """
+    lines = spark.read.text(path)
+    if number_lines:
+        lines = with_row_numbers(lines, "line_no")
+    else:
+        lines = lines.withColumn("line_no", F.monotonically_increasing_id() + 1)
+    parsed = F.from_json(
+        F.col("value"),
+        MONGO_ENVELOPE,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
+    return (
+        lines.withColumn("parsed", parsed)
+        .withColumn(
+            "valid",
+            F.col("parsed").isNotNull() & F.col(f"parsed.{CORRUPT_COL}").isNull(),
+        )
+        .withColumn("command", F.coalesce(F.get_json_object("value", _COMMAND_PATH), F.lit("{}")))
+    )
