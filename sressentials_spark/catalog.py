@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sressentials_spark import loggen
+from sressentials_spark.operators import dedup as D
+from sressentials_spark.operators import similarity as S
 from sressentials_spark.operators.text import (
     exact_dedup_groups,
     quality_scores,
@@ -462,3 +464,384 @@ FROM t
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals (stopword ratio, lexical diversity)."""
     return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate detection + similarity search (oracle SQL is generated
+# from the same deterministic md5-derived hashes the operators use)
+# --------------------------------------------------------------------------
+
+_SHINGLE_CTE = r"""
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(tk) >= 3
+                THEN [array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]
+                ELSE []::VARCHAR[] END) AS s
+       FROM t),
+e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+"""
+
+
+def _jaccard_oracle(threshold: float) -> str:
+    return f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_a, doc_b,
+       inter AS intersection_size,
+       x.n + y.n - inter AS union_size,
+       CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {threshold}
+"""
+
+
+@register("dedup_ngram_jaccard", _jaccard_oracle(0.2))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@register("dedup_minhash_lsh", _jaccard_oracle(0.8))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard (>= 0.8).
+
+    The oracle is the plain exact-Jaccard join at the same threshold:
+    with 12 bands x 2 rows the banded recall at J=0.8 is ~1-2e-6 under
+    the random model, and tests/test_dedup.py pins equality on the
+    fixed testdata — so LSH-vs-exact equivalence is itself under test.
+    """
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    from sressentials_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+    )
+
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return rf"""
+WITH ex AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents),
+hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM ex),
+v AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS simhash FROM v),
+bands AS (SELECT doc_id, simhash, i,
+                 (simhash >> (i * {SIMHASH_BAND_BITS})) & {mask} AS val
+          FROM sig, generate_series(0, {SIMHASH_BANDS - 1}) AS gs(i)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sa, b.simhash AS sb
+         FROM bands a JOIN bands b
+           ON a.i = b.i AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash_pairs", _simhash_oracle(8))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (48-bit) near-dup pairs via banded Hamming LSH."""
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in generate_series(1, len({a}))])"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"(({_dot_sql(a, b)}) / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force embedding-cosine near-dup pairs (>= 0.4)."""
+    return D.embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  {_cos_sql('q.qv', 'e.embedding')} AS cosine
+           FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors (brute force)."""
+    return S.cosine_topk(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    weights = S.lsh_plane_weights()
+    terms = []
+    for p, row in enumerate(weights):
+        warr = "[" + ", ".join(str(w) for w in row) + "]::DOUBLE[]"
+        proj = (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({warr})[i] "
+            f"for i in generate_series(1, len({vec}))])"
+        )
+        terms.append(
+            f"CASE WHEN ({proj}) > 0 THEN CAST({1 << p} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "sim_cosine_topk_lsh",
+    f"""
+WITH wb AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+            FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb FROM wb
+      WHERE vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  {_cos_sql('q.qv', 'e.embedding')} AS cosine
+           FROM q JOIN wb e ON e.bucket = q.qb AND e.vec_id <> q.query_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+""",
+)
+def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors via hyperplane-LSH bucketing."""
+    return S.cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
+
+
+# --------------------------------------------------------------------------
+# Text analysis tier 2: language-ID, BPE-ish counting, fingerprints
+# --------------------------------------------------------------------------
+
+def _lang_id_oracle() -> str:
+    from sressentials_spark.operators.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_defs = ",\n  ".join(
+        "CAST(len(list_filter(tk, x -> x IN ({words}))) AS BIGINT) AS score_{lang}".format(
+            words=", ".join(f"'{w}'" for w in LANG_PROFILES[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    chain = " ".join(f"WHEN score_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+s AS (SELECT doc_id,
+  {score_defs}
+FROM t)
+SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+       CASE WHEN {mx} = 0 THEN 'und' {chain} END AS predicted_lang
+FROM s
+"""
+
+
+@register("text_lang_id", _lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with deterministic argmax."""
+    from sressentials_spark.operators.text import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bpe_token_counts",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counting."""
+    from sressentials_spark.operators.text import bpe_token_counts
+
+    return bpe_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       list_reduce(
+         [CAST(0 AS BIGINT)] ||
+         [('0x' || substr(md5(x), 1, 15))::BIGINT % 1000000007 for x in tk],
+         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM t
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprints."""
+    from sressentials_spark.operators.text import fingerprints
+
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (Pandas-UDF path with a SQL oracle)
+# --------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    """
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       CAST(list_sum([ascii(substr(text, i, 1))
+                      for i in generate_series(1, least(8, length(text)))]) AS BIGINT)
+         AS head_sum
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas."""
+    from sressentials_spark.operators.multimodal import attach_payload, extract_features
+
+    return extract_features(attach_payload(load_table(spark, sf_dir, "documents")))
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming (availableNow batch-equivalent, oracle-checked)
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_slow_rate_hourly",
+    f"""
+WITH ev AS ({loggen.MONGO_EV}),
+s AS (SELECT * FROM ev WHERE {_MONGO_SLOW_FILTER})
+SELECT date_trunc('hour', ts) AS window_start,
+       {loggen.MONGO_COLLECTION} AS collection,
+       COUNT(*) AS n_slow,
+       MAX(dur) AS max_duration_ms
+FROM s GROUP BY 1, 2
+""",
+)
+def streaming_slow_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window slow-query rate, executed as a Structured
+    Streaming query (file source, watermark, availableNow trigger)."""
+    from sressentials_spark.streaming.slow_rate import run_slow_rate_batch
+
+    return run_slow_rate_batch(spark, loggen.ensure_mongo_log(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Relational coverage: rollup, set operations, pivot
+# --------------------------------------------------------------------------
+
+@register(
+    "rollup_orders_status_priority",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (subtotals + grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _ssum(F.col("o_totalprice"), 100).alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "setop_purchasers_with_errors",
+    """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+""",
+)
+def setop_purchasers_with_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two derived user sets."""
+    e = load_table(spark, sf_dir, "events")
+    purchasers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.intersect(erroring)
+
+
+@register(
+    "setop_rich_customer_only_nations",
+    """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+""",
+)
+def setop_rich_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT between derived nation sets."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    rich_c = c.filter(F.col("c_acctbal") > 8000).select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    rich_s = s.filter(F.col("s_acctbal") > 8000).select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return rich_c.exceptAll(rich_s.distinct()).distinct()
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_hourly_event_matrix",
+    f"""
+SELECT date_trunc('hour', ts) AS hour,
+       {', '.join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+""",
+)
+def pivot_hourly_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event type, one row per hour."""
+    e = load_table(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "hour", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )

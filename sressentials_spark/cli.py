@@ -1,0 +1,113 @@
+"""CLI entry point (reference X3/X4 surface parity).
+
+Mirrors the reference's interface — ``-i/--input`` and ``-o/--output``
+with an interactive (Streamlit) fallback when invoked without
+arguments (``Mongo/mongo_parser.py:195-251``,
+``MySql/mysqlLogParser.py:198-251``) — plus an explicit ``tool``
+argument since this engine ships both analyzers in one binary. The
+reference's duplicated ``__main__`` blocks run its pipeline twice per
+invocation (a bug, SURVEY §3.1); this CLI runs it once.
+
+Usage::
+
+    python -m sressentials_spark.cli mongo -i mongod.log -o report.xlsx
+    python -m sressentials_spark.cli mysql -i slow.log -o report.xlsx \
+        --parquet-mirror /data/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from sressentials_spark.report import MONGO_SHEETS, MYSQL_SHEETS, save_report
+from sressentials_spark.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sressentials-spark",
+        description="Spark-native MongoDB / MySQL log analytics",
+    )
+    p.add_argument("tool", choices=["mongo", "mysql"], help="which analyzer to run")
+    p.add_argument("-i", "--input", help="path to the log file")
+    p.add_argument("-o", "--output", help="path for the Excel report")
+    p.add_argument(
+        "--parquet-mirror",
+        help="directory to additionally write every sheet as parquet (uncapped)",
+    )
+    p.add_argument(
+        "--max-errors", type=int, default=10, help="diagnostics lines to print"
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.input or not args.output:
+        try:
+            import streamlit  # noqa: F401
+        except ImportError:
+            build_parser().error(
+                "-i/--input and -o/--output are required "
+                "(streamlit is not installed for interactive mode)"
+            )
+        print("Launching Streamlit UI...", file=sys.stderr)
+        return _run_streamlit(args.tool)
+
+    spark = get_spark(f"sressentials-cli-{args.tool}")
+    if args.tool == "mongo":
+        from sressentials_spark.plans.mongo import analyze_mongo_log
+
+        sheets = analyze_mongo_log(spark, args.input)
+        order, diag_key = MONGO_SHEETS, "parse_errors"
+    else:
+        from sressentials_spark.plans.mysql import analyze_mysql_log
+
+        sheets = analyze_mysql_log(spark, args.input)
+        order, diag_key = MYSQL_SHEETS, "warnings"
+
+    diags = sheets[diag_key].limit(args.max_errors).collect()
+    for row in diags:
+        print(f"Warning: {row['message']}", file=sys.stderr)
+
+    fmt, path = save_report(
+        sheets, order, args.output, parquet_mirror=args.parquet_mirror
+    )
+    for key, title in order:
+        print(f"{title}: {sheets[key].count()} rows")
+    print(f"Report saved ({fmt}): {path}")
+    return 0
+
+
+def _run_streamlit(tool: str) -> int:  # pragma: no cover - optional dep
+    """Minimal interactive surface: upload → analyze → download."""
+    import streamlit as st
+
+    st.title(f"SREssentials-Spark — {tool} log analyzer")
+    st.write("Upload a log file; results render below.")
+    uploaded = st.file_uploader("Log file")
+    if uploaded is None:
+        return 0
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(delete=False, suffix=".log") as f:
+        f.write(uploaded.getvalue())
+        path = f.name
+    spark = get_spark(f"sressentials-ui-{tool}")
+    if tool == "mongo":
+        from sressentials_spark.plans.mongo import analyze_mongo_log
+
+        sheets, order = analyze_mongo_log(spark, path), MONGO_SHEETS
+    else:
+        from sressentials_spark.plans.mysql import analyze_mysql_log
+
+        sheets, order = analyze_mysql_log(spark, path), MYSQL_SHEETS
+    for key, title in order:
+        st.subheader(title)
+        st.dataframe(sheets[key].limit(1000).toPandas())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,6 +49,7 @@ SELECT event_id,
        event_id + 1                                   AS line_no,
        user_id,
        event_type,
+       ts,
        strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z'    AS tss,
        CAST(json_extract(props, '$.k') AS BIGINT)     AS k,
        event_id % 1000 + 1                            AS dur,
@@ -230,9 +231,13 @@ def _events_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _generate(sf_dir: str, name: str, sql: str, preamble: str | None = None) -> str:
-    """Render one line/entry per event (event_id order) into a cached file."""
+    """Render one line/entry per event (event_id order) into a cached file.
+
+    Each log lives in its own subdirectory (``<tag>/<stem>/<name>``) so
+    streaming file sources can consume the parent directory.
+    """
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(_cache_dir(), tag)
+    out_dir = os.path.join(_cache_dir(), tag, name.split(".")[0])
     path = os.path.join(out_dir, name)
     if os.path.exists(path):
         return path

@@ -66,6 +66,95 @@ def quality_scores(
     )
 
 
+#: Marker-word profiles for the language-ID heuristic. Tiny stopword
+#: sets — the operator demonstrates the scoring mechanism (per-language
+#: marker hit counts → argmax with a deterministic tie-break); swap in
+#: real n-gram profiles for production use.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "zu"],
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "les", "de", "et", "des"],
+}
+
+#: BPE-ish token pattern: word runs or single non-space punctuation.
+BPE_TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+#: Rolling-hash parameters (polynomial hash mod a 31-bit prime, so the
+#: fold stays far from 64-bit overflow on any engine).
+FP_BASE = 31
+FP_MOD = 1_000_000_007
+
+
+def md5_token_hash(c: Column) -> Column:
+    """60-bit md5-derived token hash (same integer DuckDB computes)."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Language-ID heuristic: marker-word scores + deterministic argmax.
+
+    Ties break alphabetically by language code; an all-zero score row
+    is classified ``und`` (undetermined).
+    """
+    prof = profiles if profiles is not None else LANG_PROFILES
+    toks = tokens(text_col)
+
+    def marker_hits(words: list[str]):
+        return lambda t: t.isin(*words)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_hits(words))).cast("long")
+        for lang, words in sorted(prof.items())
+    }
+    mx = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    pred = F.when(mx == 0, F.lit("und"))
+    for lang in sorted(prof):
+        pred = pred.when(scores[lang] == mx, F.lit(lang))
+    return docs.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(prof)],
+        pred.alias("predicted_lang"),
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counts under whitespace and BPE-ish regex tokenizations."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash of
+    the md5-hashed token sequence (content-defined, whitespace-robust)."""
+    toks = tokens(text_col)
+    hashed = F.transform(toks, lambda t: F.pmod(md5_token_hash(t), F.lit(FP_MOD)))
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * FP_BASE + h, F.lit(FP_MOD)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        fp.alias("fingerprint"),
+    )
+
+
 def exact_dedup_groups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -26,6 +26,15 @@ def get_spark(
     shuffle partition counts self-tune at runtime; Arrow is on for the
     few Pandas-UDF operators (multimodal, line numbering).
     """
+    # Python workers (Pandas-UDF operators) must be able to import this
+    # package regardless of the driver's cwd.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + py_path if py_path else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
@@ -54,6 +63,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # Many distinct query plans per session → lots of generated
+        # classes; give the JIT head-room so hot codegen methods don't
+        # linger interpreted (observed 10-50x slowdowns otherwise).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:CICompilerCount=6",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -1,0 +1,58 @@
+"""CLI surface tests (X1-X3): report files land on disk, counts print."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+from tests.log_fixtures import MONGO_LOG, MYSQL_LOG
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(*argv: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "sressentials_spark.cli", *argv],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=540,  # generous: may share the box with the suite's own JVMs
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root", "SPARK_GRAFT_CPUS": "4",
+             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+             "SPARK_DRIVER_MEMORY": "4g"},
+    )
+
+
+def test_mongo_cli_end_to_end(tmp_path):
+    log = tmp_path / "mongod.log"
+    log.write_text(MONGO_LOG)
+    out = tmp_path / "report.xlsx"
+    proc = run_cli("mongo", "-i", str(log), "-o", str(out))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Query Stats" in proc.stdout
+    assert "Report saved" in proc.stdout
+    # no Excel engine in this env → CSV fallback directory
+    sheets = tmp_path / "report.xlsx.sheets"
+    assert sheets.is_dir()
+    assert (sheets / "Detailed_Metrics.csv").exists()
+    assert (sheets / "Error_Stats.csv").exists()
+    # parse diagnostics surface on stderr like the reference CLI
+    assert "Invalid JSON. Skipped." in proc.stderr
+
+
+def test_mysql_cli_with_parquet_mirror(tmp_path):
+    log = tmp_path / "slow.log"
+    log.write_text(MYSQL_LOG)
+    out = tmp_path / "report.xlsx"
+    mirror = tmp_path / "mirror"
+    proc = run_cli("mysql", "-i", str(log), "-o", str(out), "--parquet-mirror", str(mirror))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert (tmp_path / "report.xlsx.sheets" / "Aggregate_Results.csv").exists()
+    assert (mirror / "detailed").is_dir()
+
+
+def test_missing_args_is_a_clean_error():
+    proc = run_cli("mongo")
+    assert proc.returncode == 2
+    assert "required" in proc.stderr

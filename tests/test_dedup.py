@@ -1,0 +1,53 @@
+"""Dedup operator semantics beyond the oracle equality checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from sressentials_spark.operators import dedup as D
+from sressentials_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_minhash_lsh_recall_equals_exact(spark, docs):
+    """At J>=0.8 the banded candidates must cover every true pair (the
+    oracle equality in test_catalog_oracle depends on recall == 1)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    assert lsh == exact
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    """Planted Jaccard near-dups should also be SimHash-close; unrelated
+    docs should not collide at distance 0."""
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in D.simhash_pairs(docs, max_hamming=12).collect()}
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    covered = sum(1 for p in exact if p in pairs)
+    assert covered >= len(exact) * 0.8
+    n_docs = docs.count()
+    assert len(pairs) < n_docs * n_docs / 4  # not a degenerate everything-matches
+
+
+def test_embedding_pairs_symmetric_free(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = D.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    assert rows
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
