@@ -845,3 +845,77 @@ def pivot_hourly_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "hour", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
     )
+
+
+# --------------------------------------------------------------------------
+# Event-time operators: sessionization + as-of enrichment
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "window_sessionize_events",
+    f"""
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS session_id
+FROM o
+""",
+)
+def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session ids from 30-min inactivity gaps
+    (lag + running sum — the standard two-window composition)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(is_new).over(w).cast("long").alias("session_id"),
+    )
+
+
+@register(
+    "asof_last_purchase_before_error",
+    """
+SELECT e.event_id, e.user_id, e.ts AS error_ts,
+       (SELECT max(p.ts) FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts <= e.ts) AS last_purchase_ts
+FROM events e WHERE e.event_type = 'error'
+""",
+)
+def asof_last_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of association: for every error event, the latest purchase at
+    or before it by the same user.
+
+    Spark lacks a native as-of join; this is the standard composition —
+    a running ``max`` over an event-time window (RANGE frame, so
+    equal-timestamp peers are included exactly like the ``<=``
+    predicate). One shuffle on ``user_id``; no join at all, which at
+    100 TB beats the union-join formulations by a full pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return (
+        e.withColumn("last_purchase_ts", F.max(purchase_ts).over(w))
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            "last_purchase_ts",
+        )
+    )

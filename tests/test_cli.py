@@ -17,10 +17,10 @@ def run_cli(*argv: str) -> subprocess.CompletedProcess:
         capture_output=True,
         text=True,
         cwd=REPO,
-        timeout=540,  # generous: may share the box with the suite's own JVMs
-        env={"PATH": "/usr/bin:/bin", "HOME": "/root", "SPARK_GRAFT_CPUS": "4",
+        timeout=900,  # generous: shares the box with the suite's own JVM
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root", "SPARK_GRAFT_CPUS": "2",
              "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
-             "SPARK_DRIVER_MEMORY": "4g"},
+             "SPARK_DRIVER_MEMORY": "2g"},
     )
 
 
