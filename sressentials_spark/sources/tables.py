@@ -34,7 +34,13 @@ _NANO_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name in _NANO_TS_COLS:
+        # Self-healing: the driver hands us externally built sessions that
+        # lack the nanosAsLong conf, and Spark's reader rejects parquet
+        # TIMESTAMP(NANOS) without it. The conf is runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, []):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
