@@ -5,7 +5,7 @@ expressions (whole-stage codegen; the only Python is plan assembly):
 
 * **exact** — content-hash groupBy (:mod:`.text`);
 * **n-gram Jaccard** — exact pairwise similarity via a shingle
-  inverted-index join;
+  inverted-index join (optionally document-frequency-capped);
 * **SimHash** — 48-bit signatures + banded Hamming-LSH candidate join;
 * **MinHash + LSH** — banded minhash signatures for candidate
   generation, exact-Jaccard verification.
@@ -16,13 +16,28 @@ Every hash is derived from ``md5`` (``conv(substr(md5(x),1,15),16,10)``
 bit-reproducible against a relational oracle — see
 ``sressentials_spark.catalog``.
 
+Performance note: Spark's higher-order functions (``transform`` /
+``aggregate`` / ``zip_with``) evaluate their lambdas per element in the
+expression interpreter — they never enter whole-stage codegen. The
+round-1 implementation built shingles and minhash signatures that way
+and spent minutes in interpreted lambda frames at sf0.1. Everything
+here is therefore expressed over *exploded rows* with plain codegen
+expressions and map-side-combinable aggregates instead: shingling is
+``posexplode`` + array indexing, minhash is 24 ``min()`` aggregate
+buffers over one hashed-shingle table, simhash is a single ``sum()``
+over an exploded (doc, bit) vote table, and Jaccard verification is a
+relational intersection count — no arrays are carried through any
+shuffle.
+
 Scale notes (100 TB): the shingle join shuffles on the shingle string —
 uniform for rare shingles but quadratic in document frequency for
-common ones; production runs cap shingle DF (drop shingles appearing
-in > N docs — they contribute only to already-similar pairs) and lean
-on MinHash-LSH, which replaces the all-pairs explosion with
-``bands × (docs sharing a band bucket)``. SimHash bands behave the
-same way. All groupBys key on hashes → uniformly distributed shuffles.
+common ones; production runs cap shingle DF (``max_df`` — drop shingles
+appearing in > N docs; they contribute only to already-similar pairs)
+and lean on MinHash-LSH, which replaces the all-pairs explosion with
+``bands × (docs sharing a band bucket)``. Band buckets are themselves
+capped (``max_bucket``) so a degenerate bucket (e.g. the empty-ish
+document cluster) cannot go quadratic. All groupBys key on hashes or
+(doc, shingle) composites → uniformly distributed shuffles.
 """
 
 from __future__ import annotations
@@ -53,6 +68,15 @@ MINHASH_HASHES = 24
 MINHASH_BANDS = 12
 MINHASH_ROWS = MINHASH_HASHES // MINHASH_BANDS
 
+#: Default cap on LSH band-bucket size: a bucket with B members emits
+#: B(B-1)/2 candidate pairs, so one degenerate bucket (boilerplate
+#: documents, empty shingle sets hashing alike) can dominate the whole
+#: job. Buckets above the cap are dropped from candidate generation;
+#: genuine near-duplicate pairs inside an over-full bucket are still
+#: found through their other (MINHASH_BANDS - 1) bands with
+#: probability ~1-(1-J^rows)^(bands-1).
+DEFAULT_MAX_BUCKET = 10_000
+
 
 def minhash_params(num_hashes: int = MINHASH_HASHES) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for h_i(x) = (a*x + b) mod p."""
@@ -63,7 +87,13 @@ def minhash_params(num_hashes: int = MINHASH_HASHES) -> list[tuple[int, int]]:
 
 
 def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined token windows)."""
+    """Distinct word n-gram shingles as an array column.
+
+    Array-valued convenience form (HOF-based, interpreted — fine for
+    small/interactive use). The distributed operators below use
+    :func:`shingle_rows` instead, which produces the same shingle set
+    as codegen-friendly exploded rows.
+    """
     t = tokens(text_col)
     grams = F.transform(
         F.sequence(F.lit(0), F.size(t) - n),
@@ -72,12 +102,34 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(F.array()))
 
 
-def _pair_jaccard(
-    base: DataFrame, id_col: str = "doc_id", sh_col: str = "sh"
+def shingle_rows(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """All-pairs exact Jaccard via inverted-index join on shingles."""
-    sizes = base.select(F.col(id_col), F.size(sh_col).alias("n_sh"))
-    ex = base.select(F.col(id_col), F.explode(sh_col).alias("g"))
+    """Distinct (id, shingle) rows — the exploded twin of :func:`shingles`.
+
+    ``posexplode`` + direct array indexing keeps n-gram assembly inside
+    whole-stage codegen (no per-element lambda interpretation); the
+    ``distinct`` shuffles on the uniform (id, shingle) composite key.
+    Documents with fewer than ``n`` tokens contribute no rows, matching
+    the empty array from :func:`shingles`.
+    """
+    t = docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    pos = t.select(
+        F.col(id_col),
+        F.col("_tk"),
+        F.posexplode("_tk").alias("_pos", "_tok"),
+    ).filter(F.col("_pos") <= F.size("_tk") - n)
+    gram = F.concat_ws(
+        " ",
+        F.col("_tok"),
+        *[F.col("_tk")[F.col("_pos") + i] for i in range(1, n)],
+    )
+    return pos.select(F.col(id_col), gram.alias("g")).distinct()
+
+
+def _pair_jaccard(ex: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """All-pairs exact Jaccard via inverted-index join on (id, g) rows."""
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         ex.alias("a")
         .join(
@@ -111,11 +163,36 @@ def _pair_jaccard(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.2, id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs (``jaccard >= threshold``)."""
-    base = docs.select(F.col(id_col), shingles("text", n).alias("sh"))
-    return _pair_jaccard(base, id_col).filter(F.col("jaccard") >= threshold)
+    """Exact n-gram Jaccard near-duplicate pairs (``jaccard >= threshold``).
+
+    ``max_df`` caps shingle document frequency: shingles occurring in
+    more than ``max_df`` documents are removed from every document's
+    shingle set *before* the pair join (both the intersection and the
+    set sizes see the capped sets, so the result is exactly the Jaccard
+    of the reduced sets). A shingle with document frequency B fans out
+    into B(B-1)/2 join rows, so this bounds the otherwise-quadratic
+    blowup from boilerplate n-grams; high-DF shingles carry almost no
+    similarity signal (they connect everything to everything), so at a
+    sane cap the >=threshold pair set is unchanged in practice —
+    equivalence at the bench threshold is pinned by
+    ``tests/test_dedup.py::test_jaccard_capped_equals_uncapped``.
+    """
+    ex = shingle_rows(docs, n, id_col)
+    if max_df is not None:
+        heavy = (
+            ex.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("g")
+        )
+        ex = ex.join(F.broadcast(heavy), "g", "left_anti")
+    return _pair_jaccard(ex, id_col).filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------
@@ -125,26 +202,36 @@ def ngram_jaccard_pairs(
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """48-bit SimHash per document from token-frequency-weighted md5 bits.
 
-    One explode + one hash-keyed groupBy (map-side combinable): each
-    token votes ±1 per bit position, the signature takes the sign.
+    Each token votes ±1 per bit position; the signature takes the sign.
+    Structured as explode-to-(id, bit, vote) with ONE ``sum`` buffer —
+    round 1 used 48 separate ``sum()`` columns plus a 48-term signature
+    fold, whose generated aggregate blew past JIT method limits and ran
+    interpreted (283s at sf0.1). Both aggregates here are map-side
+    combinable; the (id, bit) shuffle key is uniform by construction.
     """
     ex = docs.select(
         F.col(id_col), F.explode(tokens("text")).alias("tok")
-    ).withColumn("h", md5_long(F.col("tok")))
-    votes = [
+    ).select(F.col(id_col), md5_long(F.col("tok")).alias("h"))
+    bits = ex.select(
+        F.col(id_col),
+        F.col("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    ).select(
+        F.col(id_col),
+        F.col("bit"),
+        (
+            F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("long").alias("vote"),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    sig = votes.groupBy(id_col).agg(
         F.sum(
-            (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = ex.groupBy(id_col).agg(*votes)
-    sig = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig + bit
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    return sig
 
 
 def simhash_pairs(
@@ -204,22 +291,25 @@ def simhash_pairs(
 def minhash_signatures(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document minhash signature columns ``s1..s{k}`` over shingles."""
-    base = docs.select(F.col(id_col), shingles("text", n).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    hashed = base.withColumn(
-        "hv", F.transform("sh", lambda s: F.pmod(md5_long(s), F.lit(MERSENNE31)))
+    """Per-document minhash signature columns ``s1..s{k}`` over shingles.
+
+    One hashed-shingle table, then a single groupBy with 24 ``min()``
+    buffers — each buffer's update is three integer ops, all codegen,
+    all map-side combinable. (Round 1 computed 24
+    ``array_min(transform(...))`` lambdas per row: interpreted,
+    per-element, and re-evaluating the shingle hash 24×.)
+    """
+    hv = shingle_rows(docs, n, id_col).select(
+        F.col(id_col),
+        F.pmod(md5_long(F.col("g")), F.lit(MERSENNE31)).alias("h"),
     )
     sigs = [
-        F.array_min(
-            F.transform(
-                "hv", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31))
-            )
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))
         ).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_params(), start=1)
     ]
-    return hashed.select(F.col(id_col), F.col("sh"), *sigs)
+    return hv.groupBy(id_col).agg(*sigs)
 
 
 def minhash_lsh_pairs(
@@ -227,15 +317,33 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.8,
     id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact Jaccard.
 
     Signatures are banded (``MINHASH_BANDS`` bands × ``MINHASH_ROWS``
     rows); documents sharing any full band bucket become candidates —
     the at-scale replacement for the all-pairs shingle join — and only
-    candidates pay the exact verification.
+    candidates pay the exact verification. Verification is relational:
+    candidate pairs are intersected against the (id, shingle) table
+    (two joins + one count), so no shingle arrays ever travel through
+    a shuffle. Band buckets larger than ``max_bucket`` are dropped from
+    candidate generation (see :data:`DEFAULT_MAX_BUCKET` for the recall
+    argument).
     """
-    sig = minhash_signatures(docs, n, id_col).persist()
+    ex = shingle_rows(docs, n, id_col)
+    hv = ex.select(
+        F.col(id_col),
+        F.pmod(md5_long(F.col("g")), F.lit(MERSENNE31)).alias("h"),
+    )
+    sigs = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_params(), start=1)
+    ]
+    sig = hv.groupBy(id_col).agg(*sigs)
+
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -246,11 +354,17 @@ def minhash_lsh_pairs(
         )
         for bi in range(MINHASH_BANDS)
     ]
-    # Candidates travel as bare id pairs — never carry the shingle
-    # arrays through the band join/distinct (they dominate shuffle
-    # volume when buckets collide); fetch arrays back only for the
-    # surviving distinct pairs.
+    # Candidates travel as bare id pairs — signatures and shingles never
+    # ride through the band join/distinct.
     bands = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bv"))
+    if max_bucket is not None:
+        over = (
+            bands.groupBy("bv")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("bv")
+        )
+        bands = bands.join(F.broadcast(over), "bv", "left_anti")
     cand = (
         bands.alias("a")
         .join(
@@ -264,30 +378,33 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh_only = sig.select(F.col(id_col), F.col("sh"))
-    cand = (
+
+    # Relational exact-Jaccard verification over the shingle rows.
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
         cand.join(
-            sh_only.select(
-                F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
-            ),
-            "doc_a",
+            ex.select(F.col(id_col).alias("doc_a"), "g"), "doc_a"
         )
-        .join(
-            sh_only.select(
-                F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")
-            ),
-            "doc_b",
-        )
+        .join(ex.select(F.col(id_col).alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.select(
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .select(
             "doc_a",
             "doc_b",
-            inter.cast("long").alias("intersection_size"),
-            union.cast("long").alias("union_size"),
-            (inter.cast("double") / union).alias("jaccard"),
+            F.col("intersection_size").cast("long").alias("intersection_size"),
+            (F.col("n_a") + F.col("n_b") - F.col("intersection_size"))
+            .cast("long")
+            .alias("union_size"),
+            (
+                F.col("intersection_size").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("intersection_size"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -297,24 +414,47 @@ def minhash_lsh_pairs(
 # Embedding cosine near-duplicates
 # --------------------------------------------------------------------------
 
-def _dot(a: Column, b: Column) -> Column:
-    """Deterministic left-fold dot product over double-cast elements."""
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+#: Embedding dimensionality of the testdata corpus. The dot-product
+#: expressions are unrolled to this length so they stay inside
+#: whole-stage codegen (Spark's array HOFs are interpreted per element
+#: — round 1's fold cost ~3 ms per 64-dim dot product).
+DEFAULT_DIM = 64
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+def _dot(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
+    """Deterministic left-fold dot product, unrolled over ``dim`` elements.
+
+    Left-associated ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` — the exact
+    summation order of a sequential fold (and DuckDB's ``list_sum``),
+    so results are bit-identical to the oracle, but the whole chain is
+    one codegen'd arithmetic expression instead of an interpreted HOF.
+    """
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + (
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, i + 1).cast("double")
+        )
+    return acc
 
 
-def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def cosine(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
+    return _dot(a, b, dim) / (F.sqrt(_dot(a, a, dim)) * F.sqrt(_dot(b, b, dim)))
+
+
+def with_norm(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = DEFAULT_DIM
+) -> DataFrame:
     """Attach the L2 norm once per vector (pairs then pay one dot each
     instead of three)."""
-    return emb.withColumn("norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+    return emb.withColumn("norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)))
 
 
 def embedding_cosine_pairs(
-    emb: DataFrame, threshold: float = 0.4, id_col: str = "vec_id"
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """All-pairs embedding cosine near-duplicates (brute force).
 
@@ -323,9 +463,9 @@ def embedding_cosine_pairs(
     :mod:`sressentials_spark.operators.similarity`) so each join
     compares only within-bucket candidates.
     """
-    n = with_norm(emb)
+    n = with_norm(emb, dim=dim)
     a, b = n.alias("a"), n.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding"), dim) / (
         F.col("a.norm") * F.col("b.norm")
     )
     return (
