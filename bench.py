@@ -17,7 +17,7 @@ import sys
 import time
 
 from sressentials_spark import get_spark, loggen
-from sressentials_spark.catalog import QUERIES
+from sressentials_spark.catalog import QUERIES, clear_sheets_cache
 
 #: Headline benchmark set. The two documented-quadratic correctness
 #: baselines (exact all-pairs n-gram Jaccard / embedding cosine) are
@@ -52,6 +52,9 @@ def main() -> None:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # warmup must never fail the bench
                 print(f"[bench] warmup {name} failed: {exc}", file=sys.stderr)
+        # Warmup persisted the warm-scale parsed logs; release them so
+        # the timed pass starts with a clean store.
+        clear_sheets_cache()
         # Let the C2 compile queue drain so the timed pass runs compiled.
         time.sleep(20)
 
@@ -62,6 +65,7 @@ def main() -> None:
         times[name] = round(time.perf_counter() - start, 3)
         print(f"[bench] {name}: {times[name]:.1f}s", file=sys.stderr, flush=True)
 
+    clear_sheets_cache()
     tag = os.path.basename(os.path.normpath(sf_dir))
     try:
         sf = float(tag.removeprefix("sf"))

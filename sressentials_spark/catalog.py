@@ -58,23 +58,51 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Log pipelines (reference surface, SURVEY §2: M1-M14, S1-S9, N1-N6)
 # --------------------------------------------------------------------------
 
-_sheets_cache: dict[tuple[str, str], dict[str, DataFrame]] = {}
+# Parsed-sheet cache: lets the 5 mongo / 3 mysql catalog queries share
+# one persisted parse per (session, log). Keyed by applicationId so a
+# second SparkSession in the same process never sees another session's
+# dead plans; bounded, and evicted entries unpersist their root.
+_SHEETS_CACHE_MAX = 4
+_sheets_cache: dict[tuple[str, str, str], dict[str, DataFrame]] = {}
+
+
+def _evict_sheets(sheets: dict[str, DataFrame]) -> None:
+    base = sheets.get("_base")
+    if base is not None:
+        try:
+            base.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def _sheets(
+    spark: SparkSession,
+    tool: str,
+    path: str,
+    analyze: Callable[[SparkSession, str], dict[str, DataFrame]],
+) -> dict[str, DataFrame]:
+    key = (spark.sparkContext.applicationId, tool, path)
+    if key not in _sheets_cache:
+        while len(_sheets_cache) >= _SHEETS_CACHE_MAX:
+            _evict_sheets(_sheets_cache.pop(next(iter(_sheets_cache))))
+        _sheets_cache[key] = analyze(spark, path)
+    return _sheets_cache[key]
+
+
+def clear_sheets_cache() -> None:
+    """Unpersist and drop every cached parse (end-of-run hygiene)."""
+    while _sheets_cache:
+        _evict_sheets(_sheets_cache.pop(next(iter(_sheets_cache))))
 
 
 def _mongo_sheet(spark: SparkSession, sf_dir: str, sheet: str) -> DataFrame:
     path = loggen.ensure_mongo_log(sf_dir)
-    key = ("mongo", path)
-    if key not in _sheets_cache:
-        _sheets_cache[key] = analyze_mongo_log(spark, path)
-    return _sheets_cache[key][sheet]
+    return _sheets(spark, "mongo", path, analyze_mongo_log)[sheet]
 
 
 def _mysql_sheet(spark: SparkSession, sf_dir: str, sheet: str) -> DataFrame:
     path = loggen.ensure_mysql_log(sf_dir)
-    key = ("mysql", path)
-    if key not in _sheets_cache:
-        _sheets_cache[key] = analyze_mysql_log(spark, path)
-    return _sheets_cache[key][sheet]
+    return _sheets(spark, "mysql", path, analyze_mysql_log)[sheet]
 
 
 _MONGO_SLOW_FILTER = "NOT malformed AND event_type IN ('click', 'view', 'purchase')"
@@ -504,6 +532,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def _jaccard_capped_oracle(threshold: float, max_df: int) -> str:
+    """Capped variant: shingles with document frequency > max_df are
+    removed from every document's set BEFORE sizes and intersections,
+    mirroring ngram_jaccard_pairs(max_df=...) bit for bit."""
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(tk) >= 3
+                THEN [array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]
+                ELSE []::VARCHAR[] END) AS s
+       FROM t),
+e0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+heavy AS (SELECT g FROM e0 GROUP BY g HAVING count(*) > {max_df}),
+e AS (SELECT * FROM e0 WHERE g NOT IN (SELECT g FROM heavy)),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       inter AS intersection_size,
+       x.n + y.n - inter AS union_size,
+       CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {threshold}
+"""
+
+
+_JACCARD_MAX_DF = 5
+
+
+@register("dedup_ngram_jaccard_capped", _jaccard_capped_oracle(0.2, _JACCARD_MAX_DF))
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-capped exact Jaccard: the at-scale form of the inverted-index
+    join. Shingles occurring in > max_df documents are dropped from
+    every set first (broadcast anti-join), bounding the join fan-out to
+    max_df per shingle — the mitigation that makes exact Jaccard
+    runnable when boilerplate n-grams would otherwise go quadratic.
+    """
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, max_df=_JACCARD_MAX_DF
+    )
+
+
 @register("dedup_minhash_lsh", _jaccard_oracle(0.8))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (>= 0.8).
@@ -730,7 +801,15 @@ FROM documents
 """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via Arrow-batched mapInPandas."""
+    """Binary-payload feature extraction via Arrow-batched mapInPandas.
+
+    Parity note: the engine sums the first 8 raw BYTES of the payload
+    while the oracle's ``ascii(substr(...))`` counts characters — these
+    agree only on ASCII text, which the documents fixture guarantees
+    (enforced by ``tests/test_catalog_oracle.py::
+    test_documents_fixture_is_ascii``; non-ASCII corpora would need a
+    byte-wise oracle instead).
+    """
     from sressentials_spark.operators.multimodal import attach_payload, extract_features
 
     return extract_features(attach_payload(load_table(spark, sf_dir, "documents")))

@@ -30,6 +30,7 @@ line (skip-warning path S4/S9).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -236,10 +237,18 @@ def _generate(sf_dir: str, name: str, sql: str, preamble: str | None = None) -> 
     Each log lives in its own subdirectory (``<tag>/<stem>/<name>``) so
     streaming file sources can consume the parent directory.
     """
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    # Key the cache on the FULL source path (two sf_dirs sharing a
+    # basename must not collide) and invalidate when events.parquet is
+    # newer than the rendered log (a regenerated dataset must never
+    # silently reuse a stale fixture).
+    tag = f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:10]}"
     out_dir = os.path.join(_cache_dir(), tag, name.split(".")[0])
     path = os.path.join(out_dir, name)
-    if os.path.exists(path):
+    src = os.path.join(norm, "events.parquet")
+    if os.path.exists(path) and (
+        not os.path.exists(src) or os.path.getmtime(path) >= os.path.getmtime(src)
+    ):
         return path
     os.makedirs(out_dir, exist_ok=True)
     con = _events_con(sf_dir)

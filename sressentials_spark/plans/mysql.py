@@ -177,4 +177,7 @@ def analyze_mysql_log(spark: SparkSession, path: str, cache: bool = True) -> dic
         "detailed": detailed.orderBy("entry_no").select(*DETAILED_COLUMNS),
         "aggregate": aggregate_results(detailed),
         "warnings": warnings_from_extracted(ext),
+        # Private handle to the persisted root so callers that cache the
+        # sheet dict can unpersist it when done (never a display sheet).
+        "_base": ext,
     }

@@ -39,17 +39,22 @@ def read_mysql_log(spark: SparkSession, path: str) -> DataFrame:
     # The file-initial record keeps its literal '# Time: ' prefix (the
     # record delimiter includes the preceding newline); a first record
     # WITHOUT the prefix is pre-amble and is skipped, shifting entry
-    # numbering by one — mirror of the reference's `[1:]` slice.
-    head = raw.select(F.col("value").startswith(_PREFIX).alias("p")).head(1)
-    preamble = 0 if (head and head[0]["p"]) else 1
+    # numbering by one — mirror of the reference's `[1:]` slice. The
+    # one-row "does the file start with the prefix" fact joins in as a
+    # broadcast so plan construction stays lazy (no driver-side action).
+    first = numbered.filter(F.col("rec_no") == 1).select(
+        F.col("value").startswith(_PREFIX).alias("_first_prefixed")
+    )
+    preamble = F.when(F.col("_first_prefixed"), F.lit(0)).otherwise(F.lit(1))
 
     starts = F.col("value").startswith(_PREFIX)
     return (
-        numbered.filter((F.col("rec_no") > preamble) | starts)
+        numbered.crossJoin(F.broadcast(first))
+        .filter((F.col("rec_no") > preamble) | starts)
         .select(
             F.when(starts, F.col("value"))
             .otherwise(F.concat(F.lit(_PREFIX), F.col("value")))
             .alias("entry"),
-            (F.col("rec_no") - F.lit(preamble)).alias("entry_no"),
+            (F.col("rec_no") - preamble).alias("entry_no"),
         )
     )

@@ -57,3 +57,17 @@ def test_all_queries_have_rows(spark):
     """Every registered query returns a non-degenerate result at sf0.001."""
     for name, fn in catalog.QUERIES.items():
         assert fn(spark, SF_DIR).limit(1).count() == 1, f"{name} returned 0 rows"
+
+
+def test_documents_fixture_is_ascii():
+    """multimodal_features' engine side sums raw payload BYTES while its
+    oracle counts characters (ascii/substr); they agree only on ASCII
+    text, so the fixture must stay ASCII-only (see catalog docstring)."""
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
+            " WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: non-ASCII document text breaks byte/char oracle parity"
+    con.close()

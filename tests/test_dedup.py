@@ -44,6 +44,23 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
     assert len(pairs) < n_docs * n_docs / 4  # not a degenerate everything-matches
 
 
+def test_jaccard_capped_equals_uncapped(spark, docs):
+    """At the near-dup threshold (0.8), dropping high-DF shingles must
+    not change the pair set: boilerplate shingles connect everything to
+    everything and carry no similarity signal. This pins the recall
+    argument for the max_df scale mitigation on real fixture data."""
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8, max_df=5).collect()
+    }
+    assert uncapped, "fixture should contain planted near-duplicates"
+    assert capped == uncapped
+
+
 def test_embedding_pairs_symmetric_free(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     rows = D.embedding_cosine_pairs(emb, threshold=0.4).collect()
