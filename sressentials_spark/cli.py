@@ -20,7 +20,12 @@ from __future__ import annotations
 import argparse
 import sys
 
-from sressentials_spark.report import MONGO_SHEETS, MYSQL_SHEETS, save_report
+from sressentials_spark.report import (
+    MONGO_SHEETS,
+    MYSQL_SHEETS,
+    save_report,
+    save_report_bytes,
+)
 from sressentials_spark.session import get_spark
 
 
@@ -80,14 +85,24 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+#: Parse-error warnings surfaced interactively before they overwhelm
+#: the page (the reference loops over ALL of them, st.warning each —
+#: unbounded on a corrupt file; we cap and summarize the remainder).
+_UI_MAX_WARNINGS = 50
+
+
 def _run_streamlit(tool: str) -> int:  # pragma: no cover - optional dep
-    """Minimal interactive surface: upload → analyze → download."""
+    """Interactive surface with reference parity
+    (``Mongo/mongo_parser.py:150-192``): upload → per-parse-error
+    ``st.warning`` → sheet tables → Excel download button."""
     import streamlit as st
 
     st.title(f"SREssentials-Spark — {tool} log analyzer")
-    st.write("Upload a log file; results render below.")
-    uploaded = st.file_uploader("Log file")
+    uploaded = st.file_uploader(
+        "Upload your log file:", type=["log", "txt", "json"]
+    )
     if uploaded is None:
+        st.info("Please upload a log file to get started.")
         return 0
     import tempfile
 
@@ -98,14 +113,36 @@ def _run_streamlit(tool: str) -> int:  # pragma: no cover - optional dep
     if tool == "mongo":
         from sressentials_spark.plans.mongo import analyze_mongo_log
 
-        sheets, order = analyze_mongo_log(spark, path), MONGO_SHEETS
+        sheets, order, diag_key = analyze_mongo_log(spark, path), MONGO_SHEETS, "parse_errors"
     else:
         from sressentials_spark.plans.mysql import analyze_mysql_log
 
-        sheets, order = analyze_mysql_log(spark, path), MYSQL_SHEETS
+        sheets, order, diag_key = analyze_mysql_log(spark, path), MYSQL_SHEETS, "warnings"
+
+    diags = sheets[diag_key].limit(_UI_MAX_WARNINGS + 1).collect()
+    for row in diags[:_UI_MAX_WARNINGS]:
+        st.warning(row["message"])
+    if len(diags) > _UI_MAX_WARNINGS:
+        st.warning(f"... further diagnostics suppressed (showing {_UI_MAX_WARNINGS}).")
+
     for key, title in order:
         st.subheader(title)
         st.dataframe(sheets[key].limit(1000).toPandas())
+
+    try:
+        fmt, fname, payload = save_report_bytes(sheets, order)
+        st.download_button(
+            label=f"Download {'Excel' if fmt == 'xlsx' else 'CSV (zip)'} report",
+            data=payload,
+            file_name=fname,
+            mime=(
+                "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+                if fmt == "xlsx"
+                else "application/zip"
+            ),
+        )
+    except Exception as exc:
+        st.error(f"Failed to generate report file: {exc}")
     return 0
 
 

@@ -79,3 +79,40 @@ def save_report(
     for title, pdf in pdfs.items():
         pdf.to_csv(os.path.join(out_dir, title.replace(" ", "_") + ".csv"), index=False)
     return "csv", out_dir
+
+
+def save_report_bytes(
+    sheets: dict[str, DataFrame],
+    sheet_order: list[tuple[str, str]],
+    row_cap: int = EXCEL_ROW_CAP,
+) -> tuple[str, str, bytes]:
+    """In-memory report for download surfaces (reference
+    ``save_to_excel(BytesIO)`` → ``st.download_button``,
+    ``Mongo/mongo_parser.py:177-187``).
+
+    Returns ``(format, suggested_filename, payload)`` — an ``xlsx``
+    workbook when an Excel engine is available, else a zip of CSVs
+    (same sheet names), so the download button always has something
+    real to serve.
+    """
+    import io
+
+    import pandas as pd
+
+    pdfs: dict[str, pd.DataFrame] = {
+        title: sheets[key].limit(row_cap).toPandas() for key, title in sheet_order
+    }
+    engine = _excel_engine()
+    buf = io.BytesIO()
+    if engine is not None:
+        with pd.ExcelWriter(buf, engine=engine) as writer:
+            for title, pdf in pdfs.items():
+                pdf.to_excel(writer, sheet_name=title[:31], index=False)
+        return "xlsx", "log_report.xlsx", buf.getvalue()
+
+    import zipfile
+
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for title, pdf in pdfs.items():
+            zf.writestr(title.replace(" ", "_") + ".csv", pdf.to_csv(index=False))
+    return "zip", "log_report.zip", buf.getvalue()

@@ -56,3 +56,24 @@ def test_missing_args_is_a_clean_error():
     proc = run_cli("mongo")
     assert proc.returncode == 2
     assert "required" in proc.stderr
+
+
+def test_save_report_bytes_zip_fallback(tmp_path, spark):
+    """The download-button payload builder (reference X4's
+    save_to_excel(BytesIO)) must return real bytes in this env's CSV-zip
+    fallback, with one member per sheet."""
+    import io
+    import zipfile
+
+    from sressentials_spark.plans.mongo import analyze_mongo_log
+    from sressentials_spark.report import MONGO_SHEETS, save_report_bytes
+
+    log = tmp_path / "mongod.log"
+    log.write_text(MONGO_LOG)
+    sheets = analyze_mongo_log(spark, str(log), cache=False)
+    fmt, fname, payload = save_report_bytes(sheets, MONGO_SHEETS)
+    assert fmt in ("xlsx", "zip") and payload
+    if fmt == "zip":
+        names = set(zipfile.ZipFile(io.BytesIO(payload)).namelist())
+        assert names == {"Detailed_Metrics.csv", "Query_Stats.csv",
+                         "Non-Slow_Queries.csv", "Error_Stats.csv"}
