@@ -411,7 +411,9 @@ def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       -- outer cast: DuckDB SUM(BIGINT) yields HUGEINT, which breaks
+       -- dtype-sensitive hash parity despite identical values
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
