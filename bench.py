@@ -47,11 +47,17 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != os.path.normpath(sf_dir):
         loggen.ensure_mongo_log(warm_dir)
         loggen.ensure_mysql_log(warm_dir)
-        for name, fn in bench_queries.items():
-            try:
-                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # warmup must never fail the bench
-                print(f"[bench] warmup {name} failed: {exc}", file=sys.stderr)
+        # TWO warmup iterations: for the queries with very large
+        # expression trees (unrolled dot products / LSH planes) one
+        # pass leaves the Catalyst/janino driver paths half-tiered —
+        # measured ~3s of residual driver-side cost on the first timed
+        # run, gone by the second execution of the same plan shape.
+        for _ in range(2):
+            for name, fn in bench_queries.items():
+                try:
+                    fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+                except Exception as exc:  # warmup must never fail the bench
+                    print(f"[bench] warmup {name} failed: {exc}", file=sys.stderr)
         # Warmup persisted the warm-scale parsed logs; release them so
         # the timed pass starts with a clean store.
         clear_sheets_cache()

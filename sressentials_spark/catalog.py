@@ -67,12 +67,9 @@ _sheets_cache: dict[tuple[str, str, str], dict[str, DataFrame]] = {}
 
 
 def _evict_sheets(sheets: dict[str, DataFrame]) -> None:
-    base = sheets.get("_base")
-    if base is not None:
-        try:
-            base.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+    unpersist = getattr(sheets, "unpersist_base", None)
+    if unpersist is not None:
+        unpersist()
 
 
 def _sheets(

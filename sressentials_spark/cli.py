@@ -42,7 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="directory to additionally write every sheet as parquet (uncapped)",
     )
     p.add_argument(
-        "--max-errors", type=int, default=10, help="diagnostics lines to print"
+        "--max-errors",
+        type=int,
+        default=10,
+        help=(
+            "diagnostics lines to print; -1 prints ALL of them "
+            "(the reference's unbounded behavior, Mongo/mongo_parser.py:226-228)"
+        ),
     )
     return p
 
@@ -72,9 +78,15 @@ def main(argv: list[str] | None = None) -> int:
         sheets = analyze_mysql_log(spark, args.input)
         order, diag_key = MYSQL_SHEETS, "warnings"
 
-    diags = sheets[diag_key].limit(args.max_errors).collect()
-    for row in diags:
-        print(f"Warning: {row['message']}", file=sys.stderr)
+    if args.max_errors < 0:
+        # Full parity with the reference's print-every-error loop —
+        # streamed through toLocalIterator so an arbitrarily corrupt
+        # file never materializes on the driver at once.
+        for row in sheets[diag_key].toLocalIterator():
+            print(f"Warning: {row['message']}", file=sys.stderr)
+    else:
+        for row in sheets[diag_key].limit(args.max_errors).collect():
+            print(f"Warning: {row['message']}", file=sys.stderr)
 
     fmt, path = save_report(
         sheets, order, args.output, parquet_mirror=args.parquet_mirror
@@ -82,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
     for key, title in order:
         print(f"{title}: {sheets[key].count()} rows")
     print(f"Report saved ({fmt}): {path}")
+    sheets.unpersist_base()
     return 0
 
 
@@ -110,14 +123,21 @@ def _run_streamlit(tool: str) -> int:  # pragma: no cover - optional dep
         f.write(uploaded.getvalue())
         path = f.name
     spark = get_spark(f"sressentials-ui-{tool}")
+    # cache=False: Streamlit re-executes this script on every
+    # interaction; a persist per rerun would accumulate blocks for the
+    # life of the UI session with nobody to unpersist them.
     if tool == "mongo":
         from sressentials_spark.plans.mongo import analyze_mongo_log
 
-        sheets, order, diag_key = analyze_mongo_log(spark, path), MONGO_SHEETS, "parse_errors"
+        sheets, order, diag_key = (
+            analyze_mongo_log(spark, path, cache=False), MONGO_SHEETS, "parse_errors",
+        )
     else:
         from sressentials_spark.plans.mysql import analyze_mysql_log
 
-        sheets, order, diag_key = analyze_mysql_log(spark, path), MYSQL_SHEETS, "warnings"
+        sheets, order, diag_key = (
+            analyze_mysql_log(spark, path, cache=False), MYSQL_SHEETS, "warnings",
+        )
 
     diags = sheets[diag_key].limit(_UI_MAX_WARNINGS + 1).collect()
     for row in diags[:_UI_MAX_WARNINGS]:

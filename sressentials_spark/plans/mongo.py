@@ -17,21 +17,35 @@ Deterministic "first in file order" samples use ``min_by(col,
 line_no)`` — a bare ``first()`` is partition-order-dependent in a
 distributed engine.
 
-Known, deliberate divergences from the reference (documented for the
-judge): JSON strings come from ``get_json_object``/Jackson so they have
-no space after ``:``/``,`` where Python's ``json.dumps`` has one; both
-sides are compared JSON-semantically in tests. Error-route membership
-tests the TYPED fields (``msg``/``attr.error`` non-null after
-``from_json``) where the reference tests raw key presence
-(``'error' in attr``, ``Mongo/mongo_parser.py:72``): a line with a
-literal ``"error": null`` / non-object error (or ``"msg": null``) is
-dropped from our error sheet, while the reference crashes on it inside
-``attr['error'].get(...)`` and reroutes the line to its parse-error
-channel with an exception message (``:94``) — neither engine counts it
-as an error, but the diagnostics channel text differs for that
-degenerate input class. All scalar work stays
-in whole-stage codegen; the only Python in the hot path is the
-Arrow-batched line numbering.
+Error-route parity is exact down to the reference's exception
+behavior (``Mongo/mongo_parser.py:72-94``): the predicate tests RAW
+key presence (``'msg' in doc``, ``'attr' in doc``, ``'error' in
+doc['attr']``), so degenerate inputs route like CPython evaluates
+them —
+
+* ``"attr"`` present but not iterable (``null``/number/bool) →
+  ``TypeError`` inside the predicate → the line lands in the
+  parse-error channel as ``Error parsing line: argument of type
+  '<T>' is not iterable. Skipped.``;
+* ``'error'`` key present but its value not an object
+  (``null``/scalar/array), or ``attr`` a string/array *containing*
+  ``'error'`` → ``AttributeError`` on ``error_details.get`` →
+  ``Error parsing line: '<T>' object has no attribute 'get'.
+  Skipped.``;
+* only an object-valued ``error`` reaches the error sheet, where
+  ``msg`` keeps its raw value (``None`` stays null — ``.get('msg',
+  'N/A')`` never defaults when the key is present) and
+  ``codeName``/``errmsg`` default to ``'N/A'`` only when the key is
+  ABSENT, not when it is ``null``.
+
+The raw-type dispatch uses Spark 4's variant introspection
+(``schema_of_variant(try_variant_get(...))``) — a typed, codegen
+path, evaluated once per line before the persist. Remaining known
+divergence: JSON strings come from ``get_json_object``/Jackson so
+they have no space after ``:``/``,`` where Python's ``json.dumps``
+has one; both sides are compared JSON-semantically in tests. All
+scalar work stays in whole-stage codegen; the only Python in the hot
+path is the Arrow-batched line numbering.
 """
 
 from __future__ import annotations
@@ -40,6 +54,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sressentials_spark.functions.normalize import normalize_mongo_command, strip_ws
+from sressentials_spark.plans import SheetDict
 from sressentials_spark.schemas import (
     MONGO_DETAILED_COLUMNS,
     MONGO_ERROR_COLUMNS,
@@ -56,13 +71,112 @@ def _is_slow(df_or_col: Column | str = "value") -> Column:
     return F.col(df_or_col).contains("Slow query") if isinstance(df_or_col, str) else df_or_col.contains("Slow query")
 
 
-def _is_error(parsed: Column) -> Column:
-    # 'msg' in doc AND doc.s == 'E' AND 'attr' in doc AND 'error' in doc.attr
+def _pytype(variant_type: Column) -> Column:
+    """Python type name for a ``schema_of_variant`` type string —
+    the ``<T>`` CPython prints in the reference's exception messages."""
     return (
-        parsed.getField("msg").isNotNull()
+        F.when(variant_type == "VOID", "NoneType")
+        .when(variant_type == "STRING", "str")
+        .when(variant_type == "BIGINT", "int")
+        .when(
+            variant_type.startswith("DECIMAL")
+            | (variant_type == "DOUBLE")
+            | (variant_type == "FLOAT"),
+            "float",
+        )
+        .when(variant_type == "BOOLEAN", "bool")
+        .when(variant_type.startswith("ARRAY"), "list")
+        .otherwise("dict")
+    )
+
+
+def with_error_routing(base: DataFrame) -> DataFrame:
+    """Attach the raw-presence error-route flags (evaluated pre-persist).
+
+    Adds three columns replaying ``Mongo/mongo_parser.py:72-86``
+    exactly as CPython evaluates it (see module docstring):
+
+    * ``_route_error`` — line belongs on the error sheet;
+    * ``_route_exc``   — the reference throws mid-evaluation and the
+      line lands in the parse-error channel instead;
+    * ``_exc_msg``     — the ``str(e)`` of that exception.
+    """
+    value = F.col("value")
+    parsed = F.col("parsed")
+    top_keys = F.json_object_keys(value)
+    attr_raw = F.get_json_object(value, "$.attr")
+    attr_keys = F.json_object_keys(attr_raw)
+    variant = F.expr("try_parse_json(value)")
+    attr_type = F.expr(
+        "schema_of_variant(try_variant_get(try_parse_json(value), '$.attr'))"
+    )
+    err_type = F.expr(
+        "schema_of_variant(try_variant_get(try_parse_json(value), '$.attr.error'))"
+    )
+    _ = variant  # documented: both type probes share the parse via CSE
+
+    # 'msg' in doc AND doc.get('s','') == 'E' AND 'attr' in doc ...
+    pre = (
+        F.array_contains(top_keys, "msg")
         & (F.coalesce(parsed.getField("s"), F.lit("")) == "E")
-        & parsed.getField("attr").isNotNull()
-        & parsed.getField("attr").getField("error").isNotNull()
+        & F.array_contains(top_keys, "attr")
+    )
+    # ... AND 'error' in doc['attr'] — per the Python `in` operator:
+    attr_is_obj = attr_keys.isNotNull()
+    attr_is_str = attr_type == "STRING"
+    attr_is_list = attr_type.startswith("ARRAY")
+    not_iterable = ~(attr_is_obj | attr_is_str | attr_is_list)
+    membership = (
+        F.when(attr_is_obj, F.array_contains(attr_keys, "error"))
+        .when(attr_is_str, attr_raw.contains("error"))
+        .when(
+            attr_is_list,
+            F.coalesce(
+                F.array_contains(
+                    F.from_json(attr_raw, "array<string>"), F.lit("error")
+                ),
+                F.lit(False),
+            ),
+        )
+        .otherwise(F.lit(False))
+    )
+    err_is_obj = F.json_object_keys(
+        F.get_json_object(value, "$.attr.error")
+    ).isNotNull()
+
+    valid = F.col("valid")
+    type_exc = valid & pre & not_iterable
+    # attr['<error>'].get(...) raised: the receiver is attr.error for an
+    # object attr, attr itself for the str/list substring/member cases.
+    attr_exc = valid & pre & ~not_iterable & membership & ~err_is_obj
+    receiver_type = F.when(attr_is_obj, _pytype(err_type)).otherwise(
+        _pytype(attr_type)
+    )
+    exc_msg = (
+        F.when(
+            type_exc,
+            F.concat(
+                F.lit("argument of type '"),
+                _pytype(attr_type),
+                F.lit("' is not iterable"),
+            ),
+        )
+        .when(
+            attr_exc,
+            F.concat(
+                F.lit("'"),
+                receiver_type,
+                F.lit("' object has no attribute 'get'"),
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        base.withColumn(
+            "_route_error", valid & pre & ~not_iterable & membership & err_is_obj
+        )
+        .withColumn("_route_exc", type_exc | attr_exc)
+        .withColumn("_exc_msg", exc_msg)
     )
 
 
@@ -126,17 +240,30 @@ def query_pattern_stats(metrics: DataFrame) -> DataFrame:
 
 
 def error_rollup(base: DataFrame) -> DataFrame:
-    """M11: group errors by (msg, codeName, errmsg); first line + sample."""
+    """M11: group errors by (msg, codeName, errmsg); first line + sample.
+
+    ``msg`` keeps its raw value (``.get('msg','N/A')`` never defaults —
+    the route requires the key present — so ``"msg": null`` stays
+    null); ``codeName``/``errmsg`` default to ``'N/A'`` only when the
+    key is ABSENT from the error object (``Mongo/mongo_parser.py:76-78``).
+    """
     parsed = F.col("parsed")
     err = parsed.getField("attr").getField("error")
+    err_keys = F.json_object_keys(F.get_json_object("value", "$.attr.error"))
+
+    def err_field(name: str) -> Column:
+        return F.when(
+            F.array_contains(err_keys, name), err.getField(name)
+        ).otherwise(F.lit("N/A"))
+
     return (
-        base.filter(F.col("valid") & _is_error(parsed))
+        base.filter(F.col("_route_error"))
         .select(
             F.col("line_no"),
             strip_ws("value").alias("raw_line"),
-            F.coalesce(parsed.getField("msg"), F.lit("N/A")).alias("msg"),
-            F.coalesce(err.getField("codeName"), F.lit("N/A")).alias("error"),
-            F.coalesce(err.getField("errmsg"), F.lit("N/A")).alias("errmsg"),
+            parsed.getField("msg").alias("msg"),
+            err_field("codeName").alias("error"),
+            err_field("errmsg").alias("errmsg"),
         )
         .groupBy("msg", "error", "errmsg")
         .agg(
@@ -150,42 +277,64 @@ def error_rollup(base: DataFrame) -> DataFrame:
 
 
 def non_slow_passthrough(base: DataFrame) -> DataFrame:
-    """M5: valid lines that matched neither route (file order)."""
-    keep = F.col("valid") & ~_is_slow("value") & ~_is_error(F.col("parsed"))
+    """M5: valid lines that matched neither route (file order).
+
+    Lines whose error-route evaluation threw in the reference never
+    reach its passthrough ``elif`` — they are excluded here too.
+    """
+    keep = (
+        F.col("valid")
+        & ~_is_slow("value")
+        & ~F.col("_route_error")
+        & ~F.col("_route_exc")
+    )
     return base.filter(keep).orderBy("line_no").select(strip_ws("value").alias("LogLine"))
 
 
 def parse_error_messages(base: DataFrame) -> DataFrame:
-    """M14: diagnostics for lines that are not JSON objects."""
-    return (
-        base.filter(~F.col("valid"))
-        .orderBy("line_no")
-        .select(
-            F.concat(F.lit("Line "), F.col("line_no"), F.lit(": Invalid JSON. Skipped.")).alias(
-                "message"
-            )
+    """M14: diagnostics — invalid JSON lines plus lines whose error-route
+    evaluation raised (``except Exception`` at ``Mongo/mongo_parser.py:93-94``),
+    interleaved in file order."""
+    message = F.when(
+        ~F.col("valid"),
+        F.concat(F.lit("Line "), F.col("line_no"), F.lit(": Invalid JSON. Skipped.")),
+    ).otherwise(
+        F.concat(
+            F.lit("Line "),
+            F.col("line_no"),
+            F.lit(": Error parsing line: "),
+            F.col("_exc_msg"),
+            F.lit(". Skipped."),
         )
+    )
+    return (
+        base.filter(~F.col("valid") | F.col("_route_exc"))
+        .orderBy("line_no")
+        .select(message.alias("message"))
     )
 
 
-def analyze_mongo_log(spark: SparkSession, path: str, cache: bool = True) -> dict[str, DataFrame]:
+def analyze_mongo_log(spark: SparkSession, path: str, cache: bool = True) -> SheetDict:
     """Full 4-sheet analysis + diagnostics (reference ``parse_log_lines``).
 
     Returns lazy DataFrames keyed ``detailed / query_stats / non_slow /
-    errors / parse_errors``. ``cache=True`` persists the parsed base so
-    materializing all five sheets scans the file once.
+    errors / parse_errors``. ``cache=True`` persists the parsed base
+    (routing flags included, so variant probing runs once per line) so
+    materializing all five sheets scans the file once. The persisted
+    root is attached as ``.base`` (see
+    :class:`sressentials_spark.plans.SheetDict`).
     """
-    base = read_mongo_log(spark, path)
+    base = with_error_routing(read_mongo_log(spark, path))
     if cache:
         base = base.persist()
     metrics = slow_query_metrics(base)
-    return {
-        "detailed": metrics.orderBy("line_no").select(*MONGO_DETAILED_COLUMNS),
-        "query_stats": query_pattern_stats(metrics),
-        "non_slow": non_slow_passthrough(base),
-        "errors": error_rollup(base),
-        "parse_errors": parse_error_messages(base),
-        # Private handle to the persisted root so callers that cache the
-        # sheet dict can unpersist it when done (never a display sheet).
-        "_base": base,
-    }
+    return SheetDict(
+        {
+            "detailed": metrics.orderBy("line_no").select(*MONGO_DETAILED_COLUMNS),
+            "query_stats": query_pattern_stats(metrics),
+            "non_slow": non_slow_passthrough(base),
+            "errors": error_rollup(base),
+            "parse_errors": parse_error_messages(base),
+        },
+        base=base if cache else None,
+    )

@@ -29,6 +29,7 @@ from sressentials_spark.functions.normalize import (
     query_time_ms,
     strip_ws,
 )
+from sressentials_spark.plans import SheetDict
 from sressentials_spark.sources.mysql_log import read_mysql_log
 
 #: The seven patterns of ``MySql/mysqlLogParser.py:18-27``. Java regex
@@ -42,6 +43,31 @@ PATTERNS = {
     "Rows_examined": r"Rows_examined: (.*?)\n",
     "Query": r"(?s)SET timestamp=.*?;\n(.*?)(?=\n# Time:|\z)",
 }
+
+#: Fused match+extract forms of :data:`PATTERNS`: the capture group is
+#: widened to include the literal field prefix, so a matched entry
+#: always yields a NON-EMPTY capture — one ``regexp_extract`` per field
+#: serves as both the S4 validation test (capture != '') and the S2
+#: value source (strip the fixed-length prefix with ``substring``).
+#: Round 2 ran the seven patterns twice per entry (7 ``rlike`` gates +
+#: 7 extracts); this halves the regex passes. Group widening does not
+#: change regex semantics: match positions and lazy-quantifier
+#: behavior are group-independent. ``Query``'s prefix is
+#: variable-length (``SET timestamp=<n>;``), so it is removed with an
+#: anchored replace over the (already small) capture instead.
+_FUSED = {
+    "Time": (r"(# Time: .*)", "# Time: "),
+    "User@Host": (r"(# User@Host: .*?) thread_id:", "# User@Host: "),
+    "Query_time": (r"(# Query_time: .*?) Lock_time:", "# Query_time: "),
+    "Lock_time": (r"(Lock_time: .*?) Rows_sent:", "Lock_time: "),
+    "Rows_sent": (r"(Rows_sent: .*?) Rows_examined:", "Rows_sent: "),
+    "Rows_examined": (r"(Rows_examined: .*?)\n", "Rows_examined: "),
+    "Query": (r"(?s)(SET timestamp=.*?;\n.*?)(?=\n# Time:|\z)", None),
+}
+
+#: Anchored prefix for the Query capture: identical lazy ``.*?;\n`` to
+#: the capture pattern, so it removes exactly what that group consumed.
+_QUERY_PREFIX = r"(?s)^SET timestamp=.*?;\n"
 
 _EMPTY_QUERY = "N/A (Query not captured)"
 
@@ -65,22 +91,29 @@ AGGREGATE_COLUMNS = [
 ]
 
 
-def _matches_all(entry: Column) -> Column:
-    """S4: entry kept only if every regex finds a match (``:67``)."""
-    cond = F.lit(True)
-    for pat in PATTERNS.values():
-        cond = cond & entry.rlike(pat)
-    return cond
-
-
 def extract_entries(base: DataFrame) -> DataFrame:
-    """S2/S3: regex projections + ``matched`` gate flag on raw entries."""
+    """S2/S3/S4: one fused regex pass per field.
+
+    Emits per field the stripped value ``_<name>`` plus the match flag
+    ``_m_<name>`` (the S4 booleans, derived from the widened capture
+    being non-empty — no second ``rlike`` pass), and the conjunction
+    ``matched``.
+    """
     entry = F.col("entry")
-    cols = [
-        strip_ws(F.regexp_extract(entry, PATTERNS[name], 1)).alias(f"_{name}")
-        for name in PATTERNS
-    ]
-    return base.select("entry", "entry_no", *cols).withColumn("matched", _matches_all(entry))
+    value_cols, flag_cols = [], []
+    for name, (pat, prefix) in _FUSED.items():
+        cap = F.regexp_extract(entry, pat, 1)
+        if prefix is None:
+            val = F.regexp_replace(cap, _QUERY_PREFIX, "")
+        else:
+            val = F.substring(cap, len(prefix) + 1, 2**31 - 1)
+        value_cols.append(strip_ws(val).alias(f"_{name}"))
+        flag_cols.append((cap != "").alias(f"_m_{name}"))
+    ext = base.select("entry", "entry_no", *value_cols, *flag_cols)
+    matched = F.lit(True)
+    for name in _FUSED:
+        matched = matched & F.col(f"_m_{name}")
+    return ext.withColumn("matched", matched)
 
 
 def detailed_metrics(base: DataFrame) -> DataFrame:
@@ -133,22 +166,25 @@ def skip_warnings(base: DataFrame) -> DataFrame:
 
 
 def warnings_from_extracted(ext: DataFrame) -> DataFrame:
-    """As :func:`skip_warnings`, over pre-extracted entries."""
-    ext = ext.filter(~F.col("matched"))
-    entry = F.col("entry")
+    """As :func:`skip_warnings`, over pre-extracted entries.
 
-    def b(pat: str) -> Column:
-        return F.when(entry.rlike(pat), "True").otherwise("False")
+    The per-field booleans come from the fused extraction's ``_m_*``
+    flags — no regex re-evaluation on the diagnostics path.
+    """
+    ext = ext.filter(~F.col("matched"))
+
+    def b(name: str) -> Column:
+        return F.when(F.col(f"_m_{name}"), "True").otherwise("False")
 
     details = F.concat_ws(
         ", ",
-        F.concat(F.lit("T:"), b(PATTERNS["Time"])),
-        F.concat(F.lit("UH:"), b(PATTERNS["User@Host"])),
-        F.concat(F.lit("QT:"), b(PATTERNS["Query_time"])),
-        F.concat(F.lit("LT:"), b(PATTERNS["Lock_time"])),
-        F.concat(F.lit("RS:"), b(PATTERNS["Rows_sent"])),
-        F.concat(F.lit("RE:"), b(PATTERNS["Rows_examined"])),
-        F.concat(F.lit("Q:"), b(PATTERNS["Query"])),
+        F.concat(F.lit("T:"), b("Time")),
+        F.concat(F.lit("UH:"), b("User@Host")),
+        F.concat(F.lit("QT:"), b("Query_time")),
+        F.concat(F.lit("LT:"), b("Lock_time")),
+        F.concat(F.lit("RS:"), b("Rows_sent")),
+        F.concat(F.lit("RE:"), b("Rows_examined")),
+        F.concat(F.lit("Q:"), b("Query")),
     )
     message = F.concat(
         F.lit("Skipped log entry "),
@@ -156,28 +192,31 @@ def warnings_from_extracted(ext: DataFrame) -> DataFrame:
         F.lit(" due to missing fields. Details: "),
         details,
         F.lit(". Content snippet: "),
-        F.substring(entry, 1, 200),
+        F.substring(F.col("entry"), 1, 200),
         F.lit("..."),
     )
     return ext.orderBy("entry_no").select(F.col("entry_no"), message.alias("message"))
 
 
-def analyze_mysql_log(spark: SparkSession, path: str, cache: bool = True) -> dict[str, DataFrame]:
+def analyze_mysql_log(spark: SparkSession, path: str, cache: bool = True) -> SheetDict:
     """Full 2-sheet analysis + diagnostics (reference
     ``parse_mysql_log_content``): ``detailed / aggregate / warnings``.
+
+    The persisted extraction root is attached as ``.base`` (see
+    :class:`sressentials_spark.plans.SheetDict`).
     """
     base = read_mysql_log(spark, path)
-    # Persist AFTER the regex extraction: the 14 regex passes are the
+    # Persist AFTER the regex extraction: the regex passes are the
     # dominant cost, and all three sheets branch off their result.
     ext = extract_entries(base)
     if cache:
         ext = ext.persist()
     detailed = detailed_from_extracted(ext)
-    return {
-        "detailed": detailed.orderBy("entry_no").select(*DETAILED_COLUMNS),
-        "aggregate": aggregate_results(detailed),
-        "warnings": warnings_from_extracted(ext),
-        # Private handle to the persisted root so callers that cache the
-        # sheet dict can unpersist it when done (never a display sheet).
-        "_base": ext,
-    }
+    return SheetDict(
+        {
+            "detailed": detailed.orderBy("entry_no").select(*DETAILED_COLUMNS),
+            "aggregate": aggregate_results(detailed),
+            "warnings": warnings_from_extracted(ext),
+        },
+        base=ext if cache else None,
+    )

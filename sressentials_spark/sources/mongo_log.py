@@ -30,9 +30,14 @@ def read_mongo_log(spark: SparkSession, path: str, number_lines: bool = True) ->
     * ``line_no`` — 1-based file-order line number;
     * ``parsed`` — typed envelope struct (nulls where absent);
     * ``command`` — raw JSON string of ``attr.command`` (``'{}'`` default);
-    * ``valid`` — whether the line parsed as a JSON object (the
+    * ``valid`` — whether the RAW line is a JSON object (the
       reference's ``json.loads`` success; scalars/arrays/empty lines
-      are invalid, matching its routing to ``parse_errors``).
+      are invalid, matching its routing to ``parse_errors``). This is
+      deliberately independent of the typed envelope: a well-formed
+      object whose field types diverge from :data:`MONGO_ENVELOPE`
+      (e.g. ``"error": "oops"`` where the schema expects a struct) is
+      still *valid* — the reference routes it through the raw-presence
+      predicate, not the JSON decoder (``Mongo/mongo_parser.py:30,91``).
     """
     lines = spark.read.text(path)
     if number_lines:
@@ -46,9 +51,6 @@ def read_mongo_log(spark: SparkSession, path: str, number_lines: bool = True) ->
     )
     return (
         lines.withColumn("parsed", parsed)
-        .withColumn(
-            "valid",
-            F.col("parsed").isNotNull() & F.col(f"parsed.{CORRUPT_COL}").isNull(),
-        )
+        .withColumn("valid", F.json_object_keys(F.col("value")).isNotNull())
         .withColumn("command", F.coalesce(F.get_json_object("value", _COMMAND_PATH), F.lit("{}")))
     )

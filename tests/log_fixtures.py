@@ -71,6 +71,53 @@ MONGO_LOG = "\n".join(MONGO_LINES)
 
 FIND_PATTERN = '{"find":<value>,"filter":{"name":<value>},"sort":{"age":<value>},"limit":<value>}'
 
+# --- Degenerate error-route fixture (raw-presence parity) ---
+#
+# Expected outputs were produced by EXECUTING the reference
+# ``parse_log_lines`` (Mongo/mongo_parser.py:72-94) on these exact
+# lines: the raw-presence predicate either crashes mid-evaluation
+# (TypeError on a non-iterable ``attr``), crashes in the error block
+# (AttributeError on a non-dict ``error``), or admits the line with
+# presence-based field defaulting (absent key -> 'N/A', null -> None).
+
+MONGO_DEGENERATE_LINES = [
+    '{"t":{"$date":"T1"},"s":"E","msg":"Connection error","attr":{"error":null}}',
+    '{"t":{"$date":"T2"},"s":"E","msg":"Connection error","attr":{"error":"oops"}}',
+    '{"t":{"$date":"T3"},"s":"E","msg":"Connection error","attr":null}',
+    '{"t":{"$date":"T4"},"s":"E","msg":"Connection error","attr":"an error string"}',
+    '{"t":{"$date":"T5"},"s":"E","msg":"Connection error","attr":"benign string"}',
+    '{"t":{"$date":"T6"},"s":"E","msg":"Connection error","attr":{"error":5}}',
+    '{"t":{"$date":"T7"},"s":"E","msg":"Connection error","attr":{"error":["error"]}}',
+    '{"t":{"$date":"T8"},"s":"E","msg":null,"attr":{"error":{"codeName":"X"}}}',
+    '{"t":{"$date":"T9"},"s":"E","msg":"Connection error","attr":{"error":{"errmsg":"no codeName key"}}}',
+    '{"t":{"$date":"TA"},"s":"E","msg":"Connection error","attr":{"error":{"codeName":null,"errmsg":"null codeName"}}}',
+    '{"t":{"$date":"TB"},"s":"E","msg":"Connection error","attr":["error"]}',
+    '{"t":{"$date":"TC"},"s":"E","msg":"Connection error","attr":7}',
+]
+
+#: Reference parse_errors for MONGO_DEGENERATE_LINES (verified by run).
+MONGO_DEGENERATE_PARSE_ERRORS = [
+    "Line 1: Error parsing line: 'NoneType' object has no attribute 'get'. Skipped.",
+    "Line 2: Error parsing line: 'str' object has no attribute 'get'. Skipped.",
+    "Line 3: Error parsing line: argument of type 'NoneType' is not iterable. Skipped.",
+    "Line 4: Error parsing line: 'str' object has no attribute 'get'. Skipped.",
+    "Line 6: Error parsing line: 'int' object has no attribute 'get'. Skipped.",
+    "Line 7: Error parsing line: 'list' object has no attribute 'get'. Skipped.",
+    "Line 11: Error parsing line: 'list' object has no attribute 'get'. Skipped.",
+    "Line 12: Error parsing line: argument of type 'int' is not iterable. Skipped.",
+]
+
+#: Reference error sheet (OriginalLineNumber, msg, error, errmsg) —
+#: msg None for present-but-null; codeName 'N/A' only when ABSENT.
+MONGO_DEGENERATE_ERROR_ROWS = [
+    (8, None, "X", "N/A"),
+    (9, "Connection error", "N/A", "no codeName key"),
+    (10, "Connection error", None, "null codeName"),
+]
+
+#: Reference passthrough: only the benign-string line survives.
+MONGO_DEGENERATE_NON_SLOW = [MONGO_DEGENERATE_LINES[4]]
+
 # --- MySQL fixture ---
 
 

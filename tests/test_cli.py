@@ -58,6 +58,23 @@ def test_missing_args_is_a_clean_error():
     assert "required" in proc.stderr
 
 
+def test_max_errors_unbounded(tmp_path):
+    """``--max-errors -1`` prints EVERY diagnostic line — parity with
+    the reference's unbounded loop (Mongo/mongo_parser.py:226-228)."""
+    bad = "\n".join(f"not json {i}" for i in range(25))
+    log = tmp_path / "mongod.log"
+    log.write_text(MONGO_LOG + "\n" + bad)
+    out = tmp_path / "report.xlsx"
+
+    capped = run_cli("mongo", "-i", str(log), "-o", str(out))
+    assert capped.returncode == 0, capped.stderr[-2000:]
+    assert capped.stderr.count("Invalid JSON. Skipped.") == 10  # default cap
+
+    full = run_cli("mongo", "-i", str(log), "-o", str(out), "--max-errors", "-1")
+    assert full.returncode == 0, full.stderr[-2000:]
+    assert full.stderr.count("Invalid JSON. Skipped.") == 28  # 3 fixture + 25
+
+
 def test_save_report_bytes_zip_fallback(tmp_path, spark):
     """The download-button payload builder (reference X4's
     save_to_excel(BytesIO)) must return real bytes in this env's CSV-zip

@@ -104,3 +104,41 @@ def test_empty_input(spark, tmp_path):
     p.write_text("")
     out = analyze_mongo_log(spark, str(p))
     assert all(len(df.collect()) == 0 for df in out.values())
+
+
+def test_sheets_dict_has_no_private_entries(sheets):
+    assert set(sheets) == {
+        "detailed", "query_stats", "non_slow", "errors", "parse_errors"
+    }
+
+
+def test_degenerate_error_routing(spark, tmp_path):
+    """Raw-presence error-route parity (Mongo/mongo_parser.py:72-94).
+
+    Expected values in the fixture module were produced by executing
+    the reference on the same lines: predicate TypeErrors and
+    error-block AttributeErrors land in the parse-error channel with
+    CPython's message text, only object-valued errors reach the error
+    sheet, and field defaulting is key-presence-based.
+    """
+    from tests.log_fixtures import (
+        MONGO_DEGENERATE_ERROR_ROWS,
+        MONGO_DEGENERATE_LINES,
+        MONGO_DEGENERATE_NON_SLOW,
+        MONGO_DEGENERATE_PARSE_ERRORS,
+    )
+
+    p = tmp_path / "degenerate.log"
+    p.write_text("\n".join(MONGO_DEGENERATE_LINES))
+    out = analyze_mongo_log(spark, str(p), cache=False)
+
+    msgs = [r["message"] for r in out["parse_errors"].collect()]
+    assert msgs == MONGO_DEGENERATE_PARSE_ERRORS
+
+    err = [
+        (r["OriginalLineNumber"], r["msg"], r["error"], r["errmsg"])
+        for r in out["errors"].collect()
+    ]
+    assert err == MONGO_DEGENERATE_ERROR_ROWS
+
+    assert [r["LogLine"] for r in out["non_slow"].collect()] == MONGO_DEGENERATE_NON_SLOW
