@@ -43,6 +43,14 @@ def main() -> None:
     # JMH warmup iterations).
     bench_queries = {n: f for n, f in QUERIES.items() if n not in EXCLUDE}
 
+    # Isolated-rerun support: SPARK_GRAFT_ONLY=q1,q2 restricts the suite
+    # (warmup included) — the box's JIT variance makes single-query
+    # timings meaningless inside a 30-query run.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        bench_queries = {n: f for n, f in bench_queries.items() if n in keep}
+
     warm_dir = os.path.join(os.path.dirname(os.path.normpath(sf_dir)), "sf0.001")
     if os.path.isdir(warm_dir) and warm_dir != os.path.normpath(sf_dir):
         loggen.ensure_mongo_log(warm_dir)

@@ -93,16 +93,35 @@ def _pytype(variant_type: Column) -> Column:
 def with_error_routing(base: DataFrame) -> DataFrame:
     """Attach the raw-presence error-route flags (evaluated pre-persist).
 
-    Adds three columns replaying ``Mongo/mongo_parser.py:72-86``
+    Adds a ``_route`` struct replaying ``Mongo/mongo_parser.py:72-86``
     exactly as CPython evaluates it (see module docstring):
 
-    * ``_route_error`` — line belongs on the error sheet;
-    * ``_route_exc``   — the reference throws mid-evaluation and the
+    * ``_route.err``     — line belongs on the error sheet;
+    * ``_route.exc``     — the reference throws mid-evaluation and the
       line lands in the parse-error channel instead;
-    * ``_exc_msg``     — the ``str(e)`` of that exception.
+    * ``_route.exc_msg`` — the ``str(e)`` of that exception.
+
+    Cost shape: the raw-JSON probes (``json_object_keys`` ×3,
+    ``try_parse_json``/``schema_of_variant`` ×2, ``get_json_object``
+    ×2) are ~10× the price of the rest of the parse, and error lines
+    are a small fraction of a real log. All of them live inside ONE
+    ``when(candidate, struct(...))`` branch behind a cheap gate —
+    substring presence of ``"msg"``/``"attr"`` (a sound *necessary*
+    condition for key presence: a present key's quoted token appears
+    verbatim in the line) plus the already-typed ``parsed.s == 'E'``.
+    A single struct-valued column matters: subexpression elimination
+    hoists subexprs shared across separate output columns
+    unconditionally, which un-gates them; branch-local subexprs of one
+    conditional expression stay in the branch.
     """
     value = F.col("value")
     parsed = F.col("parsed")
+    candidate = (
+        F.col("valid")
+        & value.contains('"msg"')
+        & value.contains('"attr"')
+        & (F.coalesce(parsed.getField("s"), F.lit("")) == "E")
+    )
     top_keys = F.json_object_keys(value)
     attr_raw = F.get_json_object(value, "$.attr")
     attr_keys = F.json_object_keys(attr_raw)
@@ -144,11 +163,10 @@ def with_error_routing(base: DataFrame) -> DataFrame:
         F.get_json_object(value, "$.attr.error")
     ).isNotNull()
 
-    valid = F.col("valid")
-    type_exc = valid & pre & not_iterable
+    type_exc = pre & not_iterable
     # attr['<error>'].get(...) raised: the receiver is attr.error for an
     # object attr, attr itself for the str/list substring/member cases.
-    attr_exc = valid & pre & ~not_iterable & membership & ~err_is_obj
+    attr_exc = pre & ~not_iterable & membership & ~err_is_obj
     receiver_type = F.when(attr_is_obj, _pytype(err_type)).otherwise(
         _pytype(attr_type)
     )
@@ -171,13 +189,21 @@ def with_error_routing(base: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(None).cast("string"))
     )
-    return (
-        base.withColumn(
-            "_route_error", valid & pre & ~not_iterable & membership & err_is_obj
+    routed = F.when(
+        candidate,
+        F.struct(
+            (pre & ~not_iterable & membership & err_is_obj).alias("err"),
+            (type_exc | attr_exc).alias("exc"),
+            exc_msg.alias("exc_msg"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(False).alias("err"),
+            F.lit(False).alias("exc"),
+            F.lit(None).cast("string").alias("exc_msg"),
         )
-        .withColumn("_route_exc", type_exc | attr_exc)
-        .withColumn("_exc_msg", exc_msg)
     )
+    return base.withColumn("_route", routed)
 
 
 def slow_query_metrics(base: DataFrame) -> DataFrame:
@@ -257,7 +283,7 @@ def error_rollup(base: DataFrame) -> DataFrame:
         ).otherwise(F.lit("N/A"))
 
     return (
-        base.filter(F.col("_route_error"))
+        base.filter(F.col("_route.err"))
         .select(
             F.col("line_no"),
             strip_ws("value").alias("raw_line"),
@@ -285,8 +311,8 @@ def non_slow_passthrough(base: DataFrame) -> DataFrame:
     keep = (
         F.col("valid")
         & ~_is_slow("value")
-        & ~F.col("_route_error")
-        & ~F.col("_route_exc")
+        & ~F.col("_route.err")
+        & ~F.col("_route.exc")
     )
     return base.filter(keep).orderBy("line_no").select(strip_ws("value").alias("LogLine"))
 
@@ -303,12 +329,12 @@ def parse_error_messages(base: DataFrame) -> DataFrame:
             F.lit("Line "),
             F.col("line_no"),
             F.lit(": Error parsing line: "),
-            F.col("_exc_msg"),
+            F.col("_route.exc_msg"),
             F.lit(". Skipped."),
         )
     )
     return (
-        base.filter(~F.col("valid") | F.col("_route_exc"))
+        base.filter(~F.col("valid") | F.col("_route.exc"))
         .orderBy("line_no")
         .select(message.alias("message"))
     )
