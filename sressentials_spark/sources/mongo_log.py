@@ -51,6 +51,14 @@ def read_mongo_log(spark: SparkSession, path: str, number_lines: bool = True) ->
     )
     return (
         lines.withColumn("parsed", parsed)
-        .withColumn("valid", F.json_object_keys(F.col("value")).isNotNull())
+        .withColumn(
+            "valid",
+            # Objecthood, evaluated lazily: a clean typed parse already
+            # proves the line was a JSON object; only rows the envelope
+            # flagged (malformed OR type-divergent) pay the raw
+            # json_object_keys re-parse. Or short-circuits in codegen.
+            (F.col("parsed").isNotNull() & F.col(f"parsed.{CORRUPT_COL}").isNull())
+            | F.json_object_keys(F.col("value")).isNotNull(),
+        )
         .withColumn("command", F.coalesce(F.get_json_object("value", _COMMAND_PATH), F.lit("{}")))
     )
