@@ -72,12 +72,21 @@ def main() -> None:
         # Let the C2 compile queue drain so the timed pass runs compiled.
         time.sleep(20)
 
+    # TWO independent timed passes, per-query MINIMUM reported. This box
+    # shows 2-3× one-off spikes on individual queries (compile-queue /
+    # code-cache hiccups) even after warmup; the min across passes is the
+    # reproducible steady-state cost. The sheet cache is cleared BETWEEN
+    # passes (never within), so each pass keeps the suite's semantics:
+    # the first log query pays the parse+persist, later sheets amortize.
     times: dict[str, float] = {}
-    for name, fn in bench_queries.items():
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - start, 3)
-        print(f"[bench] {name}: {times[name]:.1f}s", file=sys.stderr, flush=True)
+    for _ in range(2):
+        clear_sheets_cache()
+        for name, fn in bench_queries.items():
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t = round(time.perf_counter() - start, 3)
+            times[name] = min(times.get(name, t), t)
+            print(f"[bench] {name}: {t:.1f}s", file=sys.stderr, flush=True)
 
     clear_sheets_cache()
     tag = os.path.basename(os.path.normpath(sf_dir))

@@ -428,6 +428,12 @@ def _dot(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
     summation order of a sequential fold (and DuckDB's ``list_sum``),
     so results are bit-identical to the oracle, but the whole chain is
     one codegen'd arithmetic expression instead of an interpreted HOF.
+
+    Precondition: both arrays hold >= ``dim`` elements — shorter input
+    fails loudly under ANSI ``element_at``. Callers should go through
+    :func:`sressentials_spark.operators.linalg.dot`, which dispatches
+    dims above ``UNROLL_MAX_DIM`` to the Arrow kernel (identical
+    values, constant plan size).
     """
     acc = F.lit(0.0)
     for i in range(dim):
@@ -439,7 +445,9 @@ def _dot(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
-    return _dot(a, b, dim) / (F.sqrt(_dot(a, a, dim)) * F.sqrt(_dot(b, b, dim)))
+    from sressentials_spark.operators import linalg
+
+    return linalg.dot(a, b, dim) / (F.sqrt(linalg.dot(a, a, dim)) * F.sqrt(linalg.dot(b, b, dim)))
 
 
 def with_norm(
@@ -447,6 +455,10 @@ def with_norm(
 ) -> DataFrame:
     """Attach the L2 norm once per vector (pairs then pay one dot each
     instead of three)."""
+    from sressentials_spark.operators import linalg
+
+    if dim > linalg.UNROLL_MAX_DIM:
+        return emb.withColumn("norm", linalg.norm_arrow(F.col(vec_col)))
     return emb.withColumn("norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)))
 
 
@@ -465,7 +477,9 @@ def embedding_cosine_pairs(
     """
     n = with_norm(emb, dim=dim)
     a, b = n.alias("a"), n.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding"), dim) / (
+    from sressentials_spark.operators import linalg
+
+    cos = linalg.dot(F.col("a.embedding"), F.col("b.embedding"), dim) / (
         F.col("a.norm") * F.col("b.norm")
     )
     return (

@@ -1,0 +1,147 @@
+"""Arrow-vectorized linear algebra over ``array<float>`` columns.
+
+Two execution strategies compute the SAME IEEE arithmetic:
+
+* **Unrolled codegen chains** (:func:`sressentials_spark.operators.
+  dedup._dot`): zero Python, ideal for scoring a modest number of
+  candidate pairs at a small fixed dimension. Their weakness is plan
+  size — the expression tree grows linearly with ``dim`` (and
+  multiplies per consumer), which bloats optimizer time and generated
+  code; at 768/1024-dim it risks the JIT method limits that broke
+  round 1.
+* **Pandas-UDF kernels** (this module): the Arrow batch is stacked
+  into an ``(n, dim)`` float64 matrix and the SAME left-associated
+  fold runs per dimension, vectorized across rows
+  (``acc = acc + A[:, d] * B[:, d]``). IEEE addition/multiplication
+  per element happens in the identical order as the scalar fold, so
+  each row's result is bit-identical to the unrolled chain and to the
+  DuckDB oracle's ``list_sum`` comprehension — for ANY dimension,
+  with a constant-size plan.
+
+The kernels discover ``dim`` from the batch, so they are the
+dimension-robust path: embeddings of any width work without a plan
+rebuild. Use them for whole-corpus projections (norm/LSH bucketing of
+every vector) and for dimensions above :data:`UNROLL_MAX_DIM`; use the
+unrolled chains for small-dim pair scoring where keeping the operator
+inside whole-stage codegen avoids an Arrow exchange.
+
+Parity note (oracle gate): ``np.float64`` ops are IEEE-754 doubles —
+the same hardware arithmetic the JVM uses — and the per-dimension loop
+preserves the fold's association order exactly. ``np.dot``/``np.sum``
+would NOT (pairwise/SIMD summation reorders additions).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+#: Return types as DataType objects — a DDL string would be parsed at
+#: decoration time, which requires an active SparkSession (imports of
+#: this module must work session-free).
+_NB_TYPE = StructType(
+    [StructField("norm", DoubleType()), StructField("bucket", LongType())]
+)
+
+#: Above this dimension, unrolled expression chains give way to the
+#: Arrow kernels (round-1 lesson: giant generated methods fall out of
+#: JIT-compilable territory; the cutoff is conservative).
+UNROLL_MAX_DIM = 128
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    """Arrow list<float> batch → (n, dim) float64 matrix (exact cast)."""
+    if len(s) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack(s.to_numpy()).astype(np.float64)
+
+
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot as a left-associated per-dimension fold.
+
+    Bit-identical to ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` per row
+    (dedup._dot and the oracle's ``list_sum``); vectorized across rows.
+    """
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d] * b[:, d]
+    return acc
+
+
+@pandas_udf(DoubleType())
+def dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow kernel: fold-exact dot product of two vector columns."""
+    A, B = _stack(a), _stack(b)
+    if A.shape[0] == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    return pd.Series(_fold_dot(A, B))
+
+
+@pandas_udf(DoubleType())
+def norm_arrow(v: pd.Series) -> pd.Series:
+    """Arrow kernel: fold-exact L2 norm ``sqrt(0.0 + v0*v0 + ...)``."""
+    V = _stack(v)
+    if V.shape[0] == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    return pd.Series(np.sqrt(_fold_dot(V, V)))
+
+
+@lru_cache(maxsize=8)
+def _plane_matrix(planes: int, dim: int) -> np.ndarray:
+    """(planes, dim) ±1 hyperplane weights — md5-derived, deterministic
+    (same derivation as ``similarity.lsh_plane_weights``)."""
+    import hashlib
+
+    out = np.empty((planes, dim), dtype=np.float64)
+    for p in range(planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            out[p, d] = 1.0 if h % 2 == 0 else -1.0
+    return out
+
+
+def norm_bucket_kernel(planes: int):
+    """Factory: Arrow kernel computing ``struct<norm, bucket>`` per vector.
+
+    The bucket is the sign-bit signature under the deterministic ±1
+    hyperplanes: bit ``p`` set iff the fold-exact projection onto plane
+    ``p`` is ``> 0`` — the arithmetic the DuckDB oracle states as
+    ``CASE WHEN list_sum([...]) > 0 THEN 1<<p``, one matrix pass per
+    batch.
+    """
+
+    @pandas_udf(_NB_TYPE)
+    def f(v: pd.Series) -> pd.DataFrame:
+        V = _stack(v)
+        n = V.shape[0]
+        if n == 0:
+            return pd.DataFrame(
+                {"norm": pd.Series(dtype=np.float64), "bucket": pd.Series(dtype=np.int64)}
+            )
+        W = _plane_matrix(planes, V.shape[1])
+        bucket = np.zeros(n, dtype=np.int64)
+        for p in range(planes):
+            proj = _fold_dot(V, np.broadcast_to(W[p], V.shape))
+            bucket = bucket + np.where(proj > 0, np.int64(1 << p), np.int64(0))
+        return pd.DataFrame({"norm": np.sqrt(_fold_dot(V, V)), "bucket": bucket})
+
+    return f
+
+
+def dot(a: Column, b: Column, dim: int) -> Column:
+    """Fold-exact dot product, dispatched by dimension.
+
+    ``dim <= UNROLL_MAX_DIM`` → the unrolled whole-stage-codegen chain;
+    larger → the Arrow kernel (identical values, constant plan size).
+    """
+    from sressentials_spark.operators.dedup import _dot
+
+    if dim <= UNROLL_MAX_DIM:
+        return _dot(a, b, dim)
+    return dot_arrow(a, b)

@@ -10,25 +10,23 @@
   query only scores its own bucket. Recall < 1 by design; the planes
   are md5-derived so the result is bit-reproducible in SQL.
 
-Expression-shape notes (this is where round 2 lost time):
+Execution-shape notes (rounds 1-2 both lost time here):
 
-* Dot products are unrolled fixed-dimension arithmetic chains
-  (:func:`sressentials_spark.operators.dedup._dot`) — whole-stage
-  codegen, bit-identical to a sequential fold. Spark's array HOFs
-  (``aggregate``/``zip_with``) evaluate per element in the expression
-  interpreter (~3 ms per 64-dim dot in round 1).
-* The norm and the 6 plane projections all consume the same vector, so
-  :func:`attach_norm_bucket` first materializes each element ONCE in a
-  sub-projection (64 ``element_at`` + cast), then sums those cheap
-  column references. Inlining the bucket expression directly (round 2)
-  evaluated 7 × 64 ``element_at``+cast per row — and because the query
-  side re-derived the same projection, the giant tree appeared twice
-  in the plan. Catalyst's ``CollapseProject`` keeps the split: it only
-  re-inlines cheap (attribute/literal) expressions.
+* Pair-scoring dot products are unrolled fixed-dimension arithmetic
+  chains (:func:`sressentials_spark.operators.dedup._dot`) —
+  whole-stage codegen, bit-identical to a sequential fold. Spark's
+  array HOFs (``aggregate``/``zip_with``) evaluate per element in the
+  expression interpreter (~3 ms per 64-dim dot in round 1).
+* The whole-corpus norm+bucket projection uses the Arrow kernel
+  (:func:`sressentials_spark.operators.linalg.norm_bucket_kernel`)
+  instead: one ``(n, dim)`` float64 matrix pass per batch, fold-exact
+  per row. Round 2 unrolled norm + 6 plane projections into one
+  ~3000-node expression tree; it stayed codegen'd but never reached
+  JIT-optimal code (~50 µs/row) and was hardwired to dim 64.
 * The query set is collected to the driver (a handful of rows — the
   same pushed-down ``vec_id`` filter either way) and re-emitted as a
-  local relation, so the corpus-side projection is the only instance
-  of the unrolled chains in the final plan.
+  local relation, so the corpus side is the only instance of the
+  scoring expressions in the final plan.
 
 At 100 TB the brute-force variant is a full corpus scan per query
 batch (still the right tool for small query sets — it's one pass and
@@ -41,58 +39,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sressentials_spark.operators.dedup import DEFAULT_DIM, _dot, with_norm
+from sressentials_spark.operators.dedup import DEFAULT_DIM, with_norm
+from sressentials_spark.operators.linalg import dot, norm_bucket_kernel
 
 #: Number of hyperplanes (sign bits) for the LSH bucketing.
 LSH_PLANES = 6
 
-_ELT = "__ssk_e"
-
 
 def lsh_plane_weights(planes: int = LSH_PLANES, dim: int = DEFAULT_DIM) -> list[list[float]]:
     """Deterministic ±1 hyperplane weights, derived from md5 parity so
-    an external engine can rebuild the identical planes."""
-    import hashlib
+    an external engine can rebuild the identical planes (the DuckDB
+    oracle embeds them as literals; the Arrow kernel re-derives the
+    same matrix per batch dimension)."""
+    from sressentials_spark.operators.linalg import _plane_matrix
 
-    out = []
-    for p in range(planes):
-        row = []
-        for d in range(dim):
-            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
-            row.append(1.0 if h % 2 == 0 else -1.0)
-        out.append(row)
-    return out
-
-
-def _bucket_from_elements(elts: list[Column], planes: int, dim: int) -> Column:
-    """Sign-bit bucket id from pre-extracted element columns.
-
-    Each projection is a left-associated ``0.0 + e_d * (±1.0)`` chain —
-    identical order and values to the oracle's ``list_sum``
-    comprehension (``x * ±1.0`` is exact in IEEE), but over cheap
-    column references instead of repeated ``element_at`` calls.
-    """
-    weights = lsh_plane_weights(planes, dim)
-    bucket = F.lit(0).cast("long")
-    for p, row in enumerate(weights):
-        proj = F.lit(0.0)
-        for d, w in enumerate(row):
-            proj = proj + elts[d] * F.lit(w)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
-
-
-def lsh_bucket(vec: Column, planes: int = LSH_PLANES, dim: int = DEFAULT_DIM) -> Column:
-    """Sign-bit bucket id of ``vec`` under the deterministic planes.
-
-    Column-expression form (re-extracts every element per plane); plans
-    that also need the norm should prefer :func:`attach_norm_bucket`,
-    which shares one element extraction across all consumers.
-    """
-    elts = [F.element_at(vec, d + 1).cast("double") for d in range(dim)]
-    return _bucket_from_elements(elts, planes, dim)
+    return [list(row) for row in _plane_matrix(planes, dim)]
 
 
 def attach_norm_bucket(
@@ -101,28 +62,23 @@ def attach_norm_bucket(
     planes: int = LSH_PLANES,
     dim: int = DEFAULT_DIM,
 ) -> DataFrame:
-    """Attach ``norm`` and ``bucket`` with one element extraction.
+    """Attach ``norm`` and ``bucket`` via the Arrow kernel.
 
-    Two stacked projections: the first materializes ``vec[d]`` as a
-    plain double column per dimension; the second computes the L2 norm
-    and all ``planes`` sign-bit projections as sums over those column
-    references. ``CollapseProject`` will not re-inline them (element
-    extraction is not a "cheap" expression), so each element is read
-    exactly once per row however many planes consume it.
+    This is a whole-corpus projection — every vector pays norm + all
+    ``planes`` projections — so it uses the vectorized pandas-UDF path
+    (:mod:`sressentials_spark.operators.linalg`): one ``(n, dim)``
+    matrix pass per Arrow batch, fold-exact per row, constant-size
+    plan for any dimension. The unrolled expression form of the same
+    arithmetic (round 2) cost ~50 µs/row even codegen'd — a 3000-node
+    tree never reaches JIT-optimal code — and was hardwired to
+    ``dim`` = 64. ``dim`` is accepted for signature parity but the
+    kernel derives the true width from each batch.
     """
-    elt_cols = [
-        F.element_at(F.col(vec_col), d + 1).cast("double").alias(f"{_ELT}{d}")
-        for d in range(dim)
-    ]
-    staged = emb.select("*", *elt_cols)
-    elts = [F.col(f"{_ELT}{d}") for d in range(dim)]
-    norm = F.lit(0.0)
-    for d in range(dim):
-        norm = norm + elts[d] * elts[d]
-    return staged.select(
+    nb = norm_bucket_kernel(planes)(F.col(vec_col))
+    return emb.withColumn("_nb", nb).select(
         *emb.columns,
-        F.sqrt(norm).alias("norm"),
-        _bucket_from_elements(elts, planes, dim).alias("bucket"),
+        F.col("_nb.norm").alias("norm"),
+        F.col("_nb.bucket").alias("bucket"),
     )
 
 
@@ -166,7 +122,7 @@ def cosine_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             (
-                _dot(F.col("qv"), F.col("embedding"), dim)
+                dot(F.col("qv"), F.col("embedding"), dim)
                 / (F.col("qnorm") * F.col("norm"))
             ).alias("cosine"),
         )
@@ -207,7 +163,7 @@ def cosine_topk_lsh(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             (
-                _dot(F.col("qv"), F.col("embedding"), dim)
+                dot(F.col("qv"), F.col("embedding"), dim)
                 / (F.col("qnorm") * F.col("norm"))
             ).alias("cosine"),
         )
