@@ -78,3 +78,75 @@ def with_row_numbers(df: DataFrame, name: str = "line_no") -> DataFrame:
         .withColumn(name, (F.col("__ssk_off") + F.col("__ssk_intra") + 1).cast("long"))
         .drop(_PID, "__ssk_off", "__ssk_intra")
     )
+
+
+def with_file_row_numbers(
+    df: DataFrame, name: str = "line_no", file_col: str | None = None
+) -> DataFrame:
+    """Per-FILE 1-based row numbering for multi-file scans.
+
+    The 100 TB shape of :func:`with_row_numbers`: a directory/glob
+    input has no meaningful single global order, but "line N of file F"
+    is stable and is what log diagnostics reference. Same two-pass
+    scheme, keyed by *file fragment*:
+
+    1. one counting pass per ``(partition, input_file_name)`` fragment —
+       Spark both packs many small files into one partition and splits
+       one large file across many, so neither key alone is enough. Each
+       fragment's row count and minimum ``monotonically_increasing_id``
+       come back to the driver (fragment count ≈ max(files, splits) —
+       tiny relative to data);
+    2. driver-side, each file's fragments are ordered by partition id
+       (a split file's chunks are equal-length, and the stable
+       by-length packing preserves their offset order — the same
+       split-ordering property the global scheme relies on) and
+       prefix-summed into per-fragment offsets;
+    3. a broadcast join on ``(partition_id, file)`` attaches
+       ``offset + (mid - fragment_min_mid) + 1`` — the subtraction
+       cancels the partition-id high bits, leaving the position within
+       the fragment.
+
+    ``file_col`` (optional) additionally exposes the source file path.
+    """
+    pid = F.spark_partition_id().cast("int")
+    # Stage the non-deterministic sources as plain columns first — an
+    # aggregate over bare monotonically_increasing_id() is rejected.
+    frags = (
+        df.select(
+            pid.alias(_PID),
+            F.input_file_name().alias("__ssk_file"),
+            F.monotonically_increasing_id().alias("__ssk_mid"),
+        )
+        .groupBy(_PID, "__ssk_file")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("__ssk_mid").alias("mi"))
+        .collect()
+    )
+    out = df
+    if file_col is not None:
+        out = out.withColumn(file_col, F.input_file_name())
+    if not frags:
+        return out.withColumn(name, F.lit(None).cast("long"))
+
+    offsets: dict[str, int] = {}
+    rows = []
+    for r in sorted(frags, key=lambda r: (r["__ssk_file"], r[_PID])):
+        off = offsets.get(r["__ssk_file"], 0)
+        rows.append((r[_PID], r["__ssk_file"], off, r["mi"]))
+        offsets[r["__ssk_file"]] = off + r["cnt"]
+
+    off_df = df.sparkSession.createDataFrame(
+        rows, f"{_PID} int, __ssk_file string, __ssk_off long, __ssk_mi long"
+    )
+    return (
+        out.withColumn(_PID, pid)
+        .withColumn("__ssk_file", F.input_file_name())
+        .withColumn("__ssk_mid", F.monotonically_increasing_id())
+        .join(F.broadcast(off_df), [_PID, "__ssk_file"], "left")
+        .withColumn(
+            name,
+            (F.col("__ssk_off") + (F.col("__ssk_mid") - F.col("__ssk_mi")) + 1).cast(
+                "long"
+            ),
+        )
+        .drop(_PID, "__ssk_file", "__ssk_off", "__ssk_mi", "__ssk_mid")
+    )

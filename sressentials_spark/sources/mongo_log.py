@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sressentials_spark.operators.rownum import with_row_numbers
+from sressentials_spark.operators.rownum import (
+    with_file_row_numbers,
+    with_row_numbers,
+)
 from sressentials_spark.schemas import CORRUPT_COL, MONGO_ENVELOPE
 
 #: Raw JSON text of the open-ended command subtree; '{}' when absent
@@ -23,11 +26,18 @@ from sressentials_spark.schemas import CORRUPT_COL, MONGO_ENVELOPE
 _COMMAND_PATH = "$.attr.command"
 
 
-def read_mongo_log(spark: SparkSession, path: str, number_lines: bool = True) -> DataFrame:
+def read_mongo_log(
+    spark: SparkSession,
+    path: str,
+    number_lines: bool = True,
+    per_file: bool = False,
+) -> DataFrame:
     """Scan a MongoDB log into ``(value, line_no, parsed, command, valid)``.
 
     * ``value`` — the raw line;
-    * ``line_no`` — 1-based file-order line number;
+    * ``line_no`` — 1-based file-order line number (``per_file=True``
+      numbers within each input file and adds ``src_file`` — the
+      stable notion for a multi-file 100 TB log directory);
     * ``parsed`` — typed envelope struct (nulls where absent);
     * ``command`` — raw JSON string of ``attr.command`` (``'{}'`` default);
     * ``valid`` — whether the RAW line is a JSON object (the
@@ -40,7 +50,9 @@ def read_mongo_log(spark: SparkSession, path: str, number_lines: bool = True) ->
       predicate, not the JSON decoder (``Mongo/mongo_parser.py:30,91``).
     """
     lines = spark.read.text(path)
-    if number_lines:
+    if per_file:
+        lines = with_file_row_numbers(lines, "line_no", file_col="src_file")
+    elif number_lines:
         lines = with_row_numbers(lines, "line_no")
     else:
         lines = lines.withColumn("line_no", F.monotonically_increasing_id() + 1)

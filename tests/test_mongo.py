@@ -106,6 +106,24 @@ def test_empty_input(spark, tmp_path):
     assert all(len(df.collect()) == 0 for df in out.values())
 
 
+def test_multi_file_directory_per_file_numbering(spark, tmp_path):
+    """A log DIRECTORY (the 100 TB layout) reads with per-file line
+    numbers and a src_file column."""
+    from sressentials_spark.sources.mongo_log import read_mongo_log
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "node1.log").write_text(MONGO_LOG)
+    (d / "node2.log").write_text("\n".join(MONGO_LOG.splitlines()[:4]))
+    out = read_mongo_log(spark, str(d), per_file=True).collect()
+    n1 = len(MONGO_LOG.splitlines())
+    for fname, n in (("node1.log", n1), ("node2.log", 4)):
+        nos = sorted(
+            r["line_no"] for r in out if r["src_file"].endswith(fname)
+        )
+        assert nos == list(range(1, n + 1))
+
+
 def test_sheets_dict_has_no_private_entries(sheets):
     assert set(sheets) == {
         "detailed", "query_stats", "non_slow", "errors", "parse_errors"
