@@ -19,12 +19,12 @@ import time
 from sressentials_spark import get_spark, loggen
 from sressentials_spark.catalog import QUERIES, clear_sheets_cache
 
-#: Headline benchmark set. The two documented-quadratic correctness
-#: baselines (exact all-pairs n-gram Jaccard / embedding cosine) are
-#: excluded — their scale-path replacements (MinHash-LSH, SimHash,
-#: bucketed top-k) are what should be fast at size, and ARE timed.
-#: All 31 catalog queries stay correctness-gated at sf0.01 regardless.
-EXCLUDE = {"dedup_ngram_jaccard", "dedup_embedding_cosine"}
+#: Headline benchmark set: every shipped catalog query. The quadratic
+#: all-pairs baselines no longer live in the registry at all — they are
+#: oracle-checked tests (tests/test_dedup_baselines.py); their
+#: scale-path replacements (MinHash-LSH, SimHash, banded embedding LSH,
+#: bucketed top-k) are what is timed here.
+EXCLUDE: set[str] = set()
 
 
 def main() -> None:

@@ -525,12 +525,6 @@ WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {threshold}
 """
 
 
-@register("dedup_ngram_jaccard", _jaccard_oracle(0.2))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
-    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
-
-
 def _jaccard_capped_oracle(threshold: float, max_df: int) -> str:
     """Capped variant: shingles with document frequency > max_df are
     removed from every document's set BEFORE sizes and intersections,
@@ -637,19 +631,79 @@ def _cos_sql(a: str, b: str) -> str:
     return f"(({_dot_sql(a, b)}) / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
 
 
-@register(
-    "dedup_embedding_cosine",
-    f"""
+#: Oracle SQL for the two all-pairs BASELINE operators. They are no
+#: longer shipped queries — a quadratic self-join is not a plan to run
+#: at 100× — but stay oracle-checked in tests/test_dedup_baselines.py,
+#: where they also pin the equivalence of their scale-path twins
+#: (dedup_ngram_jaccard_capped / dedup_embedding_lsh).
+BASELINE_ORACLE_SQL: dict[str, str] = {
+    "dedup_ngram_jaccard": _jaccard_oracle(0.2),
+    "dedup_embedding_cosine": f"""
 SELECT * FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          {_cos_sql('a.embedding', 'b.embedding')} AS cosine
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ) WHERE cosine >= 0.4
 """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force embedding-cosine near-dup pairs (>= 0.4)."""
-    return D.embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+}
+
+
+def _emb_lsh_oracle(threshold: float) -> str:
+    """Banded hyperplane-LSH near-dup oracle: identical 128 planes, band
+    split, candidate join, and exact-cosine verification as
+    ``dedup.embedding_near_dup_lsh``.
+
+    Projections are unrolled to ``0.0 + e[1] - e[2] + ...`` chains: the
+    plane weights are all ±1, and IEEE ``a - b`` == ``a + (-1.0 * b)``
+    exactly, so the left-associated chain is bit-identical to the Arrow
+    kernel's per-dimension fold while keeping the SQL ~7x smaller and
+    far faster than a per-row list comprehension."""
+    bands, bits = D.EMB_LSH_BANDS, D.EMB_LSH_BAND_BITS
+    weights = S.lsh_plane_weights(bands * bits)
+
+    def proj(p: int) -> str:
+        row = weights[p]
+        terms = "".join(
+            f" {'+' if w > 0 else '-'} CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, w in enumerate(row)
+        )
+        return f"(0.0{terms})"
+
+    bv_defs = []
+    for b in range(bands):
+        terms = [
+            f"CASE WHEN {proj(b * bits + j)} > 0 THEN CAST({1 << j} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for j in range(bits)
+        ]
+        bv_defs.append("(" + " + ".join(terms) + f") AS bv{b}")
+    case_val = (
+        "CASE i "
+        + " ".join(f"WHEN {b} THEN bv{b}" for b in range(bands))
+        + " END"
+    )
+    return f"""
+WITH nb AS (SELECT vec_id, {', '.join(bv_defs)} FROM embeddings),
+bands AS (SELECT vec_id, i, {case_val} AS val
+          FROM nb, generate_series(0, {bands - 1}) AS gs(i)),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bands a JOIN bands b
+           ON a.i = b.i AND a.val = b.val AND a.vec_id < b.vec_id)
+SELECT * FROM (
+  SELECT vec_a, vec_b, {_cos_sql('x.embedding', 'y.embedding')} AS cosine
+  FROM cand JOIN embeddings x ON vec_a = x.vec_id
+            JOIN embeddings y ON vec_b = y.vec_id
+) WHERE cosine >= {threshold}
+"""
+
+
+@register("dedup_embedding_lsh", _emb_lsh_oracle(0.4))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH embedding near-dups (>= 0.4) with exact verification —
+    the scale path: candidates from a 16-band x 8-bit sign-signature
+    equi-join (an unrelated pair collides w.p. 16/256 ~ 6%) instead of
+    an all-pairs join; every candidate exactly re-scored."""
+    return D.embedding_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 _TOPK_QUERY_IDS = [0, 1, 2, 3, 4]

@@ -491,3 +491,83 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+#: Banded hyperplane-LSH layout for embedding near-dup candidates:
+#: EMB_LSH_BANDS band tables of EMB_LSH_BAND_BITS sign bits each (128
+#: planes total). A pair is a candidate if ALL bits of ANY band agree.
+#: Sizing is the whole game: an unrelated pair (cosine ~ 0, per-bit
+#: agreement 1/2) collides with a band w.p. 2^-band_bits, so the
+#: expected candidate fraction of the n^2/2 pair space is
+#: bands/2^band_bits = 16/256 ~ 6% — the knob that keeps the
+#: verification join subquadratic (4-bit bands measured 40% of ALL
+#: pairs as candidates at sf0.1: quadratic in disguise). For true
+#: near-dups at cosine c the per-bit agreement is p = 1 - acos(c)/pi,
+#: giving recall 1-(1-p^8)^16 ~ 0.40 at c = 0.45 — approximate by
+#: design, like every banded LSH; the oracle restates the identical
+#: bands so parity is exact, and emitted pairs are exactly verified.
+EMB_LSH_BANDS = 16
+EMB_LSH_BAND_BITS = 8
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    dim: int = DEFAULT_DIM,
+    bands: int = EMB_LSH_BANDS,
+    band_bits: int = EMB_LSH_BAND_BITS,
+) -> DataFrame:
+    """Banded-LSH embedding near-dup pairs with exact cosine verify.
+
+    The scale path replacing :func:`embedding_cosine_pairs` — the same
+    shape as the MinHash pipeline (candidates from a bucketed
+    equi-join, bare-id pairs, relational verification):
+
+    1. one Arrow-kernel pass signs all ``bands*band_bits`` hyperplane
+       projections into ``bands`` packed long band values per vector
+       (:func:`sressentials_spark.operators.linalg.norm_bands_kernel` —
+       signatures wider than 64 bits can't live in one long);
+    2. the band array explodes to ``(id, band, val)`` rows;
+    3. candidates come from a self-equi-join on ``(band, val)`` —
+       shuffle keyed on band values, fan-in corpus/2^band_bits per
+       band bucket — deduped as bare-id pairs;
+    4. each candidate pair is verified with the exact fold cosine
+       against the corpus (two hash joins), keeping only
+       ``cosine >= threshold``.
+
+    Candidate recall is < 1 by LSH design (see the band constants);
+    every emitted pair is exactly verified, so precision is 1.
+    """
+    from sressentials_spark.operators import linalg
+
+    sig = emb.withColumn(
+        "_nb", linalg.norm_bands_kernel(bands, band_bits)(F.col("embedding"))
+    ).select(id_col, F.col("_nb.bands").alias("bands"))
+    exploded = sig.select(id_col, F.posexplode("bands").alias("band", "val"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()
+    )
+    n = with_norm(emb, dim=dim).select(
+        F.col(id_col), F.col("embedding"), F.col("norm")
+    )
+    cos = linalg.dot(F.col("x.embedding"), F.col("y.embedding"), dim) / (
+        F.col("x.norm") * F.col("y.norm")
+    )
+    return (
+        cand.join(n.alias("x"), F.col("vec_a") == F.col(f"x.{id_col}"))
+        .join(n.alias("y"), F.col("vec_b") == F.col(f"y.{id_col}"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -40,7 +40,13 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 #: Return types as DataType objects — a DDL string would be parsed at
 #: decoration time, which requires an active SparkSession (imports of
@@ -130,6 +136,43 @@ def norm_bucket_kernel(planes: int):
             proj = _fold_dot(V, np.broadcast_to(W[p], V.shape))
             bucket = bucket + np.where(proj > 0, np.int64(1 << p), np.int64(0))
         return pd.DataFrame({"norm": np.sqrt(_fold_dot(V, V)), "bucket": bucket})
+
+    return f
+
+
+def norm_bands_kernel(bands: int, band_bits: int):
+    """Factory: Arrow kernel computing ``struct<norm, bands>`` per vector.
+
+    Like :func:`norm_bucket_kernel` but for signatures wider than one
+    long: ``bands * band_bits`` hyperplane sign bits are packed into
+    ``bands`` separate long values (band ``b`` bit ``j`` is plane
+    ``b * band_bits + j``, set iff the fold-exact projection is
+    ``> 0``). One matrix pass per Arrow batch; any dimension.
+    """
+    ret = StructType(
+        [
+            StructField("norm", DoubleType()),
+            StructField("bands", ArrayType(LongType())),
+        ]
+    )
+
+    @pandas_udf(ret)
+    def f(v: pd.Series) -> pd.DataFrame:
+        V = _stack(v)
+        n = V.shape[0]
+        if n == 0:
+            return pd.DataFrame(
+                {"norm": pd.Series(dtype=np.float64), "bands": pd.Series(dtype=object)}
+            )
+        W = _plane_matrix(bands * band_bits, V.shape[1])
+        vals = np.zeros((n, bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(band_bits):
+                proj = _fold_dot(V, np.broadcast_to(W[b * band_bits + j], V.shape))
+                vals[:, b] += np.where(proj > 0, np.int64(1 << j), np.int64(0))
+        return pd.DataFrame(
+            {"norm": np.sqrt(_fold_dot(V, V)), "bands": list(vals)}
+        )
 
     return f
 
