@@ -42,6 +42,7 @@ document cluster) cannot go quadratic. All groupBys key on hashes or
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -192,6 +193,10 @@ def ngram_jaccard_pairs(
             .select("g")
         )
         ex = ex.join(F.broadcast(heavy), "g", "left_anti")
+    # Three consumers (sizes + both sides of the inverted-index join;
+    # four with the DF cap) and per-consumer pruning defeats exchange
+    # reuse — persist the shingle table rather than re-tokenizing.
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     return _pair_jaccard(ex, id_col).filter(F.col("jaccard") >= threshold)
 
 
@@ -243,8 +248,12 @@ def simhash_pairs(
     within Hamming distance 3 is guaranteed caught; larger distances
     probabilistically); the exact ``bit_count(xor)`` filter then keeps
     pairs with distance <= ``max_hamming``.
+
+    The per-doc signature table (id + one long) is persisted: it feeds
+    both sides of the band self-join, and without the persist each side
+    recomputes the full tokenize+explode+aggregate pipeline.
     """
-    sig = simhash_signatures(docs, id_col)
+    sig = simhash_signatures(docs, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sig.select(
         F.col(id_col),
@@ -288,18 +297,24 @@ def simhash_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signatures(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id"
+def signatures_from_shingles(
+    ex: DataFrame, id_col: str = "doc_id", extra_aggs: list[Column] | None = None
 ) -> DataFrame:
-    """Per-document minhash signature columns ``s1..s{k}`` over shingles.
+    """Minhash signatures ``s1..s{k}`` from a prebuilt (id, g) shingle
+    table — the shared core of :func:`minhash_signatures` and
+    :func:`minhash_lsh_pairs` (which reuses one persisted shingle table
+    across signature building and exact verification).
 
-    One hashed-shingle table, then a single groupBy with 24 ``min()``
-    buffers — each buffer's update is three integer ops, all codegen,
-    all map-side combinable. (Round 1 computed 24
+    One hashed-shingle projection, then a single groupBy with 24
+    ``min()`` buffers — each buffer's update is three integer ops, all
+    codegen, all map-side combinable. (Round 1 computed 24
     ``array_min(transform(...))`` lambdas per row: interpreted,
     per-element, and re-evaluating the shingle hash 24×.)
+    ``extra_aggs`` lets a caller ride additional per-document buffers
+    (e.g. the shingle-set size) on the same shuffle instead of paying a
+    second aggregation over ``ex``.
     """
-    hv = shingle_rows(docs, n, id_col).select(
+    hv = ex.select(
         F.col(id_col),
         F.pmod(md5_long(F.col("g")), F.lit(MERSENNE31)).alias("h"),
     )
@@ -309,7 +324,14 @@ def minhash_signatures(
         ).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_params(), start=1)
     ]
-    return hv.groupBy(id_col).agg(*sigs)
+    return hv.groupBy(id_col).agg(*sigs, *(extra_aggs or []))
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document minhash signature columns ``s1..s{k}`` over shingles."""
+    return signatures_from_shingles(shingle_rows(docs, n, id_col), id_col)
 
 
 def minhash_lsh_pairs(
@@ -330,19 +352,25 @@ def minhash_lsh_pairs(
     a shuffle. Band buckets larger than ``max_bucket`` are dropped from
     candidate generation (see :data:`DEFAULT_MAX_BUCKET` for the recall
     argument).
+
+    Materialization discipline (per-consumer column pruning defeats
+    Spark's exchange reuse, so every extra consumer of an unpersisted
+    plan is a full recompute):
+
+    * the (id, shingle) table feeds three consumers (signature build
+      and both sides of the intersection join) — persisted
+      memory-and-disk so the tokenize+explode+distinct pipeline and its
+      shuffle run once;
+    * the per-document signature table (one row per doc, 24 ints — tiny)
+      feeds five (both sides of the band join, the bucket-cap probe,
+      and both size lookups) — persisted, and the shingle-set size
+      rides the same groupBy as a 25th buffer instead of paying a
+      second aggregation over the shingle table.
     """
-    ex = shingle_rows(docs, n, id_col)
-    hv = ex.select(
-        F.col(id_col),
-        F.pmod(md5_long(F.col("g")), F.lit(MERSENNE31)).alias("h"),
-    )
-    sigs = [
-        F.min(
-            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))
-        ).alias(f"s{i}")
-        for i, (a, b) in enumerate(minhash_params(), start=1)
-    ]
-    sig = hv.groupBy(id_col).agg(*sigs)
+    ex = shingle_rows(docs, n, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = signatures_from_shingles(
+        ex, id_col, extra_aggs=[F.count(F.lit(1)).alias("n_sh")]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_structs = [
         F.struct(
@@ -379,8 +407,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Relational exact-Jaccard verification over the shingle rows.
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # Relational exact-Jaccard verification over the shingle rows; set
+    # sizes come from the persisted signature table (free 25th buffer).
+    sizes = sig.select(id_col, "n_sh")
     inter = (
         cand.join(
             ex.select(F.col(id_col).alias("doc_a"), "g"), "doc_a"
@@ -429,8 +458,11 @@ def _dot(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
     so results are bit-identical to the oracle, but the whole chain is
     one codegen'd arithmetic expression instead of an interpreted HOF.
 
-    Precondition: both arrays hold >= ``dim`` elements — shorter input
-    fails loudly under ANSI ``element_at``. Callers should go through
+    Both arrays must hold exactly ``dim`` elements: shorter input fails
+    under ANSI ``element_at``, and a cheap ``size()`` guard turns the
+    other mismatches — longer vectors (which an unguarded chain would
+    silently truncate) and NULLs — into a loud ``raise_error`` naming
+    the expected and actual lengths. Callers should go through
     :func:`sressentials_spark.operators.linalg.dot`, which dispatches
     dims above ``UNROLL_MAX_DIM`` to the Arrow kernel (identical
     values, constant plan size).
@@ -441,7 +473,15 @@ def _dot(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
             F.element_at(a, i + 1).cast("double")
             * F.element_at(b, i + 1).cast("double")
         )
-    return acc
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"dot: expected {dim}-element vectors, got size(a)=%s size(b)=%s",
+                F.size(a),
+                F.size(b),
+            )
+        )
+    )
 
 
 def cosine(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
@@ -541,10 +581,15 @@ def embedding_near_dup_lsh(
     """
     from sressentials_spark.operators import linalg
 
+    # (id, band, val) rows are persisted: they feed both sides of the
+    # candidate self-join, and each unpersisted side would re-run the
+    # 128-projection Arrow kernel over the whole corpus.
     sig = emb.withColumn(
         "_nb", linalg.norm_bands_kernel(bands, band_bits)(F.col("embedding"))
     ).select(id_col, F.col("_nb.bands").alias("bands"))
-    exploded = sig.select(id_col, F.posexplode("bands").alias("band", "val"))
+    exploded = sig.select(
+        id_col, F.posexplode("bands").alias("band", "val")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(

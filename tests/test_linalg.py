@@ -89,6 +89,40 @@ def test_norm_bucket_dim256(spark):
         assert got[vid] == (norm, bucket)
 
 
+def test_dot_dim_mismatch_raises(spark):
+    """A declared dim that disagrees with the data must fail loudly —
+    the unguarded chain silently truncated longer vectors (ADVICE r2)."""
+    df, _ = _mk_vectors(spark, 5, 64)
+    with pytest.raises(Exception, match="expected 32-element"):
+        df.select(_dot(F.col("embedding"), F.col("embedding"), 32)).collect()
+
+
+def test_norm_bands_kernel_matches_scalar(spark):
+    """Multi-long band signatures (bands*bits > 64 planes) match the
+    scalar fold bit-for-bit, at a non-default dimension."""
+    bands, bits, dim = 16, 8, 96
+    df, rows = _mk_vectors(spark, 20, dim)
+    got = {
+        r["vec_id"]: (r["nb"]["norm"], list(r["nb"]["bands"]))
+        for r in df.select(
+            "vec_id",
+            linalg.norm_bands_kernel(bands, bits)(F.col("embedding")).alias("nb"),
+        ).collect()
+    }
+    planes = linalg._plane_matrix(bands * bits, dim)
+    import math
+
+    for vid, vec in rows:
+        want = []
+        for b in range(bands):
+            val = 0
+            for j in range(bits):
+                if _fold(vec, list(planes[b * bits + j])) > 0:
+                    val += 1 << j
+            want.append(val)
+        assert got[vid] == (math.sqrt(_fold(vec, vec)), want)
+
+
 def test_empty_corpus(spark):
     df, _ = _mk_vectors(spark, 0, 8)
     assert attach_norm_bucket(df).count() == 0
