@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from sressentials_spark import loggen
 from sressentials_spark.operators import dedup as D
+from sressentials_spark.operators import pipeline as P
 from sressentials_spark.operators import similarity as S
 from sressentials_spark.operators.text import (
     exact_dedup_groups,
@@ -1051,3 +1052,125 @@ def asof_last_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFra
             "last_purchase_ts",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training-pipeline tier 2: splits, skew-salted agg, order statistics,
+# term ranking, components, streaming dedup
+# --------------------------------------------------------------------------
+
+@register(
+    "split_train_val_test",
+    P.hash_split_oracle_sql("documents", extra_cols=", lang"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split by id hash — a pure
+    projection (no shuffle, no sampling state), stable across runs and
+    engines so reprocessing never migrates a document across the
+    train/test boundary."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return P.hash_split(docs)
+
+
+@register(
+    "salted_events_rollup",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY event_type
+""",
+)
+def salted_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof rollup of the 5-hot-key events table via two-phase
+    salted aggregation: partials per (key, salt-of-event_id) bound
+    every reducer at ~1/16 of a hot key, then a tiny second shuffle
+    combines key×16 partial rows. Sums are scaled-long (exact,
+    order-independent) per the oracle-parity recipe."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return P.salted_agg(
+        e,
+        "event_type",
+        "event_id",
+        {
+            "n_events": ("", "count"),
+            "sum_value_cents": ("value_cents", "sum"),
+            "min_event_id": ("event_id", "min"),
+            "max_event_id": ("event_id", "max"),
+        },
+    )
+
+
+@register(
+    "quantiles_tokens_by_lang",
+    P.group_quantiles_oracle_sql(
+        "documents",
+        "lang",
+        r"CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)",
+        [0.5, 0.9, 0.99],
+    ),
+)
+def quantiles_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-length quantiles (type-1 order
+    statistics — integer positions, no interpolation arithmetic to
+    drift between engines). The corpus-curation cutoff query."""
+    from sressentials_spark.operators.text import BPE_TOKEN_PATTERN
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_PATTERN))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+    return P.group_quantiles(d, "lang", "n_bpe", [0.5, 0.9, 0.99])
+
+
+@register("text_distinctive_terms", P.distinctive_terms_oracle_sql(k=3))
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document: tf-idf ordering without
+    the logarithm (idf is monotone in df, so (tf DESC, df ASC, term)
+    ranks identically and stays transcendental-free for exact parity)."""
+    return P.distinctive_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "dedup_components",
+    f"""
+WITH RECURSIVE pairs AS ({_jaccard_oracle(0.8)}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS canonical_id, (MIN(r) <> id) AS is_dup
+FROM reach GROUP BY id
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to per-document canonical assignments
+    (transitive closure by iterative min-label propagation — the step
+    that turns pair lists into an actionable "keep one per cluster"
+    filter). Pairs come from the MinHash-LSH path; the oracle walks the
+    same edge set with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    return P.connected_components(docs, pairs)
+
+
+@register(
+    "streaming_exact_dedup",
+    "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+)
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a stream: first-seen content hashes over a
+    parquet file source (availableNow replay; 32-byte rows through the
+    stateful shuffle)."""
+    from sressentials_spark.streaming.dedup import run_exact_dedup_batch
+
+    return run_exact_dedup_batch(spark, sf_dir)
