@@ -1,0 +1,329 @@
+"""Corpus-curation operators: PII redaction, repetition statistics,
+stratified sampling, and token-budget sequence packing.
+
+Extension tier beyond the reference surface — the transforms a
+large-scale training-data pipeline applies between "parsed corpus" and
+"training shards": scrubbing contact strings, measuring Gopher-style
+repetition signals, deterministically downsampling head languages, and
+packing documents into fixed-token-budget training sequences.
+
+Everything here is deterministic and engine-exact so the DuckDB oracle
+can restate it: the regexes stay inside the Java/RE2 common subset
+(no lookaround, no backreferences), hashes use the shared 60-bit md5
+recipe, ratios are exact integer divisions widened to double, and
+every tie breaks on an explicit total order. All transforms are native
+column expressions or doc_id-keyed relational shapes — no Python in
+the row path, shuffles keyed by document id (uniform), so the same
+plans run unchanged on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sressentials_spark.operators.dedup import md5_long
+from sressentials_spark.operators.text import BPE_TOKEN_PATTERN, tokens
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+#: (name, pattern, replacement) applied IN ORDER — order matters because
+#: later patterns see earlier replacements. Patterns are valid in both
+#: Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs;
+#: ``\b`` is the ASCII word boundary in both.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{9,}\b", "<NUM>"),
+]
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub contact strings from a text column.
+
+    Emits per-document match counts per category plus the redacted
+    text's md5 and length — the redacted payload itself stays in the
+    pipeline as ``redacted`` for downstream writes. A pure narrow
+    projection (regex scans fused into one codegen stage, no shuffle,
+    no Python), so cost is one streaming pass over the corpus
+    regardless of scale.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        # Counts are measured against the text as each pattern SEES it
+        # (i.e. after the previous replacements), matching the
+        # sequential semantics of the replacement chain.
+        counts.append(
+            F.regexp_count(redacted, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return docs.select(
+        F.col(id_col),
+        *counts,
+        redacted.alias("redacted"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("n_chars_redacted"),
+    )
+
+
+def pii_redact_oracle_sql(source_sql: str) -> str:
+    """DuckDB restatement of :func:`pii_redact` over ``source_sql``,
+    which must yield ``(doc_id, text)``."""
+    prev = "text"
+    count_cols, redact_steps = [], []
+    for name, pat, rep in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({prev}, '{pat_sql}')) AS BIGINT) AS n_{name}"
+        )
+        step = f"regexp_replace({prev}, '{pat_sql}', '{rep}', 'g')"
+        redact_steps.append(step)
+        prev = step
+    redacted = redact_steps[-1]
+    return f"""
+WITH src AS ({source_sql})
+SELECT doc_id,
+       {', '.join(count_cols)},
+       {redacted} AS redacted,
+       md5({redacted}) AS redacted_md5,
+       CAST(length({redacted}) AS BIGINT) AS n_chars_redacted
+FROM src
+"""
+
+
+# --------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality signals)
+# --------------------------------------------------------------------------
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals: the fraction of tokens taken by
+    the most common token and by the most common bigram.
+
+    The Gopher/MassiveText repetition rules filter documents whose mass
+    concentrates in a few n-grams; this computes the top-1 signal for
+    n=1 and n=2 exactly. Ties break to the lexically smallest n-gram so
+    the winner is engine-independent.
+
+    Shape: tokens posexplode once; bigrams come from a ``lead`` window
+    over the same exploded rows (shuffle keyed by doc_id — uniform);
+    each n-gram level is a doc-keyed count + top-1 window; three
+    doc_id-keyed joins reassemble. Every shuffle in the plan hashes on
+    doc_id or (doc_id, gram), both well distributed, so the plan is
+    skew-free at any corpus size.
+    """
+    t = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    worder = Window.partitionBy(id_col).orderBy("pos")
+
+    def top1(grams: DataFrame, col: str) -> DataFrame:
+        counts = grams.groupBy(id_col, col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc(col))
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col(id_col),
+                F.col(col).alias(f"top_{col}"),
+                F.col("cnt").alias(f"top_{col}_n"),
+            )
+        )
+
+    bigrams = (
+        t.withColumn("nxt", F.lead("tok").over(worder))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col(id_col), F.concat(F.col("tok"), F.lit(" "), F.col("nxt")).alias("bigram")
+        )
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(top1(t, "tok"), id_col)
+        .join(top1(bigrams, "bigram"), id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            "top_tok",
+            F.col("top_tok_n").alias("top_tok_n"),
+            (F.col("top_tok_n").cast("double") / F.col("n_tokens")).alias(
+                "top_tok_frac"
+            ),
+            "top_bigram",
+            "top_bigram_n",
+            (
+                F.col("top_bigram_n").cast("double")
+                / (F.col("n_tokens") - F.lit(1))
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_oracle_sql(table: str = "documents") -> str:
+    """DuckDB restatement of :func:`repetition_stats` (same whitespace
+    tokenization; parallel ``unnest`` zips token with position)."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+  FROM {table}
+),
+totals AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+t1 AS (
+  SELECT doc_id, tok AS top_tok, cnt AS top_tok_n FROM (
+    SELECT doc_id, tok, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, tok ASC) AS rn
+    FROM toks GROUP BY doc_id, tok) WHERE rn = 1
+),
+big AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM toks
+),
+t2 AS (
+  SELECT doc_id, bigram AS top_bigram, cnt AS top_bigram_n FROM (
+    SELECT doc_id, bigram, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, bigram ASC) AS rn
+    FROM big WHERE bigram IS NOT NULL GROUP BY doc_id, bigram) WHERE rn = 1
+)
+SELECT totals.doc_id, n_tokens,
+       top_tok, top_tok_n,
+       CAST(top_tok_n AS DOUBLE) / n_tokens AS top_tok_frac,
+       top_bigram, top_bigram_n,
+       CAST(top_bigram_n AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac
+FROM totals JOIN t1 USING (doc_id) JOIN t2 USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling
+# --------------------------------------------------------------------------
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int = 100,
+    id_col: str = "doc_id",
+    seed: str = "strat-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling by id hash.
+
+    ``keep iff md5_60bit(seed || ':' || id) % 100 < rate(stratum)`` —
+    the language-rebalancing step of corpus preparation (keep 20% of
+    the head language, all of the tail) as a pure filter: no sampling
+    state, no shuffle, membership reproducible across runs, engines and
+    re-partitions. Rates are integer percents for exact arithmetic.
+    """
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(100),
+    )
+    rate = F.lit(default_rate)
+    for k in sorted(rates):
+        rate = F.when(F.col(strata_col) == k, F.lit(rates[k])).otherwise(rate)
+    return docs.withColumn("sample_bucket", bucket.cast("long")).filter(
+        bucket < rate
+    )
+
+
+def stratified_sample_oracle_sql(
+    table: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int = 100,
+    id_col: str = "doc_id",
+    seed: str = "strat-v1",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB restatement of :func:`stratified_sample`."""
+    h = (
+        f"(('0x' || substring(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 15))"
+        "::BIGINT % 100)"
+    )
+    chain = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {rates[k]}" for k in sorted(rates)
+    )
+    return f"""
+SELECT {select_cols}, CAST({h} AS BIGINT) AS sample_bucket
+FROM {table}
+WHERE {h} < (CASE {chain} ELSE {default_rate} END)
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-budget sequence packing
+# --------------------------------------------------------------------------
+
+def pack_token_budget(
+    docs: DataFrame,
+    budget: int = 2048,
+    part_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training chunks.
+
+    Concatenate-and-chunk packing: within each partition (language by
+    default), documents are laid end-to-end in doc-id order and a
+    document belongs to the chunk where its first token lands —
+    ``chunk_id = floor(start_offset / budget)`` with ``start_offset``
+    the exclusive running sum of BPE-ish token counts. Deterministic
+    (id order, integer arithmetic) and restateable as one window SQL.
+
+    Scale: the running sum is a per-``part_col`` window — one shuffle
+    keyed on the partition column. Packing is inherently sequential
+    *within* a shard; the partition column IS the parallelism axis, so
+    at 100 TB you pack per (split, lang, shard-hash) — any key set
+    that bounds per-partition row counts — rather than globally. The
+    operator takes that key as a parameter instead of hardwiring a
+    global order, which would serialize the corpus through one task.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)).cast("long")
+    d = docs.select(F.col(id_col), F.col(part_col), n_tok.alias("n_tokens"))
+    return d.select(
+        id_col,
+        part_col,
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
+        ).alias("chunk_id"),
+    )
+
+
+def pack_token_budget_oracle_sql(
+    budget: int = 2048, table: str = "documents", part_col: str = "lang"
+) -> str:
+    """DuckDB restatement of :func:`pack_token_budget`."""
+    return rf"""
+WITH d AS (
+  SELECT doc_id, {part_col},
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+  FROM {table}
+)
+SELECT doc_id, {part_col}, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY {part_col} ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_offset,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY {part_col} ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget}) AS BIGINT)
+         AS chunk_id
+FROM d
+"""
