@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sressentials_spark import loggen
+from sressentials_spark.operators import curation as C
 from sressentials_spark.operators import dedup as D
 from sressentials_spark.operators import pipeline as P
 from sressentials_spark.operators import similarity as S
@@ -1174,3 +1175,55 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sressentials_spark.streaming.dedup import run_exact_dedup_batch
 
     return run_exact_dedup_batch(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Corpus curation (extension tier: redaction, repetition, sampling, packing)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_pii_redact",
+    C.pii_redact_oracle_sql("SELECT doc_id, text FROM documents"),
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: email/IPv4/long-number redaction with per-
+    category match counts and the redacted payload's md5 — a single
+    narrow codegen projection over the corpus (no shuffle, no Python)."""
+    return C.pii_redact(load_table(spark, sf_dir, "documents"))
+
+
+@register("curation_repetition_stats", C.repetition_stats_oracle_sql())
+def curation_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: fraction of token mass taken by
+    the top unigram and top bigram per document (exact top-1 with a
+    total-order tie break). All shuffles key on doc_id / (doc_id, gram)."""
+    return C.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+#: Per-language keep rates for the shipped stratified-sample query:
+#: downsample the head language (en) to 20%, keep the tail whole.
+_STRAT_RATES = {"en": 20}
+
+
+@register(
+    "curation_stratified_sample",
+    C.stratified_sample_oracle_sql("documents", "lang", _STRAT_RATES),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing downsample: keep iff
+    ``md5_60bit(seed:doc_id) % 100 < rate(lang)`` — a stateless,
+    deterministic filter (no sampling state, reproducible across runs
+    and repartitions)."""
+    return C.stratified_sample(
+        load_table(spark, sf_dir, "documents"), "lang", _STRAT_RATES
+    )
+
+
+@register("curation_pack_token_budget", C.pack_token_budget_oracle_sql(budget=2048))
+def curation_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: assign each document to
+    the 2048-token training chunk where its first token lands, packing
+    per-language in doc-id order (the partition column is the
+    parallelism axis — see operator docstring for the 100 TB shape)."""
+    return C.pack_token_budget(load_table(spark, sf_dir, "documents"), budget=2048)

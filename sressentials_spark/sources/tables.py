@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANO_TS_COLS.get(name, []):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(df.schema[col].dataType, T.TimestampNTZType):
+            # Parquet timestamp[us] with isAdjustedToUTC=false arrives as
+            # TIMESTAMP_NTZ; downstream plans (unix_micros, windowing)
+            # expect TIMESTAMP. The session timezone is pinned to UTC, so
+            # the cast is value-preserving and matches the naive oracle.
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
 
 

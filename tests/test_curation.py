@@ -1,0 +1,117 @@
+from __future__ import annotations
+
+import pytest
+
+from sressentials_spark.operators import curation as C
+
+
+def _docs(spark, rows, cols=("doc_id", "text", "lang")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+class TestPiiRedact:
+    def test_redacts_and_counts(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "mail a.user@example.com or b@c.io now", "en"),
+                (2, "from 10.0.0.1 to 192.168.1.255 done", "en"),
+                (3, "ssn 123456789 and card 4111111111111111", "en"),
+                (4, "clean text with no pii at all", "en"),
+            ],
+        )
+        out = {r["doc_id"]: r for r in C.pii_redact(df).collect()}
+        assert out[1]["n_email"] == 2
+        assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL> now"
+        assert out[2]["n_ipv4"] == 2
+        assert out[2]["redacted"] == "from <IP> to <IP> done"
+        assert out[3]["n_idnum"] == 2
+        assert out[3]["redacted"] == "ssn <NUM> and card <NUM>"
+        assert out[4]["redacted"] == "clean text with no pii at all"
+        assert out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_idnum"] == 0
+
+    def test_sequential_semantics(self, spark):
+        # The ipv4 digits must NOT be re-counted by the idnum pass:
+        # after replacement the digits are gone, so n_idnum sees only
+        # genuine long runs that survived earlier passes. A 4-digit
+        # final octet breaks the trailing \b, so it is not an IP in
+        # either engine and its 9+ digit runs stay eligible for <NUM>.
+        df = _docs(spark, [(1, "ip 10.222.33.44 plus 987654321", "en")])
+        row = C.pii_redact(df).collect()[0]
+        assert row["n_ipv4"] == 1
+        assert row["n_idnum"] == 1
+        assert row["redacted"] == "ip <IP> plus <NUM>"
+        no_ip = _docs(spark, [(2, "not-ip 10.222.333.4444", "en")])
+        row2 = C.pii_redact(no_ip).collect()[0]
+        assert row2["n_ipv4"] == 0 and row2["redacted"] == "not-ip 10.222.333.4444"
+
+
+class TestRepetitionStats:
+    def test_top_unigram_and_bigram(self, spark):
+        df = _docs(spark, [(1, "a a a b", "en")])
+        row = C.repetition_stats(df).collect()[0]
+        assert row["n_tokens"] == 4
+        assert row["top_tok"] == "a" and row["top_tok_n"] == 3
+        assert row["top_tok_frac"] == pytest.approx(0.75)
+        assert row["top_bigram"] == "a a" and row["top_bigram_n"] == 2
+        assert row["top_bigram_frac"] == pytest.approx(2 / 3)
+
+    def test_tie_breaks_lexicographic(self, spark):
+        df = _docs(spark, [(1, "b a b a", "en")])
+        row = C.repetition_stats(df).collect()[0]
+        assert row["top_tok"] == "a"  # a and b tie at 2; lexical min wins
+        assert row["top_bigram"] == "b a"  # "b a" ×2 beats "a b" ×1
+        assert row["top_bigram_n"] == 2
+
+    def test_single_token_doc_drops(self, spark):
+        # No bigram exists → inner join drops the doc (both engines).
+        df = _docs(spark, [(1, "only", "en"), (2, "two tokens", "en")])
+        ids = {r["doc_id"] for r in C.repetition_stats(df).collect()}
+        assert ids == {2}
+
+
+class TestStratifiedSample:
+    def test_rate_100_keeps_all_rate_0_drops_all(self, spark):
+        rows = [(i, f"text {i}", "en" if i % 2 else "fr") for i in range(40)]
+        df = _docs(spark, rows)
+        kept = C.stratified_sample(df, "lang", {"en": 0}, default_rate=100).collect()
+        langs = {r["lang"] for r in kept}
+        assert langs == {"fr"}
+        assert len(kept) == 20
+
+    def test_deterministic_across_runs(self, spark):
+        rows = [(i, f"text {i}", "en") for i in range(200)]
+        df = _docs(spark, rows)
+        a = sorted(r["doc_id"] for r in C.stratified_sample(df, "lang", {"en": 30}).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in C.stratified_sample(df.repartition(7), "lang", {"en": 30}).collect()
+        )
+        assert a == b
+        # ~30% ± slack on 200 ids; the point is it's a real downsample.
+        assert 30 <= len(a) <= 90
+
+
+class TestPackTokenBudget:
+    def test_chunk_assignment(self, spark):
+        # 3-token docs, budget 4: offsets 0,3,6,9 → chunks 0,0,1,2.
+        df = _docs(spark, [(i, "x y z", "en") for i in range(1, 5)])
+        out = {
+            r["doc_id"]: r
+            for r in C.pack_token_budget(df, budget=4, part_col="lang").collect()
+        }
+        assert [out[i]["start_offset"] for i in (1, 2, 3, 4)] == [0, 3, 6, 9]
+        assert [out[i]["chunk_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 2]
+
+    def test_partitions_pack_independently(self, spark):
+        df = _docs(
+            spark,
+            [(1, "a b", "en"), (2, "c d", "fr"), (3, "e f", "en"), (4, "g h", "fr")],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in C.pack_token_budget(df, budget=100, part_col="lang").collect()
+        }
+        # Each language has its own running sum starting at 0.
+        assert out[1]["start_offset"] == 0 and out[2]["start_offset"] == 0
+        assert out[3]["start_offset"] == 2 and out[4]["start_offset"] == 2
