@@ -177,6 +177,52 @@ def norm_bands_kernel(bands: int, band_bits: int):
     return f
 
 
+def ivf_cells_kernel(centroid_ids: list[int], centroids: np.ndarray, nprobe: int):
+    """Factory: Arrow kernel assigning each vector its ``nprobe``
+    nearest IVF centroids (cosine descending, centroid id ascending on
+    ties), returned as ``struct<norm double, cells array<long>>``.
+
+    ``centroids`` is a small ``(K, dim)`` float64 matrix captured in
+    the closure (16 × 64 doubles here — at any realistic K it rides to
+    executors as task-closure bytes, the moral equivalent of a
+    broadcast dim table). Per-centroid cosine uses the shared
+    fold-exact dot, so the assignment argmax is bit-reproducible
+    against the DuckDB oracle's ``list_sum`` restatement. Centroid
+    columns are pre-sorted by id so a *stable* argsort on descending
+    cosine yields the id-ascending tie-break for free.
+    """
+    order = np.argsort(np.asarray(centroid_ids))
+    cids = np.asarray(centroid_ids, dtype=np.int64)[order]
+    C = np.asarray(centroids, dtype=np.float64)[order]
+    cnorm = np.sqrt(_fold_dot(C, C))
+    take = min(nprobe, len(cids))
+    ret = StructType(
+        [
+            StructField("norm", DoubleType()),
+            StructField("cells", ArrayType(LongType())),
+        ]
+    )
+
+    @pandas_udf(ret)
+    def f(v: pd.Series) -> pd.DataFrame:
+        V = _stack(v)
+        n = V.shape[0]
+        if n == 0:
+            return pd.DataFrame(
+                {"norm": pd.Series(dtype=np.float64), "cells": pd.Series(dtype=object)}
+            )
+        vnorm = np.sqrt(_fold_dot(V, V))
+        cos = np.empty((n, len(cids)), dtype=np.float64)
+        for k in range(len(cids)):
+            cos[:, k] = _fold_dot(V, np.broadcast_to(C[k], V.shape)) / (
+                vnorm * cnorm[k]
+            )
+        nearest = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+        return pd.DataFrame({"norm": vnorm, "cells": list(cids[nearest])})
+
+    return f
+
+
 def dot(a: Column, b: Column, dim: int) -> Column:
     """Fold-exact dot product, dispatched by dimension.
 

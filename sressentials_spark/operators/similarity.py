@@ -39,11 +39,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sressentials_spark.operators.dedup import DEFAULT_DIM, with_norm
-from sressentials_spark.operators.linalg import dot, norm_bucket_kernel
+from sressentials_spark.operators.dedup import DEFAULT_DIM, md5_long, with_norm
+from sressentials_spark.operators.linalg import dot, ivf_cells_kernel, norm_bucket_kernel
 
 #: Number of hyperplanes (sign bits) for the LSH bucketing.
 LSH_PLANES = 6
+
+#: IVF geometry: number of coarse cells (centroids) and how many cells
+#: each query probes. 16 cells × 4 probes ≈ scan 1/4 of the corpus per
+#: query under a uniform cell distribution; tune both with corpus size
+#: (classic IVF sizing is K ≈ sqrt(n) with nprobe a recall knob).
+IVF_CELLS = 16
+IVF_NPROBE = 4
+IVF_SEED = "ivf-v1"
 
 
 def lsh_plane_weights(planes: int = LSH_PLANES, dim: int = DEFAULT_DIM) -> list[list[float]]:
@@ -118,6 +126,108 @@ def cosine_topk(
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("embedding"), dim)
+                / (F.col("qnorm") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_seed_centroids(
+    emb: DataFrame,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = IVF_SEED,
+):
+    """Pick ``n_cells`` deterministic IVF centroids: the vectors whose
+    ids hash smallest under the shared 60-bit md5 recipe.
+
+    Hash-seeding instead of k-means keeps the index bit-reproducible
+    (and SQL-restateable); the selection is a ``TakeOrdered`` top-K —
+    map-side partial top-K per partition, K rows to the driver, no full
+    sort — so it costs one corpus scan at any scale. Returns
+    ``(ids, (K, dim) float64 matrix)``.
+    """
+    import numpy as np
+
+    h = md5_long(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    ids = [r[id_col] for r in rows]
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    return ids, mat
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Every corpus vector is assigned to its nearest of ``n_cells``
+    centroids (one Arrow-kernel pass — norm + K fold-exact cosines per
+    vector); each query scores only the vectors living in its
+    ``nprobe`` nearest cells. Recall < 1 by design, the complement of
+    the hyperplane-LSH path: IVF prunes by *data-adaptive regions*
+    (good when the corpus clusters), LSH by fixed random planes.
+
+    At 100 TB the cell id becomes the physical partition key: write the
+    corpus partitioned by ``cell`` and a query batch reads only its
+    probed partitions (partition pruning at the scan — the IVF "read
+    1/K of the index" effect); the per-batch plan here (broadcast query
+    rows against a cell-filtered corpus scan, one window per query) is
+    unchanged.
+    """
+    ids, mat = ivf_seed_centroids(emb, n_cells, id_col=id_col)
+    kern = ivf_cells_kernel(ids, mat, nprobe)
+    annotated = emb.withColumn("_nc", kern(F.col("embedding"))).select(
+        *emb.columns,
+        F.col("_nc.norm").alias("norm"),
+        F.col("_nc.cells").alias("cells"),
+    )
+    corpus = annotated.select(
+        F.col(id_col),
+        "embedding",
+        "norm",
+        F.element_at("cells", 1).alias("cell"),
+    )
+    queries = _collect_queries(
+        annotated, query_ids, id_col, [id_col, "embedding", "norm", "cells"]
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("cells").alias("probe"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            corpus,
+            F.array_contains(F.col("probe"), F.col("cell"))
+            & (F.col("query_id") != F.col(id_col)),
+        )
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),

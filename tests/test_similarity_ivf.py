@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sressentials_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+class TestSeedCentroids:
+    def test_deterministic_and_partition_invariant(self, emb):
+        ids1, m1 = S.ivf_seed_centroids(emb, n_cells=4)
+        ids2, m2 = S.ivf_seed_centroids(emb.repartition(7), n_cells=4)
+        assert ids1 == ids2
+        assert (m1 == m2).all()
+        assert len(ids1) == 4 and m1.shape == (4, 8)
+
+
+class TestCellAssignment:
+    def test_cells_are_seed_ids_and_partition_invariant(self, emb):
+        from sressentials_spark.operators.linalg import ivf_cells_kernel
+
+        ids, mat = S.ivf_seed_centroids(emb, n_cells=4)
+        kern = ivf_cells_kernel(ids, mat, nprobe=2)
+        out = emb.select(
+            "vec_id", kern(F.col("embedding")).alias("nc")
+        ).select("vec_id", "nc.norm", "nc.cells")
+        rows = {r["vec_id"]: r for r in out.collect()}
+        rows2 = {
+            r["vec_id"]: r
+            for r in emb.repartition(5)
+            .select("vec_id", kern(F.col("embedding")).alias("nc"))
+            .select("vec_id", "nc.norm", "nc.cells")
+            .collect()
+        }
+        for vid, r in rows.items():
+            assert len(r["cells"]) == 2
+            assert set(r["cells"]) <= set(ids)
+            assert r["cells"][0] != r["cells"][1]
+            assert list(rows2[vid]["cells"]) == list(r["cells"])
+            assert rows2[vid]["norm"] == r["norm"]
+            assert r["norm"] > 0
+
+
+class TestTopkIvf:
+    def test_full_probe_equals_brute_force(self, emb):
+        # nprobe == n_cells → every query scores the whole corpus, so
+        # IVF must reproduce the exact brute-force top-k bit-for-bit.
+        qids = [0, 1, 2]
+        exact = S.cosine_topk(emb, qids, k=5, dim=8)
+        ivf = S.cosine_topk_ivf(emb, qids, k=5, n_cells=4, nprobe=4, dim=8)
+        ex = sorted(map(tuple, exact.collect()))
+        iv = sorted(map(tuple, ivf.collect()))
+        assert ex == iv
+
+    def test_partial_probe_is_subset_of_corpus_scoring(self, emb):
+        qids = [0, 1]
+        out = S.cosine_topk_ivf(emb, qids, k=5, n_cells=4, nprobe=1, dim=8)
+        rows = out.collect()
+        assert {r["query_id"] for r in rows} <= set(qids)
+        for r in rows:
+            assert 1 <= r["rank"] <= 5
+            assert -1.0001 <= r["cosine"] <= 1.0001
