@@ -1027,9 +1027,9 @@ def pivot_hourly_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 
-@register(
-    "window_sessionize_events",
-    f"""
+#: Shared by the batch window query and its streaming restatement —
+#: the two engines must agree on the same relational truth.
+_SESSIONIZE_ORACLE = f"""
 WITH o AS (
   SELECT event_id, user_id, ts,
          epoch_us(ts) - lag(epoch_us(ts)) OVER
@@ -1042,8 +1042,10 @@ SELECT event_id, user_id, ts,
             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
          AS session_id
 FROM o
-""",
-)
+"""
+
+
+@register("window_sessionize_events", _SESSIONIZE_ORACLE)
 def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user session ids from 30-min inactivity gaps
     (lag + running sum — the standard two-window composition)."""
@@ -1201,6 +1203,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
     return P.connected_components(docs, pairs)
+
+
+@register("streaming_sessionize_events", _SESSIONIZE_ORACLE)
+def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a custom stateful streaming operator:
+    ``applyInPandasWithState`` keyed on user_id, two longs of state per
+    user carried across micro-batches (availableNow replay here; the
+    cross-batch hand-off is exercised by the multi-file pytest). Same
+    oracle as the batch window query — both engines must agree."""
+    from sressentials_spark.streaming.sessionize import run_sessionize_batch
+
+    return run_sessionize_batch(spark, sf_dir)
 
 
 @register(

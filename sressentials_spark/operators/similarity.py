@@ -219,13 +219,13 @@ def cosine_topk_ivf(
         F.col(id_col).alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("norm").alias("qnorm"),
-        F.col("cells").alias("probe"),
+        F.explode("cells").alias("pcell"),
     )
     scored = (
         F.broadcast(queries)
         .join(
             corpus,
-            F.array_contains(F.col("probe"), F.col("cell"))
+            (F.col("pcell") == F.col("cell"))
             & (F.col("query_id") != F.col(id_col)),
         )
         .select(

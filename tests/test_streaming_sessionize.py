@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sressentials_spark.streaming.sessionize import (
+    SESSION_GAP_US,
+    run_sessionize_batch,
+)
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+def _expected_sessions(df: pd.DataFrame) -> pd.DataFrame:
+    """Reference sessionization in plain pandas (engine-independent)."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    out = []
+    for uid, grp in us.groupby(df["user_id"]):
+        sid, last = 0, None
+        for t in grp:
+            if last is None or t - last > SESSION_GAP_US:
+                sid += 1
+            last = t
+            out.append(sid)
+    df["session_id"] = out
+    return df[["event_id", "user_id", "ts", "session_id"]]
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return pq.read_table(SRC).to_pandas()
+
+
+def _write_time_split(tmpdir: str, pdf: pd.DataFrame) -> None:
+    """Split events at the median timestamp into two files with
+    increasing mtimes, so the file-source replays them in event-time
+    order (per user, all of file A precedes all of file B)."""
+    cut = pdf["ts"].median()
+    a, b = pdf[pdf["ts"] <= cut], pdf[pdf["ts"] > cut]
+    pa_, pb_ = os.path.join(tmpdir, "events_a.parquet"), os.path.join(
+        tmpdir, "events_b.parquet"
+    )
+    pq.write_table(pa.Table.from_pandas(a, preserve_index=False), pa_)
+    pq.write_table(pa.Table.from_pandas(b, preserve_index=False), pb_)
+    os.utime(pa_, (1_000_000, 1_000_000))
+    os.utime(pb_, (2_000_000, 2_000_000))
+
+
+def test_single_batch_matches_reference(spark, events_pdf):
+    got = (
+        run_sessionize_batch(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = _expected_sessions(events_pdf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "session_id"]],
+        exp[["event_id", "user_id", "session_id"]],
+    )
+
+
+def test_state_survives_micro_batches(spark, events_pdf, tmp_path):
+    # maxFilesPerTrigger=1 → two micro-batches; session numbering must
+    # continue across the batch boundary via the per-user state, not
+    # restart at 1.
+    d = str(tmp_path)
+    _write_time_split(d, events_pdf)
+    got = (
+        run_sessionize_batch(spark, d, glob="*.parquet", max_files_per_trigger=1)
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(events_pdf)
+    exp = _expected_sessions(events_pdf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "session_id"]],
+        exp[["event_id", "user_id", "session_id"]],
+    )
+    # The hand-off actually mattered: users with events in BOTH files
+    # continue their numbering after the cut (>= the pre-cut max, never
+    # restarting at 1 — a dropped state would restart every user).
+    cut = events_pdf["ts"].median()
+    merged = got[["event_id", "user_id", "session_id"]].merge(
+        events_pdf[["event_id", "ts"]], on="event_id"
+    )
+    continued = 0
+    for _, g in merged.groupby("user_id"):
+        before = g[g["ts"] <= cut]["session_id"]
+        after = g[g["ts"] > cut]["session_id"]
+        if len(before) and len(after):
+            assert after.min() >= before.max()
+            if after.min() > 1:
+                continued += 1
+    assert continued > 0
