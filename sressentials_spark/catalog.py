@@ -31,6 +31,8 @@ from sressentials_spark.operators import curation as C
 from sressentials_spark.operators import dedup as D
 from sressentials_spark.operators import pipeline as P
 from sressentials_spark.operators import similarity as S
+from sressentials_spark.operators import rangejoin as _RJ
+from sressentials_spark.operators import sketch as K
 from sressentials_spark.operators.text import (
     exact_dedup_groups,
     quality_scores,
@@ -1228,6 +1230,33 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sressentials_spark.streaming.dedup import run_exact_dedup_batch
 
     return run_exact_dedup_batch(spark, sf_dir)
+
+
+@register(
+    "rangejoin_concurrent_events",
+    _RJ.time_band_counts_oracle_sql(),
+)
+def rangejoin_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: per event, the count of same-type events within
+    ±5 minutes — shipped as the bucketized rewrite (band-width bucket
+    equi-join + exact re-check) since OSS Spark would otherwise plan a
+    nested-loop join for the band predicate. The oracle states the
+    naive correlated semantics."""
+    return _RJ.time_band_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sketch_hll_distinct_users",
+    K.hll_distinct_oracle_sql("events", "user_id"),
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-style distinct-user estimate built from
+    deterministic shared primitives, so the sketch itself is
+    oracle-verified bit-for-bit (built-in ``approx_count_distinct``
+    sketches can't be cross-checked between engines). Map-side
+    combinable register max; ≤64 rows through the shuffle; the
+    ``exact_distinct`` column is test-scale self-validation."""
+    return K.hll_distinct(load_table(spark, sf_dir, "events"), "user_id")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,147 @@
+"""Deterministic distinct-count sketch (HyperLogLog-style).
+
+``approx_count_distinct`` exists in both Spark and DuckDB, but their
+sketches differ, so the estimates can't be cross-checked. This module
+implements the HLL register pipeline from scratch out of deterministic
+integer/string primitives shared by both engines (the 60-bit md5 hash,
+``bin``/``lpad``/``locate``), so the estimate is bit-reproducible and
+the oracle gate can verify it exactly — the engine's standing bar for
+every operator.
+
+Shape at scale: one narrow projection (hash → bucket, rho), one
+``groupBy(bucket).max(rho)`` — map-side combinable, output is exactly
+``m`` rows regardless of input size — then a single-row fold over the
+registers sorted by bucket. That is the whole point of HLL: the
+shuffle carries ≤ ``m`` rows per map task, and the union of two
+sketches is an elementwise register max, so per-partition / per-day
+registers roll up without re-scanning history.
+
+Float parity: ``2^-rho`` values are exact IEEE doubles; the harmonic
+sum folds them in bucket order (matching DuckDB ``list_sum`` over an
+ordered list — the same left-fold equivalence the dot-product oracles
+rely on) and adds the empty-bucket mass last; the bias constant
+``alpha`` is precomputed once in Python and embedded as the same
+literal in both plans. No transcendental functions (the small-range
+linear-counting correction uses ``ln`` and is deliberately omitted:
+``log``'s last-ulp behavior differs across libm implementations).
+Bucket/remainder splits stay in integer arithmetic (``pmod`` + SQL
+``div``) — a double division of the 60-bit hash would lose bits past
+the 53-bit mantissa.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sressentials_spark.operators.dedup import md5_long
+
+#: Register-index bits → m = 2^b registers. 6 bits keeps the final
+#: fold a 64-element array while giving ~13% standard error — the
+#: mechanism is the operator; raise b for production accuracy.
+HLL_BITS = 6
+HLL_M = 1 << HLL_BITS
+#: Width of the hash remainder after the bucket bits (60-bit md5 hash).
+HLL_W_BITS = 60 - HLL_BITS
+HLL_SEED = "hll-v1"
+
+#: Bias-correction constant alpha_m = 0.7213 / (1 + 1.079/m) for
+#: m >= 64 (Flajolet et al., HyperLogLog 2007). Precomputed HERE and
+#: embedded as the identical literal in the Spark plan and the oracle.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+
+
+def _rho(w: Column) -> Column:
+    """Position of the first set bit of ``w`` within its
+    :data:`HLL_W_BITS`-bit width (1-based); all-zeros → width + 1."""
+    pos = F.locate("1", F.lpad(F.bin(w), HLL_W_BITS, "0"))
+    return F.when(pos == 0, F.lit(HLL_W_BITS + 1)).otherwise(pos).cast("long")
+
+
+def hll_distinct(
+    df: DataFrame, col: str, seed: str = HLL_SEED, with_exact: bool = True
+) -> DataFrame:
+    """One-row HLL distinct-count estimate for ``df[col]``.
+
+    Output: ``(m, n_nonempty_buckets, harmonic_sum, hll_estimate[,
+    exact_distinct])``. ``exact_distinct`` is a self-validation column
+    for the test scales — at 100 TB you drop it (it is the exact
+    computation the sketch exists to avoid).
+    """
+    src = df.filter(F.col(col).isNotNull())
+    h = md5_long(F.concat(F.lit(seed + ":"), F.col(col).cast("string")))
+    regs = (
+        src.select(h.alias("_h"))
+        .select(
+            F.pmod("_h", F.lit(HLL_M)).alias("bucket"),
+            _rho(F.expr(f"_h div {HLL_M}")).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    folded = regs.agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "m_j"))).alias("rs")
+    ).select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        F.size("rs").cast("long").alias("n_nonempty_buckets"),
+        (
+            F.aggregate(
+                "rs",
+                F.lit(0.0),
+                lambda acc, r: acc + F.pow(F.lit(2.0), -r["m_j"].cast("double")),
+            )
+            + (F.lit(HLL_M) - F.size("rs")).cast("double")
+        ).alias("harmonic_sum"),
+    )
+    out = folded.select(
+        "m",
+        "n_nonempty_buckets",
+        "harmonic_sum",
+        (
+            F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("harmonic_sum")
+        ).alias("hll_estimate"),
+    )
+    if with_exact:
+        exact = src.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+        out = out.crossJoin(exact)
+    return out
+
+
+def hll_distinct_oracle_sql(
+    table: str, col: str, seed: str = HLL_SEED, with_exact: bool = True
+) -> str:
+    """DuckDB restatement of :func:`hll_distinct`."""
+    h = (
+        f"(('0x' || substring(md5('{seed}:' || CAST({col} AS VARCHAR)), 1, 15))"
+        "::BIGINT)"
+    )
+    exact_col = (
+        f", (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM {table}"
+        f" WHERE {col} IS NOT NULL) AS exact_distinct"
+        if with_exact
+        else ""
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {h} % {HLL_M} AS bucket,
+         CASE WHEN strpos(lpad(bin({h} // {HLL_M}), {HLL_W_BITS}, '0'), '1') = 0
+              THEN {HLL_W_BITS + 1}
+              ELSE strpos(lpad(bin({h} // {HLL_M}), {HLL_W_BITS}, '0'), '1')
+         END AS rho
+  FROM {table} WHERE {col} IS NOT NULL
+),
+regs AS (SELECT bucket, MAX(rho) AS m_j FROM hashed GROUP BY bucket),
+folded AS (
+  SELECT CAST({HLL_M} AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_nonempty_buckets,
+         list_sum([pow(2.0, -CAST(x AS DOUBLE))
+                   for x in list(m_j ORDER BY bucket)])
+           + CAST({HLL_M} - COUNT(*) AS DOUBLE) AS harmonic_sum
+  FROM regs
+)
+SELECT m, n_nonempty_buckets, harmonic_sum,
+       CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE)
+         / harmonic_sum AS hll_estimate
+       {exact_col}
+FROM folded
+"""

@@ -1,0 +1,43 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sressentials_spark.operators.sketch import HLL_M, hll_distinct
+
+
+def _estimate(spark, values, **kw):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return hll_distinct(df, "v", **kw).collect()[0]
+
+
+class TestHllDistinct:
+    def test_accuracy_within_bound(self, spark):
+        # RSE for m=64 is 1.04/sqrt(64) = 13%; allow 3 sigma.
+        n = 5000
+        row = _estimate(spark, [f"user-{i}" for i in range(n)])
+        assert row["exact_distinct"] == n
+        assert abs(row["hll_estimate"] - n) / n < 3 * 1.04 / (HLL_M**0.5)
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        ids = [f"u{i}" for i in range(500)]
+        once = _estimate(spark, ids)
+        thrice = _estimate(spark, ids * 3)
+        assert once["hll_estimate"] == thrice["hll_estimate"]
+        assert once["harmonic_sum"] == thrice["harmonic_sum"]
+        assert thrice["exact_distinct"] == 500
+
+    def test_partition_invariant(self, spark):
+        ids = [f"u{i}" for i in range(1000)]
+        df = spark.createDataFrame([(v,) for v in ids], "v string")
+        a = hll_distinct(df, "v").collect()[0]
+        b = hll_distinct(df.repartition(13), "v").collect()[0]
+        assert a["hll_estimate"] == b["hll_estimate"]
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("a",), (None,), ("b",), (None,)], "v string"
+        )
+        row = hll_distinct(df, "v").collect()[0]
+        assert row["exact_distinct"] == 2
+        assert row["n_nonempty_buckets"] <= 2
