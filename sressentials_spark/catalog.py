@@ -1302,6 +1302,24 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Benchmark set for the decontamination query: a fixed handful of
+#: document ids standing in for an eval suite.
+_DECON_BENCH_IDS = [0, 1, 2, 3, 4]
+
+
+@register(
+    "curation_decontaminate",
+    C.decontaminate_oracle_sql(_DECON_BENCH_IDS, min_shared=2),
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing >= 2 word
+    trigrams with a benchmark document, with per-pair overlap counts.
+    Broadcast benchmark shingles, one corpus pass, no self-join."""
+    return C.decontaminate(
+        load_table(spark, sf_dir, "documents"), _DECON_BENCH_IDS, min_shared=2
+    )
+
+
 @register("curation_pack_token_budget", C.pack_token_budget_oracle_sql(budget=2048))
 def curation_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk sequence packing: assign each document to

@@ -263,6 +263,72 @@ WHERE {h} < (CASE {chain} ELSE {default_rate} END)
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    bench_ids: list[int],
+    n: int = 3,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents that overlap a benchmark set: any document
+    sharing ``>= min_shared`` distinct word ``n``-grams with a
+    benchmark document, with the overlap size per (doc, benchmark)
+    pair — the eval-leakage scrub every training corpus needs.
+
+    Shape: the benchmark side is tiny by construction, so its shingle
+    set broadcasts; the corpus pays one shingle pass and a broadcast
+    hash join — no corpus self-join anywhere. Per-shingle fan-out is
+    bounded by the benchmark size, and the count groupBy keys on the
+    uniform (doc, bench) composite. Scales to any corpus size at fixed
+    benchmark size.
+    """
+    from sressentials_spark.operators.dedup import shingle_rows
+
+    ex = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
+    bench = ex.filter(F.col(id_col).isin(bench_ids)).select(
+        F.col(id_col).alias("bench_id"), "g"
+    )
+    corpus = ex.filter(~F.col(id_col).isin(bench_ids))
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate_oracle_sql(
+    bench_ids: list[int],
+    n: int = 3,
+    min_shared: int = 2,
+    table: str = "documents",
+) -> str:
+    """DuckDB restatement of :func:`decontaminate` (same tokenization
+    and n-gram assembly as the Jaccard oracles)."""
+    ids = ", ".join(map(str, bench_ids))
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM {table}),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(tk) >= {n}
+                THEN [array_to_string(tk[i:i+{n - 1}], ' ')
+                      for i in generate_series(1, len(tk)-{n - 1})]
+                ELSE []::VARCHAR[] END) AS s
+       FROM t),
+e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+b AS (SELECT doc_id AS bench_id, g FROM e WHERE doc_id IN ({ids})),
+c AS (SELECT doc_id, g FROM e WHERE doc_id NOT IN ({ids}))
+SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM c JOIN b USING (g)
+GROUP BY c.doc_id, b.bench_id
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+# --------------------------------------------------------------------------
 # Token-budget sequence packing
 # --------------------------------------------------------------------------
 

@@ -115,3 +115,37 @@ class TestPackTokenBudget:
         # Each language has its own running sum starting at 0.
         assert out[1]["start_offset"] == 0 and out[2]["start_offset"] == 0
         assert out[3]["start_offset"] == 2 and out[4]["start_offset"] == 2
+
+
+class TestDecontaminate:
+    def test_overlap_detection(self, spark):
+        df = _docs(
+            spark,
+            [
+                (0, "the quick brown fox jumps over the lazy dog", "en"),
+                (10, "a quick brown fox jumps into the river", "en"),
+                (11, "completely different content here today", "en"),
+                (12, "the quick brown fox jumps over everything", "en"),
+            ],
+        )
+        out = {
+            (r["doc_id"], r["bench_id"]): r["n_shared"]
+            for r in C.decontaminate(df, [0], min_shared=2).collect()
+        }
+        # doc 10 shares "quick brown fox" / "brown fox jumps" (2 trigrams);
+        # doc 12 shares those plus "the quick brown" and "fox jumps over";
+        # doc 11 shares nothing.
+        assert out[(10, 0)] == 2
+        assert out[(12, 0)] == 4
+        assert (11, 0) not in out
+
+    def test_benchmark_docs_never_flagged(self, spark):
+        df = _docs(
+            spark,
+            [
+                (0, "shared phrase number one here", "en"),
+                (1, "shared phrase number one here", "en"),
+            ],
+        )
+        rows = C.decontaminate(df, [0, 1], min_shared=1).collect()
+        assert rows == []  # both are benchmark docs; corpus side is empty
