@@ -911,6 +911,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_payload(load_table(spark, sf_dir, "documents")))
 
 
+def _frame_sample_oracle() -> str:
+    from sressentials_spark.operators.multimodal import sample_frames_oracle_sql
+
+    return sample_frames_oracle_sql()
+
+
+@register("multimodal_frame_sample", _frame_sample_oracle())
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over binary payloads: one row per kept
+    frame with its byte window and hex-window md5 — sequence+explode in
+    whole-stage codegen, no Python, no shuffle. Sampling runs BEFORE
+    any (stubbed) codec so only kept frames would pay decode cost."""
+    from sressentials_spark.operators.multimodal import attach_payload, sample_frames
+
+    return sample_frames(attach_payload(load_table(spark, sf_dir, "documents")))
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming (availableNow batch-equivalent, oracle-checked)
 # --------------------------------------------------------------------------

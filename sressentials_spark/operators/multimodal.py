@@ -71,6 +71,93 @@ def decode_media(payload: bytes, mime: str) -> bytes:
     )
 
 
+#: Frame-sampling geometry: payload bytes per "frame" and the sampling
+#: stride (keep every stride-th frame). For real video these come from
+#: the container metadata; the byte-window framing is the deterministic
+#: stand-in that keeps the plumbing oracle-checkable.
+FRAME_BYTES = 256
+FRAME_STRIDE = 4
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Strided frame sampling over binary payloads — pure JVM plumbing.
+
+    Treats each payload as ``ceil(n_bytes / frame_bytes)`` fixed-size
+    frames and emits one row per sampled frame (indices ``0, stride,
+    2*stride, …``) with its byte window and an md5 over the window's
+    hex encoding (hex because the SQL oracle can slice strings but not
+    blobs — the hex string encodes the same bytes 1:1).
+
+    Shape: ``sequence`` + ``explode`` inside whole-stage codegen — no
+    Python, no shuffle; fan-out is ``n_frames/stride`` rows per
+    payload. The decode step for real codecs plugs in per-frame AFTER
+    this sampling (that is the point: sample first, decode only the
+    kept frames — at 100 TB the decode is the expensive stage).
+    """
+    n_frames = F.expr(
+        f"(meta.n_bytes + {frame_bytes - 1}) div {frame_bytes}"
+    ).cast("long")
+    base = media.select(
+        "doc_id",
+        F.hex(F.col("payload")).alias("_hex"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        n_frames.alias("n_frames"),
+    )
+    idxs = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(stride).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    fr = base.select(
+        "doc_id", "n_frames", "n_bytes", "_hex", F.explode(idxs).alias("frame_idx")
+    )
+    byte_start = F.col("frame_idx") * frame_bytes
+    byte_len = F.least(F.lit(frame_bytes).cast("long"), F.col("n_bytes") - byte_start)
+    return fr.select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        byte_start.alias("byte_start"),
+        byte_len.alias("byte_len"),
+        F.md5(
+            F.substring(F.col("_hex"), byte_start * 2 + 1, byte_len * 2).cast("binary")
+        ).alias("frame_md5"),
+    )
+
+
+def sample_frames_oracle_sql(
+    table: str = "documents",
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> str:
+    """DuckDB restatement of :func:`sample_frames` over the text-backed
+    payloads of :func:`attach_payload`."""
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM {table}
+),
+f AS (SELECT doc_id, hx, n_bytes,
+             (n_bytes + {frame_bytes - 1}) // {frame_bytes} AS n_frames
+      FROM m),
+g AS (SELECT doc_id, hx, n_bytes, n_frames,
+             unnest(CASE WHEN n_frames > 0
+                    THEN generate_series(0, n_frames - 1, {stride})
+                    ELSE []::BIGINT[] END) AS frame_idx
+      FROM f)
+SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * {frame_bytes} AS BIGINT) AS byte_start,
+       CAST(least({frame_bytes}, n_bytes - frame_idx * {frame_bytes}) AS BIGINT)
+         AS byte_len,
+       md5(substring(hx, frame_idx * {frame_bytes} * 2 + 1,
+                     least({frame_bytes}, n_bytes - frame_idx * {frame_bytes}) * 2))
+         AS frame_md5
+FROM g
+"""
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
