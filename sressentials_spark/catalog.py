@@ -1319,6 +1319,19 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_chunk_documents",
+    C.chunk_documents_oracle_sql(chunk_tokens=64, overlap=16),
+)
+def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token windows with 16-token overlap
+    — the embedding/RAG splitter stage, pure sequence/explode/slice
+    codegen with no shuffle."""
+    return C.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
 #: Benchmark set for the decontamination query: a fixed handful of
 #: document ids standing in for an eval suite.
 _DECON_BENCH_IDS = [0, 1, 2, 3, 4]

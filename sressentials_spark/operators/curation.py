@@ -263,6 +263,77 @@ WHERE {h} < (CASE {chain} ELSE {default_rate} END)
 
 
 # --------------------------------------------------------------------------
+# Sliding-window document chunking
+# --------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    chunking stage of an embedding/RAG pipeline (window ``w`` covers
+    tokens ``[w*step, w*step + chunk_tokens)`` with
+    ``step = chunk_tokens - overlap``).
+
+    Pure codegen: tokenize once, ``sequence`` the window starts,
+    ``explode``, ``slice`` + ``concat_ws`` the window text. No Python,
+    no shuffle; fan-out ≈ ``n_tokens/step`` rows per document. The
+    trailing partial window is kept (standard practice — its tokens
+    otherwise vanish from the index).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    tk = tokens(text_col)
+    base = docs.select(
+        F.col(id_col), tk.alias("_tk"), F.size(tk).cast("long").alias("_n")
+    )
+    starts = F.sequence(
+        F.lit(0).cast("long"), F.greatest(F.col("_n") - 1, F.lit(0).cast("long")), F.lit(step).cast("long")
+    )
+    ex = base.select(
+        id_col, "_tk", "_n", F.explode(starts).alias("start_tok")
+    ).filter(F.col("start_tok") < F.col("_n"))
+    return ex.select(
+        id_col,
+        F.expr(f"start_tok div {step}").alias("chunk_id"),
+        "start_tok",
+        F.least(F.lit(chunk_tokens).cast("long"), F.col("_n") - F.col("start_tok")).alias(
+            "n_chunk_tokens"
+        ),
+        F.concat_ws(
+            " ", F.slice("_tk", F.col("start_tok") + 1, F.lit(chunk_tokens))
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    table: str = "documents",
+) -> str:
+    """DuckDB restatement of :func:`chunk_documents`."""
+    step = chunk_tokens - overlap
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+           FROM {table}),
+s AS (SELECT doc_id, tk, n,
+             unnest(generate_series(0, greatest(n - 1, 0), {step})) AS start_tok
+      FROM t)
+SELECT doc_id,
+       CAST(start_tok // {step} AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least({chunk_tokens}, n - start_tok) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(tk[start_tok + 1 : start_tok + {chunk_tokens}], ' ') AS chunk_text
+FROM s WHERE start_tok < n
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination
 # --------------------------------------------------------------------------
 

@@ -149,3 +149,34 @@ class TestDecontaminate:
         )
         rows = C.decontaminate(df, [0, 1], min_shared=1).collect()
         assert rows == []  # both are benchmark docs; corpus side is empty
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        # 10 tokens, chunk 4, overlap 2 → step 2 → starts 0,2,4,6,8.
+        text = " ".join(f"t{i}" for i in range(10))
+        df = _docs(spark, [(1, text, "en")])
+        rows = {
+            r["chunk_id"]: r
+            for r in C.chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+        }
+        assert sorted(rows) == [0, 1, 2, 3, 4]
+        assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert rows[1]["chunk_text"] == "t2 t3 t4 t5"  # 2-token overlap
+        assert rows[4]["chunk_text"] == "t8 t9"  # trailing partial kept
+        assert rows[4]["n_chunk_tokens"] == 2
+        assert all(r["start_tok"] == cid * 2 for cid, r in rows.items())
+
+    def test_short_doc_single_chunk(self, spark):
+        df = _docs(spark, [(1, "just three tokens", "en")])
+        rows = C.chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+        assert len(rows) == 1
+        assert rows[0]["chunk_text"] == "just three tokens"
+        assert rows[0]["n_chunk_tokens"] == 3
+
+    def test_overlap_must_be_smaller(self, spark):
+        df = _docs(spark, [(1, "a b", "en")])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            C.chunk_documents(df, chunk_tokens=4, overlap=4)
