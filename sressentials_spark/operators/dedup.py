@@ -604,8 +604,14 @@ def embedding_near_dup_lsh(
         )
         .distinct()
     )
-    n = with_norm(emb, dim=dim).select(
-        F.col(id_col), F.col("embedding"), F.col("norm")
+    # Persisted: the norm-annotated corpus feeds BOTH verification
+    # joins (x and y sides); unpersisted, each side would re-run the
+    # norm pass over the whole corpus (same treatment as the minhash
+    # pipeline's shared subplans).
+    n = (
+        with_norm(emb, dim=dim)
+        .select(F.col(id_col), F.col("embedding"), F.col("norm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cos = linalg.dot(F.col("x.embedding"), F.col("y.embedding"), dim) / (
         F.col("x.norm") * F.col("y.norm")
