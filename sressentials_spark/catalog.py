@@ -917,6 +917,23 @@ def _frame_sample_oracle() -> str:
     return sample_frames_oracle_sql()
 
 
+def _resize_oracle() -> str:
+    from sressentials_spark.operators.multimodal import resize_media_oracle_sql
+
+    return resize_media_oracle_sql()
+
+
+@register("multimodal_resize", _resize_oracle())
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size payload resize (truncate + pad) via Arrow-batched
+    mapInPandas — the byte-level stand-in for an image resample with
+    the codec stubbed; hex-md5 of the resized payload is the
+    oracle-checkable witness."""
+    from sressentials_spark.operators.multimodal import attach_payload, resize_media
+
+    return resize_media(attach_payload(load_table(spark, sf_dir, "documents")))
+
+
 @register("multimodal_frame_sample", _frame_sample_oracle())
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strided frame sampling over binary payloads: one row per kept

@@ -71,6 +71,79 @@ def decode_media(payload: bytes, mime: str) -> bytes:
     )
 
 
+#: Resize target: fixed output payload size (truncate + 0x20-pad) —
+#: the byte-level stand-in for an image resize, keeping the Pandas-UDF
+#: plumbing real while the codec is stubbed.
+RESIZE_BYTES = 128
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = RESIZE_BYTES) -> DataFrame:
+    """Fixed-size payload resize via Arrow-batched ``mapInPandas``.
+
+    Decodes (stub), truncates/pads each payload to ``target_bytes``
+    (pad byte 0x20), and emits the resized payload's hex-md5 — the same
+    checksum convention as :func:`sample_frames`, so the SQL oracle can
+    restate the padded byte string with ``substring``/``repeat`` over
+    the hex encoding. A real build swaps the byte-level transform for a
+    pixel-level resample inside the same batch loop; the Spark plumbing
+    (schema, Arrow batches, narrow no-shuffle shape) is identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "mime": [m["mime"] for m in pdf["meta"]],
+                "n_bytes_in": [],
+                "n_bytes_out": [],
+                "resized_md5": [],
+            }
+            for b, m in zip(pdf["payload"], pdf["meta"]):
+                decoded = decode_media(bytes(b), m["mime"])
+                resized = decoded[:target_bytes].ljust(target_bytes, b"\x20")
+                out["n_bytes_in"].append(len(decoded))
+                out["n_bytes_out"].append(len(resized))
+                out["resized_md5"].append(
+                    hashlib.md5(resized.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def resize_media_oracle_sql(
+    table: str = "documents", target_bytes: int = RESIZE_BYTES
+) -> str:
+    """DuckDB restatement of :func:`resize_media` over text payloads."""
+    t = target_bytes
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM {table}
+)
+SELECT doc_id,
+       'text/plain' AS mime,
+       n_bytes AS n_bytes_in,
+       CAST({t} AS BIGINT) AS n_bytes_out,
+       md5(substring(hx, 1, 2 * least(n_bytes, {t}))
+           || repeat('20', greatest({t} - n_bytes, 0))) AS resized_md5
+FROM m
+"""
+
+
 #: Frame-sampling geometry: payload bytes per "frame" and the sampling
 #: stride (keep every stride-th frame). For real video these come from
 #: the container metadata; the byte-window framing is the deterministic

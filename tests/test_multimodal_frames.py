@@ -51,3 +51,22 @@ def test_multibyte_payload_slices_bytes_not_chars(spark):
             raw[i * 100 : i * 100 + 100].hex().upper().encode()
         ).hexdigest()
         assert rows[i]["frame_md5"] == expect
+
+
+def test_resize_truncates_and_pads(spark):
+    import hashlib
+    from sressentials_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "y" * 300)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in resize_media(attach_payload(df), target_bytes=100).collect()
+    }
+    assert rows[1]["n_bytes_in"] == 5 and rows[1]["n_bytes_out"] == 100
+    assert rows[2]["n_bytes_in"] == 300 and rows[2]["n_bytes_out"] == 100
+    short = b"short".ljust(100, b" ")
+    assert rows[1]["resized_md5"] == hashlib.md5(short.hex().upper().encode()).hexdigest()
+    long = (b"y" * 100)
+    assert rows[2]["resized_md5"] == hashlib.md5(long.hex().upper().encode()).hexdigest()
