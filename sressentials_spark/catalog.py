@@ -808,6 +808,52 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
 
 
+@register(
+    "sim_cosine_topk_ivf_filtered",
+    f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings
+  ORDER BY ('0x' || substring(md5('{S.IVF_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           vec_id
+  LIMIT {S.IVF_CELLS}
+),
+assign AS (
+  SELECT vec_id, embedding, label, cid, ccos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM (SELECT e.vec_id, e.embedding, e.label, s.cid,
+               {_cos_sql('e.embedding', 's.cv')} AS ccos
+        FROM embeddings e CROSS JOIN seeds s)
+),
+cells AS (SELECT vec_id, embedding, label, cid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel, cid AS pcell
+           FROM assign
+           WHERE vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})
+             AND rn <= {S.IVF_NPROBE}),
+scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                  {_cos_sql('p.qv', 'c.embedding')} AS cosine
+           FROM probes p JOIN cells c
+             ON c.cell = p.pcell AND c.label = p.qlabel
+            AND c.vec_id <> p.query_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+""",
+)
+def sim_cosine_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — the production vector-search pattern: each query
+    scores only corpus vectors sharing its ``label``, composed with the
+    IVF cell pruning (the metadata predicate filters INSIDE probed
+    cells; the shared index is built on the unfiltered corpus)."""
+    return S.cosine_topk_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        _TOPK_QUERY_IDS,
+        k=10,
+        filter_col="label",
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis tier 2: language-ID, BPE-ish counting, fingerprints
 # --------------------------------------------------------------------------

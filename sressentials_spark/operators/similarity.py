@@ -183,6 +183,7 @@ def cosine_topk_ivf(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     dim: int = DEFAULT_DIM,
+    filter_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -199,9 +200,17 @@ def cosine_topk_ivf(
     1/K of the index" effect); the per-batch plan here (broadcast query
     rows against a cell-filtered corpus scan, one window per query) is
     unchanged.
+
+    ``filter_col`` turns this into *filtered* ANN — the production
+    vector-search pattern: each query only scores corpus vectors whose
+    ``filter_col`` equals its own (e.g. same tenant/language/split).
+    The predicate composes with the cell equi-join, so it prunes
+    *inside* the probed cells; the shared IVF index is built on the
+    unfiltered corpus, as a real deployment would.
     """
     ids, mat = ivf_seed_centroids(emb, n_cells, id_col=id_col)
     kern = ivf_cells_kernel(ids, mat, nprobe)
+    extra = [filter_col] if filter_col else []
     annotated = emb.withColumn("_nc", kern(F.col("embedding"))).select(
         *emb.columns,
         F.col("_nc.norm").alias("norm"),
@@ -211,23 +220,26 @@ def cosine_topk_ivf(
         F.col(id_col),
         "embedding",
         "norm",
+        *extra,
         F.element_at("cells", 1).alias("cell"),
     )
     queries = _collect_queries(
-        annotated, query_ids, id_col, [id_col, "embedding", "norm", "cells"]
+        annotated, query_ids, id_col, [id_col, "embedding", "norm", *extra, "cells"]
     ).select(
         F.col(id_col).alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("norm").alias("qnorm"),
+        *[F.col(c).alias(f"_q_{c}") for c in extra],
         F.explode("cells").alias("pcell"),
     )
+    join_cond = (F.col("pcell") == F.col("cell")) & (
+        F.col("query_id") != F.col(id_col)
+    )
+    for c in extra:
+        join_cond = join_cond & (F.col(f"_q_{c}") == F.col(c))
     scored = (
         F.broadcast(queries)
-        .join(
-            corpus,
-            (F.col("pcell") == F.col("cell"))
-            & (F.col("query_id") != F.col(id_col)),
-        )
+        .join(corpus, join_cond)
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),

@@ -72,3 +72,42 @@ class TestTopkIvf:
         for r in rows:
             assert 1 <= r["rank"] <= 5
             assert -1.0001 <= r["cosine"] <= 1.0001
+
+
+class TestTopkIvfFiltered:
+    def test_filtered_results_share_query_label(self, emb):
+        qids = [0, 1, 2]
+        out = S.cosine_topk_ivf(
+            emb, qids, k=5, n_cells=4, nprobe=4, dim=8, filter_col="label"
+        )
+        labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+        joined = out.collect()
+        assert joined  # filtering must not empty the result
+        for r in joined:
+            assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+
+    def test_filtered_full_probe_equals_filtered_brute_force(self, emb):
+        # With every cell probed, filtered IVF must equal brute force
+        # restricted to the query's label.
+        from pyspark.sql import functions as F
+
+        qids = [0, 1]
+        ivf = sorted(
+            map(
+                tuple,
+                S.cosine_topk_ivf(
+                    emb, qids, k=5, n_cells=4, nprobe=4, dim=8, filter_col="label"
+                )
+                .select("query_id", "neighbor_id", "cosine", "rank")
+                .collect(),
+            )
+        )
+        labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+        expect = []
+        for q in qids:
+            sub = emb.filter(F.col("label") == labels[q])
+            exact = S.cosine_topk(sub, [q], k=5, dim=8)
+            expect.extend(
+                map(tuple, exact.select("query_id", "neighbor_id", "cosine", "rank").collect())
+            )
+        assert ivf == sorted(expect)
