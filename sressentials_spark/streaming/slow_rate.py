@@ -32,17 +32,27 @@ TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 
 
 def slow_rate_stream(
-    spark: SparkSession, path: str, window: str = "1 hour", watermark: str = "2 hours"
+    spark: SparkSession,
+    path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame: slow queries per (tumbling window, collection).
 
     ``path`` may be a log file (its directory is watched) or a directory.
+    ``max_files_per_trigger`` bounds each micro-batch to N files — tests
+    use it to force multi-batch replays that advance the watermark
+    between batches (the late-data drop is unobservable single-batch).
     """
     import os
 
     if os.path.isfile(path):
         path = os.path.dirname(path)
-    lines = spark.readStream.text(path)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    lines = reader.text(path)
     parsed = F.from_json(
         F.col("value"),
         MONGO_ENVELOPE,
