@@ -434,6 +434,36 @@ def events_props_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_props_kpi_variant",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_props_kpi_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same KPI through Spark 4's VariantType: ``parse_json`` once
+    into the binary variant encoding, then typed ``try_variant_get``
+    extraction — the at-scale path for open-ended JSON (parse cost paid
+    once; repeated path reads skip string re-parsing). Shares the
+    string-path query's oracle, so both engines AND both Spark paths
+    must agree."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline tier: dedup + text analysis
 # --------------------------------------------------------------------------
