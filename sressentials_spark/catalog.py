@@ -1330,6 +1330,21 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_hll_distinct_users",
+    K.hll_distinct_oracle_sql("events", "user_id"),
+)
+def streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register stage as a stateful stream (max-per-bucket is a
+    streaming-supported agg with exactly m state rows; micro-batch
+    partial maxes merging into state IS the sketch-union property),
+    folded to the estimate over the settled registers. Same oracle as
+    the batch sketch — both execution models must agree bit-for-bit."""
+    from sressentials_spark.streaming.sketch import run_hll_stream_batch
+
+    return run_hll_stream_batch(spark, sf_dir)
+
+
+@register(
     "streaming_exact_dedup",
     "SELECT DISTINCT md5(text) AS content_hash FROM documents",
 )

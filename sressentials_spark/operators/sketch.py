@@ -58,19 +58,17 @@ def _rho(w: Column) -> Column:
     return F.when(pos == 0, F.lit(HLL_W_BITS + 1)).otherwise(pos).cast("long")
 
 
-def hll_distinct(
-    df: DataFrame, col: str, seed: str = HLL_SEED, with_exact: bool = True
-) -> DataFrame:
-    """One-row HLL distinct-count estimate for ``df[col]``.
+def hll_registers(df: DataFrame, col: str, seed: str = HLL_SEED) -> DataFrame:
+    """The register stage alone: ``(bucket, m_j)`` rows, ≤ m of them.
 
-    Output: ``(m, n_nonempty_buckets, harmonic_sum, hll_estimate[,
-    exact_distinct])``. ``exact_distinct`` is a self-validation column
-    for the test scales — at 100 TB you drop it (it is the exact
-    computation the sketch exists to avoid).
+    Usable verbatim as a *streaming* aggregation too (``max`` per
+    bucket is a streaming-supported stateful agg with exactly ``m``
+    state rows) — micro-batch partial maxes merging into state IS the
+    sketch-union property.
     """
     src = df.filter(F.col(col).isNotNull())
     h = md5_long(F.concat(F.lit(seed + ":"), F.col(col).cast("string")))
-    regs = (
+    return (
         src.select(h.alias("_h"))
         .select(
             F.pmod("_h", F.lit(HLL_M)).alias("bucket"),
@@ -79,6 +77,10 @@ def hll_distinct(
         .groupBy("bucket")
         .agg(F.max("rho").alias("m_j"))
     )
+
+
+def finish_estimate(regs: DataFrame) -> DataFrame:
+    """Fold ``(bucket, m_j)`` registers to the one-row estimate."""
     folded = regs.agg(
         F.sort_array(F.collect_list(F.struct("bucket", "m_j"))).alias("rs")
     ).select(
@@ -93,7 +95,7 @@ def hll_distinct(
             + (F.lit(HLL_M) - F.size("rs")).cast("double")
         ).alias("harmonic_sum"),
     )
-    out = folded.select(
+    return folded.select(
         "m",
         "n_nonempty_buckets",
         "harmonic_sum",
@@ -101,8 +103,24 @@ def hll_distinct(
             F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("harmonic_sum")
         ).alias("hll_estimate"),
     )
+
+
+def hll_distinct(
+    df: DataFrame, col: str, seed: str = HLL_SEED, with_exact: bool = True
+) -> DataFrame:
+    """One-row HLL distinct-count estimate for ``df[col]``.
+
+    Output: ``(m, n_nonempty_buckets, harmonic_sum, hll_estimate[,
+    exact_distinct])``. ``exact_distinct`` is a self-validation column
+    for the test scales — at 100 TB you drop it (it is the exact
+    computation the sketch exists to avoid).
+    """
+    out = finish_estimate(hll_registers(df, col, seed))
     if with_exact:
-        exact = src.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+        exact = (
+            df.filter(F.col(col).isNotNull())
+            .agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+        )
         out = out.crossJoin(exact)
     return out
 

@@ -1,0 +1,66 @@
+"""Streaming HLL: the distinct sketch's register stage as a stateful
+stream.
+
+The batch sketch (:mod:`sressentials_spark.operators.sketch`) splits
+into registers (``groupBy(bucket).max(rho)``) and a one-row finish
+fold. The register stage is streaming-legal as-is: ``max`` per bucket
+is a supported stateful aggregation with exactly ``m`` state rows
+regardless of input volume — each micro-batch's partial maxes merge
+into state, which IS the HLL union property, live. Two chained
+stateful aggregations aren't allowed in one streaming query, so the
+finish fold runs as a trivial batch step over the ≤ ``m`` settled
+register rows (at production scale that is the pattern anyway: the
+stream maintains registers continuously; any reader folds them to an
+estimate on demand).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sressentials_spark.operators.sketch import finish_estimate, hll_registers
+
+
+def hll_register_stream(
+    spark: SparkSession, sf_dir: str, col: str = "user_id",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming ``(bucket, m_j)`` registers over a parquet file source."""
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return hll_registers(reader.parquet(sf_dir), col)
+
+
+def run_hll_stream_batch(
+    spark: SparkSession, sf_dir: str, col: str = "user_id",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay the register stream (availableNow, complete mode), then
+    fold the settled registers to the estimate, with the batch-side
+    exact count as the self-validation column."""
+    run_key = f"{sf_dir}|{col}|{glob}|{max_files_per_trigger}"
+    name = "stream_hll_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
+    q = (
+        hll_register_stream(spark, sf_dir, col, glob, max_files_per_trigger)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    regs = spark.table(name)
+    exact = (
+        spark.read.option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+        .filter(F.col(col).isNotNull())
+        .agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    )
+    return finish_estimate(regs).crossJoin(exact)

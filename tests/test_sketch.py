@@ -41,3 +41,33 @@ class TestHllDistinct:
         row = hll_distinct(df, "v").collect()[0]
         assert row["exact_distinct"] == 2
         assert row["n_nonempty_buckets"] <= 2
+
+
+class TestStreamingHll:
+    def test_multi_batch_registers_merge_to_batch_result(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os
+
+        from sressentials_spark.sources.tables import load_table
+        from sressentials_spark.streaming.sketch import run_hll_stream_batch
+
+        # Split events into two files → two micro-batches with
+        # maxFilesPerTrigger=1; per-batch partial maxes must merge in
+        # state to the exact same registers (and estimate) as batch.
+        src = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+        half = len(src) // 2
+        d = str(tmp_path)
+        fa, fb = os.path.join(d, "ev_a.parquet"), os.path.join(d, "ev_b.parquet")
+        pq.write_table(pa.Table.from_pandas(src.iloc[:half], preserve_index=False), fa)
+        pq.write_table(pa.Table.from_pandas(src.iloc[half:], preserve_index=False), fb)
+        os.utime(fa, (1_000_000, 1_000_000))
+        os.utime(fb, (2_000_000, 2_000_000))
+
+        streamed = run_hll_stream_batch(
+            spark, d, glob="*.parquet", max_files_per_trigger=1
+        ).collect()[0]
+        batch = hll_distinct(
+            load_table(spark, "/root/testdata/sf0.001", "events"), "user_id"
+        ).collect()[0]
+        assert streamed.asDict() == batch.asDict()
