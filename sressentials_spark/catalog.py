@@ -1379,8 +1379,11 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic shared primitives, so the sketch itself is
     oracle-verified bit-for-bit (built-in ``approx_count_distinct``
     sketches can't be cross-checked between engines). Map-side
-    combinable register max; ≤64 rows through the shuffle; the
-    ``exact_distinct`` column is test-scale self-validation."""
+    combinable register max; ≤64 rows through the shuffle; no exact
+    ``count_distinct`` in the shipped plan (``with_exact`` stays in
+    tests — the sketch exists to avoid that computation), and a
+    ``small_range`` flag marks estimates below the 2.5m calibration
+    floor where classic HLL would switch to linear counting."""
     return K.hll_distinct(load_table(spark, sf_dir, "events"), "user_id")
 
 
@@ -1458,10 +1461,20 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("curation_pack_token_budget", C.pack_token_budget_oracle_sql(budget=2048))
+@register(
+    "curation_pack_token_budget",
+    C.pack_token_budget_oracle_sql(budget=2048, n_shards=8),
+)
 def curation_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk sequence packing: assign each document to
-    the 2048-token training chunk where its first token lands, packing
-    per-language in doc-id order (the partition column is the
-    parallelism axis — see operator docstring for the 100 TB shape)."""
-    return C.pack_token_budget(load_table(spark, sf_dir, "documents"), budget=2048)
+    the 2048-token training chunk where its first token lands. The
+    shipped partition key is the sharded composite ``(lang, shard)``
+    with ``shard = md5_60bit('pack-v1:' || doc_id) % 8`` — the window
+    serializes each partition, so a bare ~5-value ``lang`` key would
+    cap the job at ~5 tasks at 100 TB; the hash shard bounds
+    per-partition rows while staying deterministic and oracle-exact.
+    At scale, raise ``n_shards`` with the data (rows per shard ≈
+    corpus / (|langs| · n_shards))."""
+    return C.pack_token_budget(
+        load_table(spark, sf_dir, "documents"), budget=2048, n_shards=8
+    )

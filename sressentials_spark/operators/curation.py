@@ -403,63 +403,103 @@ HAVING COUNT(*) >= {min_shared}
 # Token-budget sequence packing
 # --------------------------------------------------------------------------
 
+#: Seed for the deterministic doc-id → shard hash used by
+#: :func:`pack_token_budget`'s composite partition key.
+PACK_SHARD_SEED = "pack-v1"
+
+
 def pack_token_budget(
     docs: DataFrame,
     budget: int = 2048,
     part_col: str = "lang",
+    n_shards: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    seed: str = PACK_SHARD_SEED,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training chunks.
 
-    Concatenate-and-chunk packing: within each partition (language by
-    default), documents are laid end-to-end in doc-id order and a
-    document belongs to the chunk where its first token lands —
-    ``chunk_id = floor(start_offset / budget)`` with ``start_offset``
-    the exclusive running sum of BPE-ish token counts. Deterministic
-    (id order, integer arithmetic) and restateable as one window SQL.
+    Concatenate-and-chunk packing: within each partition, documents
+    are laid end-to-end in doc-id order and a document belongs to the
+    chunk where its first token lands — ``chunk_id =
+    floor(start_offset / budget)`` with ``start_offset`` the exclusive
+    running sum of BPE-ish token counts. Deterministic (id order,
+    integer arithmetic) and restateable as one window SQL.
 
-    Scale: the running sum is a per-``part_col`` window — one shuffle
-    keyed on the partition column. Packing is inherently sequential
-    *within* a shard; the partition column IS the parallelism axis, so
-    at 100 TB you pack per (split, lang, shard-hash) — any key set
-    that bounds per-partition row counts — rather than globally. The
-    operator takes that key as a parameter instead of hardwiring a
-    global order, which would serialize the corpus through one task.
+    Scale: the running sum is a window over the partition key, and the
+    window serializes each partition through one task — so the key's
+    cardinality IS the parallelism ceiling. ``part_col`` alone (a
+    ~5-value language column) caps the job at ~5 tasks; pass
+    ``n_shards`` to extend the key to ``(part_col, shard)`` with
+    ``shard = md5_60bit(seed || ':' || id) % n_shards`` — a
+    deterministic, engine-exact hash shard that bounds per-partition
+    row counts while keeping membership reproducible across runs and
+    repartitions. Chunks are then identified by ``(part_col, shard,
+    chunk_id)``; each shard packs independently, which is the standard
+    trade (training shards need locality, not a global order).
     """
+    keys: list[str] = [part_col]
+    d = docs.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    if n_shards is not None:
+        d = d.withColumn(
+            "shard",
+            F.pmod(
+                md5_long(
+                    F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+                ),
+                F.lit(n_shards),
+            ).cast("long"),
+        )
+        keys.append("shard")
     w = (
-        Window.partitionBy(part_col)
+        Window.partitionBy(*keys)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_tok = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)).cast("long")
-    d = docs.select(F.col(id_col), F.col(part_col), n_tok.alias("n_tokens"))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return d.select(
         id_col,
-        part_col,
+        *keys,
         "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
-        F.floor(
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
-        ).alias("chunk_id"),
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget)).alias("chunk_id"),
     )
 
 
 def pack_token_budget_oracle_sql(
-    budget: int = 2048, table: str = "documents", part_col: str = "lang"
+    budget: int = 2048,
+    table: str = "documents",
+    part_col: str = "lang",
+    n_shards: int | None = None,
+    seed: str = PACK_SHARD_SEED,
 ) -> str:
     """DuckDB restatement of :func:`pack_token_budget`."""
+    shard_sel = ""
+    keys = part_col
+    if n_shards is not None:
+        h = (
+            f"(('0x' || substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {n_shards})"
+        )
+        shard_sel = f", CAST({h} AS BIGINT) AS shard"
+        keys = f"{part_col}, shard"
     return rf"""
 WITH d AS (
-  SELECT doc_id, {part_col},
+  SELECT doc_id, {part_col}{shard_sel},
          CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
   FROM {table}
 )
-SELECT doc_id, {part_col}, n_tokens,
-       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY {part_col} ORDER BY doc_id
+SELECT doc_id, {keys}, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY {keys} ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          AS start_offset,
-       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY {part_col} ORDER BY doc_id
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY {keys} ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget}) AS BIGINT)
          AS chunk_id
 FROM d

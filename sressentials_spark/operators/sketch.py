@@ -80,7 +80,17 @@ def hll_registers(df: DataFrame, col: str, seed: str = HLL_SEED) -> DataFrame:
 
 
 def finish_estimate(regs: DataFrame) -> DataFrame:
-    """Fold ``(bucket, m_j)`` registers to the one-row estimate."""
+    """Fold ``(bucket, m_j)`` registers to the one-row estimate.
+
+    The output carries a ``small_range`` flag (1 when the raw estimate
+    is at or below ``2.5 * m``, the regime where classic HLL applies a
+    linear-counting correction). The correction itself is deliberately
+    omitted — it needs ``ln``, whose last-ulp behavior differs across
+    libm implementations and would break the bit-exact oracle — so the
+    flag is the deterministic, integer-only signal that the estimate
+    is outside the sketch's calibrated range (an empty input reads
+    ``alpha * m ≈ 46`` with ``small_range = 1``, not a silent 46).
+    """
     folded = regs.agg(
         F.sort_array(F.collect_list(F.struct("bucket", "m_j"))).alias("rs")
     ).select(
@@ -95,25 +105,29 @@ def finish_estimate(regs: DataFrame) -> DataFrame:
             + (F.lit(HLL_M) - F.size("rs")).cast("double")
         ).alias("harmonic_sum"),
     )
+    est = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("harmonic_sum")
     return folded.select(
         "m",
         "n_nonempty_buckets",
         "harmonic_sum",
-        (
-            F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("harmonic_sum")
-        ).alias("hll_estimate"),
+        est.alias("hll_estimate"),
+        F.when(est <= F.lit(2.5 * HLL_M), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("small_range"),
     )
 
 
 def hll_distinct(
-    df: DataFrame, col: str, seed: str = HLL_SEED, with_exact: bool = True
+    df: DataFrame, col: str, seed: str = HLL_SEED, with_exact: bool = False
 ) -> DataFrame:
     """One-row HLL distinct-count estimate for ``df[col]``.
 
-    Output: ``(m, n_nonempty_buckets, harmonic_sum, hll_estimate[,
-    exact_distinct])``. ``exact_distinct`` is a self-validation column
-    for the test scales — at 100 TB you drop it (it is the exact
-    computation the sketch exists to avoid).
+    Output: ``(m, n_nonempty_buckets, harmonic_sum, hll_estimate,
+    small_range[, exact_distinct])``. ``exact_distinct`` is a
+    self-validation column for tests only (``with_exact=True``); the
+    default — and the shipped catalog query — omits it, because it is
+    the exact ``count_distinct`` the sketch exists to avoid at 100 TB.
     """
     out = finish_estimate(hll_registers(df, col, seed))
     if with_exact:
@@ -126,7 +140,7 @@ def hll_distinct(
 
 
 def hll_distinct_oracle_sql(
-    table: str, col: str, seed: str = HLL_SEED, with_exact: bool = True
+    table: str, col: str, seed: str = HLL_SEED, with_exact: bool = False
 ) -> str:
     """DuckDB restatement of :func:`hll_distinct`."""
     h = (
@@ -159,7 +173,11 @@ folded AS (
 )
 SELECT m, n_nonempty_buckets, harmonic_sum,
        CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE)
-         / harmonic_sum AS hll_estimate
+         / harmonic_sum AS hll_estimate,
+       CAST(CASE WHEN CAST({HLL_ALPHA!r} AS DOUBLE)
+                      * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE)
+                      / harmonic_sum <= {2.5 * HLL_M!r} THEN 1 ELSE 0 END
+            AS BIGINT) AS small_range
        {exact_col}
 FROM folded
 """

@@ -41,10 +41,13 @@ def run_hll_stream_batch(
     spark: SparkSession, sf_dir: str, col: str = "user_id",
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    with_exact: bool = False,
 ) -> DataFrame:
     """Replay the register stream (availableNow, complete mode), then
-    fold the settled registers to the estimate, with the batch-side
-    exact count as the self-validation column."""
+    fold the settled registers to the estimate. ``with_exact=True``
+    appends a batch-side exact count as a self-validation column —
+    tests only; the shipped query omits it (it is the computation the
+    sketch avoids)."""
     run_key = f"{sf_dir}|{col}|{glob}|{max_files_per_trigger}"
     name = "stream_hll_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
     q = (
@@ -57,10 +60,13 @@ def run_hll_stream_batch(
     )
     q.awaitTermination()
     regs = spark.table(name)
-    exact = (
-        spark.read.option("pathGlobFilter", glob)
-        .parquet(sf_dir)
-        .filter(F.col(col).isNotNull())
-        .agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
-    )
-    return finish_estimate(regs).crossJoin(exact)
+    out = finish_estimate(regs)
+    if with_exact:
+        exact = (
+            spark.read.option("pathGlobFilter", glob)
+            .parquet(sf_dir)
+            .filter(F.col(col).isNotNull())
+            .agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+        )
+        out = out.crossJoin(exact)
+    return out

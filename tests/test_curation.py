@@ -116,6 +116,35 @@ class TestPackTokenBudget:
         assert out[1]["start_offset"] == 0 and out[2]["start_offset"] == 0
         assert out[3]["start_offset"] == 2 and out[4]["start_offset"] == 2
 
+    def test_sharded_key_packs_per_shard(self, spark):
+        # With n_shards the running sum restarts per (lang, shard):
+        # every shard's minimum offset is 0, shards are deterministic
+        # across repartitions, and the composite key bounds the rows
+        # any one window task sees.
+        docs = [(i, "tok " * 5, "en") for i in range(1, 41)]
+        df = _docs(spark, docs)
+        rows = C.pack_token_budget(df, budget=10, n_shards=4).collect()
+        again = {
+            r["doc_id"]: r["shard"]
+            for r in C.pack_token_budget(
+                df.repartition(7), budget=10, n_shards=4
+            ).collect()
+        }
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            assert again[r["doc_id"]] == r["shard"]
+            by_shard.setdefault(r["shard"], []).append(r)
+        assert len(by_shard) > 1  # 40 ids actually spread over shards
+        for members in by_shard.values():
+            members.sort(key=lambda r: r["doc_id"])
+            assert members[0]["start_offset"] == 0
+            # Within a shard the offsets are the exclusive running sum.
+            run = 0
+            for m in members:
+                assert m["start_offset"] == run
+                assert m["chunk_id"] == run // 10
+                run += m["n_tokens"]
+
 
 class TestDecontaminate:
     def test_overlap_detection(self, spark):

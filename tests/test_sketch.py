@@ -15,14 +15,26 @@ class TestHllDistinct:
     def test_accuracy_within_bound(self, spark):
         # RSE for m=64 is 1.04/sqrt(64) = 13%; allow 3 sigma.
         n = 5000
-        row = _estimate(spark, [f"user-{i}" for i in range(n)])
+        row = _estimate(spark, [f"user-{i}" for i in range(n)], with_exact=True)
         assert row["exact_distinct"] == n
         assert abs(row["hll_estimate"] - n) / n < 3 * 1.04 / (HLL_M**0.5)
+        assert row["small_range"] == 0
+
+    def test_with_exact_off_by_default(self, spark):
+        row = _estimate(spark, [f"user-{i}" for i in range(100)])
+        assert "exact_distinct" not in row.asDict()
+
+    def test_small_range_flagged(self, spark):
+        # A handful of values sits far below the 2.5*m calibration
+        # floor: the raw estimate is biased and must say so.
+        row = _estimate(spark, ["a", "b", "c"])
+        assert row["small_range"] == 1
+        assert row["hll_estimate"] <= 2.5 * HLL_M
 
     def test_duplicates_do_not_move_registers(self, spark):
         ids = [f"u{i}" for i in range(500)]
         once = _estimate(spark, ids)
-        thrice = _estimate(spark, ids * 3)
+        thrice = _estimate(spark, ids * 3, with_exact=True)
         assert once["hll_estimate"] == thrice["hll_estimate"]
         assert once["harmonic_sum"] == thrice["harmonic_sum"]
         assert thrice["exact_distinct"] == 500
@@ -38,7 +50,7 @@ class TestHllDistinct:
         df = spark.createDataFrame(
             [("a",), (None,), ("b",), (None,)], "v string"
         )
-        row = hll_distinct(df, "v").collect()[0]
+        row = hll_distinct(df, "v", with_exact=True).collect()[0]
         assert row["exact_distinct"] == 2
         assert row["n_nonempty_buckets"] <= 2
 
@@ -65,9 +77,11 @@ class TestStreamingHll:
         os.utime(fb, (2_000_000, 2_000_000))
 
         streamed = run_hll_stream_batch(
-            spark, d, glob="*.parquet", max_files_per_trigger=1
+            spark, d, glob="*.parquet", max_files_per_trigger=1, with_exact=True
         ).collect()[0]
         batch = hll_distinct(
-            load_table(spark, "/root/testdata/sf0.001", "events"), "user_id"
+            load_table(spark, "/root/testdata/sf0.001", "events"),
+            "user_id",
+            with_exact=True,
         ).collect()[0]
         assert streamed.asDict() == batch.asDict()
