@@ -18,6 +18,7 @@ import time
 
 from sressentials_spark import get_spark, loggen
 from sressentials_spark.catalog import QUERIES, clear_sheets_cache
+from sressentials_spark.operators.dedup import release_persisted
 
 #: Headline benchmark set: every shipped catalog query. The quadratic
 #: all-pairs baselines no longer live in the registry at all — they are
@@ -66,9 +67,11 @@ def main() -> None:
                     fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
                 except Exception as exc:  # warmup must never fail the bench
                     print(f"[bench] warmup {name} failed: {exc}", file=sys.stderr)
-        # Warmup persisted the warm-scale parsed logs; release them so
-        # the timed pass starts with a clean store.
+        # Warmup persisted the warm-scale parsed logs and dedup
+        # intermediates; release them so the timed pass starts with a
+        # clean store.
         clear_sheets_cache()
+        release_persisted()
         # Let the C2 compile queue drain so the timed pass runs compiled.
         time.sleep(20)
 
@@ -81,6 +84,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for _ in range(2):
         clear_sheets_cache()
+        release_persisted()
         for name, fn in bench_queries.items():
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -89,6 +93,7 @@ def main() -> None:
             print(f"[bench] {name}: {t:.1f}s", file=sys.stderr, flush=True)
 
     clear_sheets_cache()
+    release_persisted()
     tag = os.path.basename(os.path.normpath(sf_dir))
     try:
         sf = float(tag.removeprefix("sf"))

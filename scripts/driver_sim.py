@@ -63,10 +63,13 @@ def main() -> int:
             f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
         )
 
+    from sressentials_spark.operators.dedup import release_persisted
+
     fails: list[str] = []
     for name, fn in qs.items():
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
+        release_persisted()  # cache hygiene between queries
         if name not in oracles:
             print(f"  {name}: rows-only, {len(sdf)} rows ({time.time() - t0:.1f}s)")
             continue

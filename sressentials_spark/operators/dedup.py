@@ -48,6 +48,33 @@ from pyspark.sql import functions as F
 
 from sressentials_spark.operators.text import tokens
 
+# Persisted-intermediate registry. The pair generators persist shared
+# subplans (shingle tables, signatures, norm-annotated corpora) that
+# must stay cached until the CALLER materializes the returned lazy
+# frame — so the functions cannot unpersist them themselves. Tracking
+# them here lets a long-lived session release every block between jobs
+# (bench.py and scripts/driver_sim.py call :func:`release_persisted`
+# between passes) instead of accumulating cached corpora per
+# invocation.
+_PERSISTED: list[DataFrame] = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
+
+def release_persisted() -> int:
+    """Unpersist every intermediate this module has cached; returns the
+    number of frames released. Safe to call at any time AFTER the
+    consuming queries have materialized (collect/write/count)."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
 #: 60-bit md5-derived integer hash (DuckDB-reproducible).
 def md5_long(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
@@ -196,7 +223,7 @@ def ngram_jaccard_pairs(
     # Three consumers (sizes + both sides of the inverted-index join;
     # four with the DF cap) and per-consumer pruning defeats exchange
     # reuse — persist the shingle table rather than re-tokenizing.
-    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = _tracked_persist(ex)
     return _pair_jaccard(ex, id_col).filter(F.col("jaccard") >= threshold)
 
 
@@ -253,7 +280,7 @@ def simhash_pairs(
     both sides of the band self-join, and without the persist each side
     recomputes the full tokenize+explode+aggregate pipeline.
     """
-    sig = simhash_signatures(docs, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _tracked_persist(simhash_signatures(docs, id_col))
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sig.select(
         F.col(id_col),
@@ -367,10 +394,12 @@ def minhash_lsh_pairs(
       rides the same groupBy as a 25th buffer instead of paying a
       second aggregation over the shingle table.
     """
-    ex = shingle_rows(docs, n, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = signatures_from_shingles(
-        ex, id_col, extra_aggs=[F.count(F.lit(1)).alias("n_sh")]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = _tracked_persist(shingle_rows(docs, n, id_col))
+    sig = _tracked_persist(
+        signatures_from_shingles(
+            ex, id_col, extra_aggs=[F.count(F.lit(1)).alias("n_sh")]
+        )
+    )
 
     band_structs = [
         F.struct(
@@ -587,9 +616,9 @@ def embedding_near_dup_lsh(
     sig = emb.withColumn(
         "_nb", linalg.norm_bands_kernel(bands, band_bits)(F.col("embedding"))
     ).select(id_col, F.col("_nb.bands").alias("bands"))
-    exploded = sig.select(
-        id_col, F.posexplode("bands").alias("band", "val")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = _tracked_persist(
+        sig.select(id_col, F.posexplode("bands").alias("band", "val"))
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -608,10 +637,10 @@ def embedding_near_dup_lsh(
     # joins (x and y sides); unpersisted, each side would re-run the
     # norm pass over the whole corpus (same treatment as the minhash
     # pipeline's shared subplans).
-    n = (
-        with_norm(emb, dim=dim)
-        .select(F.col(id_col), F.col("embedding"), F.col("norm"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    n = _tracked_persist(
+        with_norm(emb, dim=dim).select(
+            F.col(id_col), F.col("embedding"), F.col("norm")
+        )
     )
     cos = linalg.dot(F.col("x.embedding"), F.col("y.embedding"), dim) / (
         F.col("x.norm") * F.col("y.norm")

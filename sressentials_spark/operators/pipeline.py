@@ -260,6 +260,8 @@ def connected_components(
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     max_iter: int = 25,
+    checkpoint_every: int = 5,
+    strict: bool = True,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into per-document canonical assignments.
 
@@ -277,7 +279,19 @@ def connected_components(
     node id; labels persist per round (previous round unpersisted) and
     the edge list persists once — the standard Pregel-without-Pregel
     shape. The driver only ever sees one scalar per round (the changed
-    count), never row data.
+    count), never row data. Every ``checkpoint_every`` rounds the
+    label frame is ``localCheckpoint``-ed to truncate lineage —
+    without it the logical plan nests one join deeper per round and
+    the optimizer/stack pays O(rounds) per subsequent round (local
+    checkpoint trades lineage-based recovery for bounded plan depth;
+    on executor loss the job reruns, which is the right trade for an
+    iterative dedup step).
+
+    If the loop exhausts ``max_iter`` before the fixpoint (component
+    diameter exceeds the budget), ``strict=True`` (default) raises
+    instead of silently returning partially-propagated labels;
+    ``strict=False`` keeps the legacy lenient behavior for exploratory
+    use.
 
     Returns ``(id_col, canonical_id, is_dup)`` for EVERY node:
     ``canonical_id`` is the component minimum, singletons map to
@@ -292,32 +306,45 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    handle = labels  # the persisted frame the current `labels` derives from
 
-    for _ in range(max_iter):
+    converged = False
+    for i in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        updated = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp"))
-                .cast("long")
-                .alias("_changed"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        updated = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+            (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp"))
+            .cast("long")
+            .alias("_changed"),
         )
+        if (i + 1) % checkpoint_every == 0:
+            # Truncate lineage: the plan otherwise nests one join
+            # deeper per round. Eager, so the subsequent agg reads the
+            # materialized blocks.
+            updated = updated.localCheckpoint(eager=True)
+        else:
+            updated = updated.persist(StorageLevel.MEMORY_AND_DISK)
         changed = updated.agg(F.sum("_changed")).collect()[0][0] or 0
-        labels.unpersist()
+        handle.unpersist()
+        handle = updated
         labels = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the iteration budget); raise "
+            "max_iter or pass strict=False to accept partial propagation"
+        )
     return labels.select(
         F.col("id").alias(id_col),
         F.col("comp").alias("canonical_id"),

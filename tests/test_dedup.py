@@ -68,3 +68,22 @@ def test_embedding_pairs_symmetric_free(spark):
     for r in rows:
         assert r["vec_a"] < r["vec_b"]
         assert -1.0001 <= r["cosine"] <= 1.0001
+
+
+def test_release_persisted_frees_cached_intermediates(spark, docs):
+    """Long-lived-session hygiene: every persist a pair generator takes
+    is tracked, and release_persisted() drops them all once the result
+    has materialized (ADVICE r3: unbounded cache growth otherwise)."""
+    D.release_persisted()  # start from a clean registry
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    D.embedding_near_dup_lsh(emb).count()
+    D.minhash_lsh_pairs(docs).count()
+    assert jsc.getPersistentRDDs().size() > baseline
+    released = D.release_persisted()
+    assert released >= 3  # exploded bands + norm corpus + shingles/sigs
+    assert D.release_persisted() == 0  # registry drained
+    # Every tracked block is back out of the store (other modules'
+    # caches, e.g. the parsed-sheet cache, may still hold theirs).
+    assert jsc.getPersistentRDDs().size() <= baseline
