@@ -18,7 +18,11 @@ batches (true for an ``availableNow`` replay of time-partitioned files
 and for ordered ingest). Out-of-order arrivals across batch boundaries
 would need a watermark + reordering buffer in front of the state
 update; that variant is deliberately out of scope (the batch query is
-the late-data-correct restatement).
+the late-data-correct restatement). The contract is ENFORCED, not just
+documented: a batch whose earliest per-user event time precedes the
+stored ``last_us`` raises inside the state update and fails the query,
+so violations surface as an error instead of silently mis-numbered
+sessions.
 
 Scale: state is two longs per active user; the stateful shuffle keys
 on ``user_id`` (uniform). At 100 TB the same plan runs with a RocksDB
@@ -55,11 +59,24 @@ def _assign_sessions(
 ) -> Iterator[pd.DataFrame]:
     pdf = pd.concat(list(pdfs), ignore_index=True)
     pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    us = _ts_us(pdf["ts"])
     if state.exists:
         last_us, sid = state.get
+        # Ordering-contract guard: batches must arrive event-time-
+        # ordered per user (see module docstring). A batch whose
+        # earliest event precedes the stored last-seen time is a state
+        # regression — session ids from here on would be silently
+        # wrong, so fail the query loudly instead.
+        if len(us) and int(us.iloc[0]) < last_us:
+            raise ValueError(
+                f"sessionize ordering contract violated for key {key}: "
+                f"batch min event time {int(us.iloc[0])}us precedes "
+                f"stored last-seen {last_us}us; cross-batch arrivals "
+                "must be event-time-ordered per user (use the batch "
+                "window query for late/out-of-order data)"
+            )
     else:
         last_us, sid = None, 0
-    us = _ts_us(pdf["ts"])
     session_ids = []
     for t in us:
         if last_us is None or t - last_us > SESSION_GAP_US:

@@ -19,6 +19,11 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def bucketed_tables(spark, tmp_path):
+    # Table names derived from tmp_path: concurrent runs (pytest-xdist)
+    # or stale state from a crashed prior run can never collide with
+    # this run's tables in the shared session catalog.
+    tag = f"t{abs(hash(str(tmp_path))) % 10**9}"
+    t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
     orders = load_table(spark, SF, "orders")
     lineitem = load_table(spark, SF, "lineitem")
     (
@@ -26,28 +31,29 @@ def bucketed_tables(spark, tmp_path):
         .sortBy("o_orderkey")
         .option("path", str(tmp_path / "b_orders"))
         .mode("overwrite")
-        .saveAsTable("b_orders")
+        .saveAsTable(t_orders)
     )
     (
         lineitem.write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .option("path", str(tmp_path / "b_lineitem"))
         .mode("overwrite")
-        .saveAsTable("b_lineitem")
+        .saveAsTable(t_lineitem)
     )
-    yield
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    yield t_orders, t_lineitem
+    spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
 
 
 def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    t_orders, t_lineitem = bucketed_tables
     # Force the sort-merge path: a broadcast join would trivially skip
     # the shuffle and prove nothing about bucketing.
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = spark.table("b_lineitem").join(
-            spark.table("b_orders"),
+        joined = spark.table(t_lineitem).join(
+            spark.table(t_orders),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         plan = joined._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,63 @@
+"""Write-side story: partitioned/bucketed output and the shuffle-free
+downstream join it buys (VERDICT r3 stretch item)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sressentials_spark import sinks
+from sressentials_spark.operators.pipeline import connected_components
+from sressentials_spark.operators.dedup import minhash_lsh_pairs, release_persisted
+from sressentials_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    path = str(tmp_path / "docs_by_lang")
+    sinks.write_partitioned(
+        load_table(spark, SF, "documents"), path, ["lang"]
+    )
+    read = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    # The lang predicate lands in PartitionFilters (directory pruning),
+    # not in the row-level data filters.
+    assert "PartitionFilters" in plan
+    head, _, tail = plan.partition("PartitionFilters")
+    assert "lang" in tail.split("]")[0]
+    total = spark.read.parquet(path).count()
+    en = read.count()
+    assert 0 < en < total
+
+
+def test_components_output_joins_documents_shuffle_free(spark, tmp_path):
+    """The intended consumption of connected_components at scale: write
+    verdicts AND the corpus bucketed on doc_id; the canonical-id join
+    back to documents then plans with zero Exchange operators."""
+    tag = f"t{abs(hash(str(tmp_path))) % 10**9}"
+    t_docs, t_comp = f"docs_{tag}", f"comp_{tag}"
+    docs = load_table(spark, SF, "documents")
+    comp = connected_components(
+        docs.select("doc_id"), minhash_lsh_pairs(docs)
+    )
+    sinks.write_bucketed(docs, t_docs, str(tmp_path / "docs"), ["doc_id"])
+    sinks.write_bucketed(comp, t_comp, str(tmp_path / "comp"), ["doc_id"])
+    release_persisted()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = sinks.read_bucketed(spark, t_comp).join(
+            sinks.read_bucketed(spark, t_docs), "doc_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # Semantics: every document got a verdict row.
+        assert joined.count() == docs.count()
+        kept = joined.filter(~F.col("is_dup")).count()
+        assert 0 < kept <= docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {t_docs}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_comp}")

@@ -99,3 +99,24 @@ def test_state_survives_micro_batches(spark, events_pdf, tmp_path):
             if after.min() > 1:
                 continued += 1
     assert continued > 0
+
+
+def test_out_of_order_batches_fail_loudly(spark, events_pdf, tmp_path):
+    """Cross-batch ordering contract is enforced: replaying the LATE
+    half first (file mtimes reversed) regresses the per-user state and
+    must fail the query, not silently mis-number sessions."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    d = str(tmp_path)
+    cut = events_pdf["ts"].median()
+    a = events_pdf[events_pdf["ts"] <= cut]
+    b = events_pdf[events_pdf["ts"] > cut]
+    pa_ = os.path.join(d, "events_a.parquet")
+    pb_ = os.path.join(d, "events_b.parquet")
+    # Late half gets the EARLIER mtime → replays first.
+    pq.write_table(pa.Table.from_pandas(b, preserve_index=False), pa_)
+    pq.write_table(pa.Table.from_pandas(a, preserve_index=False), pb_)
+    os.utime(pa_, (1_000_000, 1_000_000))
+    os.utime(pb_, (2_000_000, 2_000_000))
+    with pytest.raises(StreamingQueryException, match="ordering contract"):
+        run_sessionize_batch(spark, d, glob="*.parquet", max_files_per_trigger=1)
