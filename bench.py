@@ -75,14 +75,17 @@ def main() -> None:
         # Let the C2 compile queue drain so the timed pass runs compiled.
         time.sleep(20)
 
-    # TWO independent timed passes, per-query MINIMUM reported. This box
-    # shows 2-3× one-off spikes on individual queries (compile-queue /
-    # code-cache hiccups) even after warmup; the min across passes is the
-    # reproducible steady-state cost. The sheet cache is cleared BETWEEN
+    # THREE independent timed passes, per-query MINIMUM reported. This
+    # box shows 2-3× one-off spikes on individual queries (compile-queue
+    # / code-cache hiccups) even after warmup, and the big-codegen
+    # pipelines (mongo route struct) take 2-3 at-scale executions to
+    # finish C2 tiering — measured 8.0→3.1→2.0→2.0s convergence for
+    # mongo_slow_detailed; two passes still reported the 3.1s-shaped
+    # tier, three reach steady state. The sheet cache is cleared BETWEEN
     # passes (never within), so each pass keeps the suite's semantics:
     # the first log query pays the parse+persist, later sheets amortize.
     times: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         clear_sheets_cache()
         release_persisted()
         for name, fn in bench_queries.items():

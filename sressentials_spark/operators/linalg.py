@@ -56,9 +56,15 @@ _NB_TYPE = StructType(
 )
 
 #: Above this dimension, unrolled expression chains give way to the
-#: Arrow kernels (round-1 lesson: giant generated methods fall out of
-#: JIT-compilable territory; the cutoff is conservative).
-UNROLL_MAX_DIM = 128
+#: Arrow kernels. Two costs bound the cutoff: generated methods fall
+#: out of JIT-compilable territory (round-1 lesson), and — measured in
+#: round 4 — the DRIVER pays ~2s per invocation just analyzing/
+#: optimizing a 64-deep left-fold tree (the exact cosine top-k ran
+#: 2.7s unrolled vs 0.66s through the Arrow kernel at dim 64, 2000
+#: rows: Catalyst tree-walk cost, not execution). Unrolling only pays
+#: for itself on genuinely small vectors where the per-batch Arrow
+#: exchange would dominate.
+UNROLL_MAX_DIM = 32
 
 
 def _stack(s: pd.Series) -> np.ndarray:
