@@ -1387,6 +1387,32 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.hll_distinct(load_table(spark, sf_dir, "events"), "user_id")
 
 
+#: Probe set for the CMS frequency query: a fixed slate of user ids
+#: standing in for the candidate heavy hitters surfaced by a sample.
+_CMS_PROBE_USERS = list(range(20))
+
+
+@register(
+    "sketch_cms_user_counts",
+    K.cms_probe_oracle_sql("events", "user_id", _CMS_PROBE_USERS),
+)
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for a probe slate of users
+    over the event stream, with a ``heavy`` (≥7‰ of the stream) flag.
+
+    From-scratch deterministic CMS (d=4 md5-seeded hash rows × w=256
+    counters) so the estimate is oracle-verified bit-for-bit. The
+    corpus pass is one narrow projection + a map-side-combinable
+    ``groupBy(r, c).count()`` whose exchange carries ≤ d·w rows per map
+    task; counter merge is elementwise ``+`` (sketch union), so
+    per-day/per-shard counters roll up without re-scanning history.
+    The probe join runs over the broadcast sketch; the only exact
+    aggregate is a scalar ``count(*)`` for the heavy threshold."""
+    return K.cms_probe_counts(
+        load_table(spark, sf_dir, "events"), "user_id", _CMS_PROBE_USERS
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus curation (extension tier: redaction, repetition, sampling, packing)
 # --------------------------------------------------------------------------
@@ -1401,6 +1427,16 @@ def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     category match counts and the redacted payload's md5 — a single
     narrow codegen projection over the corpus (no shuffle, no Python)."""
     return C.pii_redact(load_table(spark, sf_dir, "documents"))
+
+
+@register("curation_quality_filter", C.quality_filter_oracle_sql())
+def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based keep/drop gates (word-count range, mean
+    word length, symbol ratio, stopword floor, lexical diversity) with
+    per-rule 0/1 reason flags and the combined ``keep`` decision. All
+    ratio thresholds are cross-multiplied into integer arithmetic, so
+    the whole filter is one codegen corpus scan with bit-exact flags."""
+    return C.quality_filter(load_table(spark, sf_dir, "documents"))
 
 
 @register("curation_repetition_stats", C.repetition_stats_oracle_sql())

@@ -97,6 +97,131 @@ FROM src
 
 
 # --------------------------------------------------------------------------
+# Rule-based quality filter (Gopher/MassiveText-style keep/drop gates)
+# --------------------------------------------------------------------------
+
+#: Stopword slate for the natural-language gate (regex alternation —
+#: whole words via ``\b``, valid in both Java regex and RE2).
+QF_STOPWORDS = ["the", "a", "of", "to", "and"]
+
+#: Rule thresholds. All comparisons are integer-only (cross-multiplied
+#: ratios), so every flag is bit-exact against the oracle.
+QF_MIN_WORDS = 20
+QF_MAX_WORDS = 80
+QF_MIN_MEAN_WLEN = 2  # mean word length bounds (chars/word)
+QF_MAX_MEAN_WLEN = 12
+QF_MAX_SYMBOL_PER10 = 1  # symbols/word <= 1/10
+QF_MIN_STOP_HITS = 2
+QF_MIN_DISTINCT_PER2 = 1  # distinct/total >= 1/2
+
+
+def quality_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style rule gates with an overall ``keep`` decision.
+
+    Per document: word count in range, mean word length in range,
+    symbol-to-word ratio cap, minimum stopword hits (natural-language
+    signal), minimum lexical diversity. Each gate is surfaced as its
+    own 0/1 flag so the drop *reason* is queryable (the usual corpus
+    triage: ``GROUP BY`` the flags to see what the filter is killing).
+
+    One narrow codegen projection — counts come from ``regexp_count`` /
+    ``size(split(...))``, every ratio test is cross-multiplied into
+    integer arithmetic (no float thresholds), no shuffle, no Python —
+    so the pass costs one corpus scan at any scale.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    n_nonspace = F.length(
+        F.regexp_replace(F.col(text_col), r"\s+", "")
+    ).cast("long")
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("long")
+    stop_pat = r"\b(" + "|".join(QF_STOPWORDS) + r")\b"
+    stop_hits = F.regexp_count(F.col(text_col), F.lit(stop_pat)).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+
+    def flag(cond):
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    len_ok = flag(
+        (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)
+    ).alias("len_ok")
+    mwl_ok = flag(
+        (n_nonspace >= QF_MIN_MEAN_WLEN * n_words)
+        & (n_nonspace <= QF_MAX_MEAN_WLEN * n_words)
+    ).alias("mwl_ok")
+    sym_ok = flag(n_symbols * 10 <= n_words * QF_MAX_SYMBOL_PER10).alias(
+        "sym_ok"
+    )
+    stop_ok = flag(stop_hits >= QF_MIN_STOP_HITS).alias("stop_ok")
+    div_ok = flag(n_distinct * 2 >= n_words * QF_MIN_DISTINCT_PER2).alias(
+        "div_ok"
+    )
+    keep = (
+        F.least(
+            F.col("len_ok"),
+            F.col("mwl_ok"),
+            F.col("sym_ok"),
+            F.col("stop_ok"),
+            F.col("div_ok"),
+        )
+        .cast("long")
+        .alias("keep")
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_nonspace.alias("n_nonspace_chars"),
+        n_symbols.alias("n_symbols"),
+        stop_hits.alias("stop_hits"),
+        n_distinct.alias("n_distinct_words"),
+        len_ok,
+        mwl_ok,
+        sym_ok,
+        stop_ok,
+        div_ok,
+    ).select("*", keep)
+
+
+def quality_filter_oracle_sql(table: str = "documents") -> str:
+    """DuckDB restatement of :func:`quality_filter`."""
+    stop_pat = r"\b(" + "|".join(QF_STOPWORDS) + r")\b"
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    return rf"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+           AS n_nonspace_chars,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_symbols,
+         CAST(len(regexp_extract_all(text, '{stop_pat}')) AS BIGINT)
+           AS stop_hits,
+         CAST(len(list_distinct({toks})) AS BIGINT) AS n_distinct_words
+  FROM {table}
+),
+flags AS (
+  SELECT *,
+         CAST(CASE WHEN n_words >= {QF_MIN_WORDS}
+                    AND n_words <= {QF_MAX_WORDS} THEN 1 ELSE 0 END AS BIGINT)
+           AS len_ok,
+         CAST(CASE WHEN n_nonspace_chars >= {QF_MIN_MEAN_WLEN} * n_words
+                    AND n_nonspace_chars <= {QF_MAX_MEAN_WLEN} * n_words
+              THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
+         CAST(CASE WHEN n_symbols * 10 <= n_words * {QF_MAX_SYMBOL_PER10}
+              THEN 1 ELSE 0 END AS BIGINT) AS sym_ok,
+         CAST(CASE WHEN stop_hits >= {QF_MIN_STOP_HITS} THEN 1 ELSE 0 END
+              AS BIGINT) AS stop_ok,
+         CAST(CASE WHEN n_distinct_words * 2 >= n_words * {QF_MIN_DISTINCT_PER2}
+              THEN 1 ELSE 0 END AS BIGINT) AS div_ok
+  FROM sig
+)
+SELECT *, CAST(least(len_ok, mwl_ok, sym_ok, stop_ok, div_ok) AS BIGINT) AS keep
+FROM flags
+"""
+
+
+# --------------------------------------------------------------------------
 # Repetition statistics (Gopher-style quality signals)
 # --------------------------------------------------------------------------
 

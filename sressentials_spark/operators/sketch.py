@@ -139,6 +139,178 @@ def hll_distinct(
     return out
 
 
+# --------------------------------------------------------------------------
+# Count-Min Sketch (frequency estimation / heavy hitters)
+# --------------------------------------------------------------------------
+
+#: Sketch geometry: d independent hash rows × w counter columns.
+#: d=4, w=256 keeps the whole sketch at ≤1024 rows (the point: the
+#: shuffle after the map-side combine carries at most d·w counter rows
+#: per map task regardless of input size). Production sizing: w ≈
+#: ceil(e/ε) for additive error ε·N, d ≈ ceil(ln(1/δ)).
+CMS_D = 4
+CMS_W = 256
+CMS_SEED = "cms-v1"
+
+
+def cms_counters(df: DataFrame, col: str, seed: str = CMS_SEED) -> DataFrame:
+    """Build the Count-Min counter table ``(r, c, n)`` for ``df[col]``.
+
+    One narrow projection (each input row generates its ``d`` (row,
+    bucket) coordinates via an exploded literal array — still codegen),
+    then a ``groupBy(r, c).count()``: map-side combinable, so the
+    exchange carries ≤ ``d*w`` rows per map task. Counter merge across
+    partitions/days is elementwise ``+`` — the sketch-union property —
+    so per-shard counters roll up without re-scanning history.
+
+    Hashes are the shared 60-bit md5 integer (seeded per row ``i``), so
+    the counter table is bit-reproducible against the DuckDB oracle.
+    """
+    src = df.filter(F.col(col).isNotNull())
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("r"),
+                    F.pmod(
+                        md5_long(
+                            F.concat(
+                                F.lit(f"{seed}:{i}:"), F.col(col).cast("string")
+                            )
+                        ),
+                        F.lit(CMS_W),
+                    ).alias("c"),
+                )
+                for i in range(CMS_D)
+            ]
+        )
+    )
+    return (
+        src.select(coords.alias("rc"))
+        .select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_probe_counts(
+    df: DataFrame,
+    col: str,
+    probe_keys: list[int],
+    seed: str = CMS_SEED,
+    heavy_pm: int = 7,
+) -> DataFrame:
+    """Estimate per-key frequencies from a Count-Min sketch.
+
+    Output: ``(key, cms_estimate, total_rows, heavy)`` for each probe
+    key — ``cms_estimate = min_i counter[i][h_i(key)]`` (the classic
+    upper bound: never below the true count), ``heavy = 1`` iff the
+    estimate is at least ``heavy_pm`` per-mille of the stream (integer
+    arithmetic only, so the flag is oracle-exact).
+
+    Plan shape: the corpus pass builds the ≤ ``d*w``-row counter table
+    (see :func:`cms_counters`); the probe side is a tiny literal frame
+    whose ``d`` coordinates left-join the counters (both sides sketch-
+    sized — Spark broadcasts them) and fold with ``min``. The stream
+    total is a plain map-combinable ``count(*)`` (not the distinct
+    count HLL avoids — a scalar count is free at any scale).
+    """
+    spark = df.sparkSession
+    counters = cms_counters(df, col, seed)
+    probes = spark.createDataFrame(
+        [(int(k),) for k in probe_keys], f"{col} long"
+    )
+    pc = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("r"),
+                        F.pmod(
+                            md5_long(
+                                F.concat(
+                                    F.lit(f"{seed}:{i}:"),
+                                    F.col(col).cast("string"),
+                                )
+                            ),
+                            F.lit(CMS_W),
+                        ).alias("c"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select(F.col(col), F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    est = (
+        pc.join(F.broadcast(counters), ["r", "c"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_estimate"))
+    )
+    total = df.filter(F.col(col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("total_rows")
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            col,
+            "cms_estimate",
+            "total_rows",
+            F.when(
+                F.col("cms_estimate") * 1000 >= F.col("total_rows") * heavy_pm,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("heavy"),
+        )
+        .orderBy(col)
+    )
+
+
+def cms_probe_oracle_sql(
+    table: str,
+    col: str,
+    probe_keys: list[int],
+    seed: str = CMS_SEED,
+    heavy_pm: int = 7,
+) -> str:
+    """DuckDB restatement of :func:`cms_probe_counts`."""
+    h = (
+        f"(('0x' || substring(md5('{seed}:' || CAST(i AS VARCHAR) || ':'"
+        f" || CAST({col} AS VARCHAR)), 1, 15))::BIGINT) % {CMS_W}"
+    )
+    keys = ", ".join(f"({int(k)})" for k in probe_keys)
+    return f"""
+WITH rows_i AS (SELECT unnest(range({CMS_D})) AS i),
+counters AS (
+  SELECT CAST(i AS BIGINT) AS r, {h} AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table}, rows_i
+  WHERE {col} IS NOT NULL
+  GROUP BY 1, 2
+),
+probes AS (SELECT CAST(k AS BIGINT) AS {col} FROM (VALUES {keys}) p(k)),
+pc AS (
+  SELECT {col}, CAST(i AS BIGINT) AS r, {h} AS c FROM probes, rows_i
+),
+est AS (
+  SELECT pc.{col},
+         CAST(MIN(COALESCE(n, 0)) AS BIGINT) AS cms_estimate
+  FROM pc LEFT JOIN counters USING (r, c)
+  GROUP BY pc.{col}
+),
+total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_rows
+  FROM {table} WHERE {col} IS NOT NULL
+)
+SELECT {col}, cms_estimate, total_rows,
+       CAST(CASE WHEN cms_estimate * 1000 >= total_rows * {int(heavy_pm)}
+                 THEN 1 ELSE 0 END AS BIGINT) AS heavy
+FROM est, total
+ORDER BY {col}
+"""
+
+
 def hll_distinct_oracle_sql(
     table: str, col: str, seed: str = HLL_SEED, with_exact: bool = False
 ) -> str:

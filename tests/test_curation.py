@@ -46,6 +46,43 @@ class TestPiiRedact:
         assert row2["n_ipv4"] == 0 and row2["redacted"] == "not-ip 10.222.333.4444"
 
 
+class TestQualityFilter:
+    def _flags(self, spark, text):
+        rows = [(0, text, "en")]
+        return C.quality_filter(_docs(spark, rows)).collect()[0].asDict()
+
+    def test_good_document_keeps(self, spark):
+        words = [f"word{i}" for i in range(20)] + ["the", "a", "of"]
+        row = self._flags(spark, " ".join(words))
+        assert row["keep"] == 1
+        for f in ("len_ok", "mwl_ok", "sym_ok", "stop_ok", "div_ok"):
+            assert row[f] == 1, f
+
+    def test_too_short_drops_with_reason(self, spark):
+        row = self._flags(spark, "the a of tiny doc")
+        assert row["len_ok"] == 0 and row["keep"] == 0
+
+    def test_symbol_soup_drops(self, spark):
+        words = ["the", "a", "of"] + [f"w{i}#!?" for i in range(25)]
+        row = self._flags(spark, " ".join(words))
+        assert row["sym_ok"] == 0 and row["keep"] == 0
+
+    def test_no_stopwords_drops(self, spark):
+        row = self._flags(spark, " ".join(f"tok{i}" for i in range(30)))
+        assert row["stop_ok"] == 0 and row["keep"] == 0
+
+    def test_low_diversity_drops(self, spark):
+        words = ["the", "a"] + ["spam"] * 30
+        row = self._flags(spark, " ".join(words))
+        assert row["div_ok"] == 0 and row["keep"] == 0
+
+    def test_one_flag_per_gate_is_independent(self, spark):
+        # The reason flags must report every failing gate, not just
+        # the first: a short, repetitive, stopword-free doc trips 3.
+        row = self._flags(spark, "zz zz zz")
+        assert (row["len_ok"], row["stop_ok"], row["div_ok"]) == (0, 0, 0)
+
+
 class TestRepetitionStats:
     def test_top_unigram_and_bigram(self, spark):
         df = _docs(spark, [(1, "a a a b", "en")])

@@ -55,6 +55,57 @@ class TestHllDistinct:
         assert row["n_nonempty_buckets"] <= 2
 
 
+class TestCountMin:
+    def _events(self, spark):
+        from sressentials_spark.sources.tables import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "events")
+
+    def test_never_underestimates(self, spark):
+        # The defining CMS guarantee: estimate >= true count, always.
+        from sressentials_spark.operators.sketch import cms_probe_counts
+
+        ev = self._events(spark)
+        probes = list(range(15))
+        est = {
+            r["user_id"]: r["cms_estimate"]
+            for r in cms_probe_counts(ev, "user_id", probes).collect()
+        }
+        exact = {
+            r["user_id"]: r["n"]
+            for r in ev.filter(F.col("user_id").isin(probes))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for k in probes:
+            assert est[k] >= exact.get(k, 0)
+
+    def test_sketch_size_bounded(self, spark):
+        from sressentials_spark.operators.sketch import (
+            CMS_D,
+            CMS_W,
+            cms_counters,
+        )
+
+        ev = self._events(spark)
+        assert cms_counters(ev, "user_id").count() <= CMS_D * CMS_W
+
+    def test_absent_key_can_read_zero_and_partition_invariant(self, spark):
+        from sressentials_spark.operators.sketch import cms_probe_counts
+
+        ev = self._events(spark)
+        probes = [0, 1, 10**12]  # last key never occurs
+        a = cms_probe_counts(ev, "user_id", probes).collect()
+        b = cms_probe_counts(ev.repartition(13), "user_id", probes).collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+        ghost = [r for r in a if r["user_id"] == 10**12][0]
+        # Collisions may inflate it, but it can never exceed the worst
+        # single-row counter; with 1000 rows over 256 columns it is
+        # far below the true-key estimates.
+        assert ghost["cms_estimate"] >= 0
+
+
 class TestStreamingHll:
     def test_multi_batch_registers_merge_to_batch_result(self, spark, tmp_path):
         import pyarrow as pa
