@@ -602,6 +602,53 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+split AS (SELECT (max(doc_id) + 1) * 7 // 10 AS s FROM documents),
+j AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+),
+newd AS (SELECT doc_id FROM documents, split WHERE doc_id >= s),
+agg AS (
+  SELECT doc_b AS doc_id,
+         SUM(CASE WHEN doc_a < s THEN 1 ELSE 0 END) AS nh,
+         SUM(CASE WHEN doc_a >= s THEN 1 ELSE 0 END) AS nb
+  FROM j, split
+  WHERE doc_b >= s
+  GROUP BY doc_b
+)
+SELECT newd.doc_id,
+       CAST(COALESCE(nh, 0) AS BIGINT) AS n_hist_matches,
+       CAST(COALESCE(nb, 0) AS BIGINT) AS n_batch_matches,
+       CASE WHEN COALESCE(nh, 0) > 0 THEN 'dup_of_history'
+            WHEN COALESCE(nb, 0) > 0 THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM newd LEFT JOIN agg ON newd.doc_id = agg.doc_id
+"""
+
+
+@register("dedup_incremental_ingest", _INCR_ORACLE)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: the last 30% of the corpus (by
+    doc_id) plays the role of a freshly arrived batch, triaged against
+    the first 70% (the ingested history) and against earlier rows of
+    its own batch — ``dup_of_history`` / ``dup_in_batch`` / ``kept``
+    per new document, with verified-match counts.
+
+    The candidate join probes new-batch band signatures against the
+    band index, so the history×history quadrant (the cost a naive
+    re-dedup pays on every ingest) never materializes; verification is
+    the same relational shingle-intersection as the batch LSH query.
+    The split point is a one-scalar ``max(doc_id)`` action (70/30 at
+    any scale factor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    return D.minhash_incremental(docs, split, threshold=0.8)
+
+
 @register("dedup_minhash_lsh", _jaccard_oracle(0.8))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (>= 0.8).
@@ -882,6 +929,42 @@ def sim_cosine_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         filter_col="label",
     )
+
+
+_QUANTIZE_ORACLE = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       mn, mx,
+       CASE WHEN mx > mn THEN
+         array_to_string(list_transform(embedding,
+           x -> CAST(CAST(least(255.0,
+                  floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)))
+                AS BIGINT) AS VARCHAR)), ',')
+       ELSE array_to_string(list_transform(embedding, x -> '0'), ',')
+       END AS codes_csv
+FROM b
+"""
+
+
+@register("emb_quantize_int8", _QUANTIZE_ORACLE)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min/max scalar quantization of the embedding corpus
+    to 8-bit codes (+ the ``(mn, mx)`` dequantization range) — the
+    storage-side compression for a 100 TB vector store. One Arrow
+    kernel pass (:func:`operators.linalg.quantize_int8_arrow`), no
+    shuffle; codes ship as CSV so the oracle compares them bit-for-bit."""
+    from sressentials_spark.operators.linalg import quantize_int8_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", quantize_int8_arrow(F.col("embedding")).alias("q")
+    ).select("vec_id", "q.n_dims", "q.mn", "q.mx", "q.codes_csv")
 
 
 # --------------------------------------------------------------------------

@@ -468,6 +468,120 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_incremental(
+    docs: DataFrame,
+    split_id: int,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental-ingest near-dup triage: route each NEW document
+    (``id >= split_id``) against the already-ingested history
+    (``id < split_id``) and against earlier rows of its own batch.
+
+    Output, one row per new document: ``n_hist_matches`` /
+    ``n_batch_matches`` (verified-Jaccard ≥ ``threshold`` partners in
+    history / earlier in the batch) and ``status`` —
+    ``'dup_of_history'`` > ``'dup_in_batch'`` > ``'kept'``. "Earlier"
+    means smaller id: the deterministic arrival order that makes the
+    in-batch decision reproducible regardless of partitioning.
+
+    This is the production ingest shape: candidate generation is the
+    banded MinHash join *restricted to pairs whose larger side is a new
+    document* — history×history pairs (the quadratic bulk a full-corpus
+    dedup would re-pay on every ingest) never leave the band join,
+    because the probe side of the join is pre-filtered to the new
+    batch. At scale the history band table and shingle table are
+    precomputed artifacts (see ``sinks.write_bucketed``) keyed by
+    bucket/shingle, so an ingest only pays signatures for the batch
+    plus bucket-local joins; here both sides derive from one corpus
+    scan to stay self-contained. Verification stays relational (shingle
+    intersection counts), and candidates travel as bare id pairs.
+    """
+    ex = _tracked_persist(shingle_rows(docs, n, id_col))
+    sig = _tracked_persist(
+        signatures_from_shingles(
+            ex, id_col, extra_aggs=[F.count(F.lit(1)).alias("n_sh")]
+        )
+    )
+
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            *[
+                F.col(f"s{bi * MINHASH_ROWS + r + 1}").alias(f"r{r}")
+                for r in range(MINHASH_ROWS)
+            ],
+        )
+        for bi in range(MINHASH_BANDS)
+    ]
+    bands = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bv"))
+    if max_bucket is not None:
+        over = (
+            bands.groupBy("bv")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("bv")
+        )
+        bands = bands.join(F.broadcast(over), "bv", "left_anti")
+    # Probe side = new batch only; build side = everything older than
+    # the probe row. The history×history quadrant never materializes.
+    new_bands = bands.filter(F.col(id_col) >= split_id)
+    cand = (
+        bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    sizes = sig.select(id_col, "n_sh")
+    inter = (
+        cand.join(ex.select(F.col(id_col).alias("doc_a"), "g"), "doc_a")
+        .join(ex.select(F.col(id_col).alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    per_doc = verified.groupBy(F.col("doc_b").alias(id_col)).agg(
+        F.sum(F.when(F.col("doc_a") < split_id, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hist_matches"),
+        F.sum(F.when(F.col("doc_a") >= split_id, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch_matches"),
+    )
+    new_docs = docs.filter(F.col(id_col) >= split_id).select(id_col)
+    return new_docs.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hist_matches", F.lit(0)).cast("long").alias("n_hist_matches"),
+        F.coalesce("n_batch_matches", F.lit(0)).cast("long").alias("n_batch_matches"),
+        F.when(F.coalesce("n_hist_matches", F.lit(0)) > 0, F.lit("dup_of_history"))
+        .when(F.coalesce("n_batch_matches", F.lit(0)) > 0, F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding cosine near-duplicates
 # --------------------------------------------------------------------------

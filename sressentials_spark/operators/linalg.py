@@ -44,6 +44,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -227,6 +228,60 @@ def ivf_cells_kernel(centroid_ids: list[int], centroids: np.ndarray, nprobe: int
         return pd.DataFrame({"norm": vnorm, "cells": list(cids[nearest])})
 
     return f
+
+
+#: Return type of :func:`quantize_int8_arrow`. Codes travel as a CSV
+#: string rather than ``array<long>`` so the driver's value-hash (a
+#: per-column string canonicalization) compares them without
+#: engine-specific array formatting.
+_QZ_TYPE = StructType(
+    [
+        StructField("n_dims", LongType()),
+        StructField("mn", DoubleType()),
+        StructField("mx", DoubleType()),
+        StructField("codes_csv", StringType()),
+    ]
+)
+
+
+@pandas_udf(_QZ_TYPE)
+def quantize_int8_arrow(v: pd.Series) -> pd.DataFrame:
+    """Arrow kernel: per-vector min/max scalar quantization to 8-bit
+    codes — ``code = least(255, floor((x - mn) * 255.0 / (mx - mn)))``,
+    all-zero codes for a constant vector.
+
+    Every step is IEEE double arithmetic in the same order the DuckDB
+    oracle states (subtract, scale, divide, floor, clamp), so the code
+    stream is bit-reproducible. This is the storage-side transform for
+    a 100 TB embedding store: 4×/8× smaller vectors with ``(mn, mx)``
+    per vector for dequantization; downstream ANN re-ranks the
+    shortlist against the full-precision source.
+    """
+    V = _stack(v)
+    n = V.shape[0]
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_dims": pd.Series(dtype=np.int64),
+                "mn": pd.Series(dtype=np.float64),
+                "mx": pd.Series(dtype=np.float64),
+                "codes_csv": pd.Series(dtype=object),
+            }
+        )
+    mn, mx = V.min(axis=1), V.max(axis=1)
+    span = mx - mn
+    safe = np.where(span > 0, span, 1.0)
+    codes = np.floor((V - mn[:, None]) * 255.0 / safe[:, None])
+    codes = np.minimum(codes, 255.0)
+    codes = np.where(span[:, None] > 0, codes, 0.0).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "n_dims": np.full(n, V.shape[1], dtype=np.int64),
+            "mn": mn,
+            "mx": mx,
+            "codes_csv": [",".join(map(str, row)) for row in codes],
+        }
+    )
 
 
 def dot(a: Column, b: Column, dim: int) -> Column:

@@ -87,3 +87,39 @@ def test_release_persisted_frees_cached_intermediates(spark, docs):
     # Every tracked block is back out of the store (other modules'
     # caches, e.g. the parsed-sheet cache, may still hold theirs).
     assert jsc.getPersistentRDDs().size() <= baseline
+
+
+class TestMinhashIncremental:
+    def _run(self, spark, rows, split):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = D.minhash_incremental(df, split, threshold=0.8)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_statuses_and_priority(self, spark):
+        base = " ".join(f"w{i}" for i in range(30))
+        other = " ".join(f"x{i}" for i in range(30))
+        fresh = " ".join(f"y{i}" for i in range(30))
+        rows = [
+            (0, base),        # history
+            (1, other),       # history
+            (10, base),       # new: dup of history doc 0
+            (11, fresh),      # new: kept (first of its kind)
+            (12, fresh),      # new: dup of earlier batch doc 11
+            (13, base),       # new: matches history AND doc 10 ->
+        ]                     # history wins the status priority
+        out = self._run(spark, rows, split=10)
+        assert set(out) == {10, 11, 12, 13}, "one row per NEW doc only"
+        assert out[10]["status"] == "dup_of_history"
+        assert out[11]["status"] == "kept"
+        assert out[12]["status"] == "dup_in_batch"
+        assert out[12]["n_batch_matches"] == 1
+        assert out[13]["status"] == "dup_of_history"
+        assert out[13]["n_hist_matches"] == 1
+        assert out[13]["n_batch_matches"] == 1
+
+    def test_history_rows_never_surface(self, spark):
+        text = " ".join(f"w{i}" for i in range(20))
+        rows = [(0, text), (1, text), (5, " ".join(f"z{i}" for i in range(20)))]
+        out = self._run(spark, rows, split=5)
+        assert set(out) == {5}
+        assert out[5]["status"] == "kept"

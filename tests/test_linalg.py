@@ -127,3 +127,45 @@ def test_empty_corpus(spark):
     df, _ = _mk_vectors(spark, 0, 8)
     assert attach_norm_bucket(df).count() == 0
     assert df.select(linalg.norm_arrow("embedding")).count() == 0
+
+
+class TestQuantizeInt8:
+    def _run(self, spark, vecs):
+        from pyspark.sql import functions as F
+        from sressentials_spark.operators.linalg import quantize_int8_arrow
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        return (
+            df.select("vec_id", quantize_int8_arrow(F.col("embedding")).alias("q"))
+            .select("vec_id", "q.*")
+            .collect()
+        )
+
+    def test_codes_span_full_range_and_roundtrip(self, spark):
+        rows = self._run(spark, [[0.0, 1.0, 0.5, 0.25]])
+        r = rows[0].asDict()
+        codes = [int(c) for c in r["codes_csv"].split(",")]
+        assert min(codes) == 0 and max(codes) == 255
+        # Dequantized values stay within one quantization step.
+        step = (r["mx"] - r["mn"]) / 255.0
+        orig = [0.0, 1.0, 0.5, 0.25]
+        for c, x in zip(codes, orig):
+            assert abs((r["mn"] + c * step) - x) <= step
+
+    def test_constant_vector_is_all_zero_codes(self, spark):
+        r = self._run(spark, [[2.5, 2.5, 2.5]])[0].asDict()
+        assert r["codes_csv"] == "0,0,0"
+        assert r["mn"] == r["mx"] == 2.5
+
+    def test_codes_never_exceed_255(self, spark):
+        import random
+
+        random.seed(7)
+        vecs = [[random.uniform(-3, 3) for _ in range(64)] for _ in range(50)]
+        for row in self._run(spark, vecs):
+            codes = [int(c) for c in row["codes_csv"].split(",")]
+            assert all(0 <= c <= 255 for c in codes)
+            assert len(codes) == row["n_dims"] == 64
