@@ -931,6 +931,173 @@ def sim_cosine_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_funnel_view_click_purchase",
+    """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase
+""",
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that click.
+
+    Three per-user conditional ``min(ts)`` stages, each a map-side-
+    combinable agg + an equi-join on ``user_id`` (uniform key) — the
+    relational funnel shape that scales, instead of a per-user sort or
+    ``collect_list`` of event sequences through a window."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH f AS (
+  -- day-truncated TIMESTAMP (not DATE): both engines hand the
+  -- comparator a timestamp dtype, where DATE round-trips differently
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+SELECT cohort_day,
+       CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT CASE WHEN a.d = cohort_day + INTERVAL 1 DAY
+                                THEN f.user_id END) AS BIGINT) AS retained_d1,
+       CAST(COUNT(DISTINCT CASE WHEN a.d = cohort_day + INTERVAL 7 DAY
+                                THEN f.user_id END) AS BIGINT) AS retained_d7
+FROM f JOIN a ON f.user_id = a.user_id
+GROUP BY cohort_day
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily signup-cohort retention: users grouped by their first
+    active day, with day-1 and day-7 return counts.
+
+    Both heavy stages key on ``user_id`` (first-day agg, activity
+    distinct, and the join); only the already-reduced per-user rows
+    reach the small cohort-date groupBy — the shape that holds when
+    users number in the billions but cohort dates stay in the
+    thousands."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    a = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    return (
+        f.join(a, "user_id")
+        .groupBy("cohort_day")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct(
+                F.when(
+                    F.col("d") == F.col("cohort_day") + F.expr("INTERVAL 1 DAY"),
+                    F.col("user_id"),
+                )
+            ).alias("retained_d1"),
+            F.count_distinct(
+                F.when(
+                    F.col("d") == F.col("cohort_day") + F.expr("INTERVAL 7 DAY"),
+                    F.col("user_id"),
+                )
+            ).alias("retained_d7"),
+        )
+    )
+
+
+@register(
+    "text_top_terms_per_lang",
+    r"""
+WITH tf AS (
+  SELECT lang, tok, COUNT(*) AS n_docs FROM (
+    SELECT doc_id, lang,
+           unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+    FROM documents)
+  GROUP BY lang, tok
+),
+r AS (
+  SELECT lang, tok, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_docs DESC, tok ASC) AS rn
+  FROM tf
+)
+SELECT lang, tok AS term, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5
+""",
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by document frequency (deterministic
+    count-desc, term-asc tie-break) — the vocabulary-head report.
+
+    Aggregate-then-rank: the corpus-sized shuffle keys on the uniform
+    ``(lang, term)`` pair; the ranking window only sees the already-
+    aggregated vocabulary table (bounded by |vocab|·|langs|, not corpus
+    rows), which is what keeps a per-``lang`` window partition safe at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    from sressentials_spark.operators.text import tokens as _toks
+
+    tf = (
+        docs.select(
+            "lang", F.explode(F.array_distinct(_toks("text"))).alias("term")
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_docs").desc(), F.col("term").asc()
+    )
+    return (
+        tf.select(
+            "lang",
+            "term",
+            "n_docs",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+    )
+
+
 _QUANTIZE_ORACLE = """
 WITH b AS (
   SELECT vec_id, embedding,
@@ -1427,6 +1594,26 @@ def streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hll_stream_batch(spark, sf_dir)
 
 
+#: Probe set for the CMS frequency query: a fixed slate of user ids
+#: standing in for the candidate heavy hitters surfaced by a sample.
+_CMS_PROBE_USERS = list(range(20))
+
+
+@register(
+    "streaming_cms_user_counts",
+    K.cms_probe_oracle_sql("events", "user_id", _CMS_PROBE_USERS),
+)
+def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min counter stage as a stateful stream (count-per-
+    (row, bucket) is a streaming-supported agg with at most d·w state
+    rows; micro-batch partial counts merging into state IS the CMS
+    union), probed over the settled counters. Same oracle as the batch
+    sketch — both execution models must agree bit-for-bit."""
+    from sressentials_spark.streaming.sketch import run_cms_stream_batch
+
+    return run_cms_stream_batch(spark, sf_dir, _CMS_PROBE_USERS)
+
+
 @register(
     "streaming_exact_dedup",
     "SELECT DISTINCT md5(text) AS content_hash FROM documents",
@@ -1468,11 +1655,6 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``small_range`` flag marks estimates below the 2.5m calibration
     floor where classic HLL would switch to linear counting."""
     return K.hll_distinct(load_table(spark, sf_dir, "events"), "user_id")
-
-
-#: Probe set for the CMS frequency query: a fixed slate of user ids
-#: standing in for the candidate heavy hitters surfaced by a sample.
-_CMS_PROBE_USERS = list(range(20))
 
 
 @register(

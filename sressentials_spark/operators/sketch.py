@@ -215,8 +215,28 @@ def cms_probe_counts(
     total is a plain map-combinable ``count(*)`` (not the distinct
     count HLL avoids — a scalar count is free at any scale).
     """
-    spark = df.sparkSession
     counters = cms_counters(df, col, seed)
+    total = df.filter(F.col(col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("total_rows")
+    )
+    return cms_probe_from_counters(
+        counters, total, col, probe_keys, seed, heavy_pm
+    )
+
+
+def cms_probe_from_counters(
+    counters: DataFrame,
+    total: DataFrame,
+    col: str,
+    probe_keys: list[int],
+    seed: str = CMS_SEED,
+    heavy_pm: int = 7,
+) -> DataFrame:
+    """Probe step over a prebuilt ``(r, c, n)`` counter table and a
+    one-row ``total_rows`` frame — shared by the batch query and the
+    streaming runner (where the counters are the settled state of the
+    streaming aggregation)."""
+    spark = counters.sparkSession
     probes = spark.createDataFrame(
         [(int(k),) for k in probe_keys], f"{col} long"
     )
@@ -246,9 +266,6 @@ def cms_probe_counts(
         pc.join(F.broadcast(counters), ["r", "c"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_estimate"))
-    )
-    total = df.filter(F.col(col).isNotNull()).agg(
-        F.count(F.lit(1)).alias("total_rows")
     )
     return (
         est.crossJoin(F.broadcast(total))

@@ -21,7 +21,12 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sressentials_spark.operators.sketch import finish_estimate, hll_registers
+from sressentials_spark.operators.sketch import (
+    cms_counters,
+    cms_probe_from_counters,
+    finish_estimate,
+    hll_registers,
+)
 
 
 def hll_register_stream(
@@ -70,3 +75,49 @@ def run_hll_stream_batch(
         )
         out = out.crossJoin(exact)
     return out
+
+
+def run_cms_stream_batch(
+    spark: SparkSession, sf_dir: str, probe_keys: list[int],
+    col: str = "user_id",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+    heavy_pm: int = 7,
+) -> DataFrame:
+    """Count-Min counters maintained as a stateful stream, probed after
+    the replay settles.
+
+    The counter stage (``groupBy(r, c).count()``) is streaming-legal
+    as-is: a supported stateful aggregation with at most ``d*w`` state
+    rows regardless of stream volume — each micro-batch's partial
+    counts merge into state, which IS the CMS union (elementwise
+    ``+``), live. The probe fold and the scalar stream total run as a
+    trivial batch step over the settled counters, mirroring the HLL
+    split above (chained stateful aggs aren't allowed in one streaming
+    query; at production scale the stream maintains counters
+    continuously and readers probe them on demand).
+    """
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    run_key = f"{sf_dir}|{col}|{glob}|{max_files_per_trigger}|cms"
+    name = "stream_cms_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
+    q = (
+        cms_counters(reader.parquet(sf_dir), col)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = (
+        spark.read.option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+        .filter(F.col(col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("total_rows"))
+    )
+    return cms_probe_from_counters(
+        spark.table(name), total, col, probe_keys, heavy_pm=heavy_pm
+    )

@@ -106,6 +106,40 @@ class TestCountMin:
         assert ghost["cms_estimate"] >= 0
 
 
+class TestStreamingCms:
+    def test_multi_batch_counters_merge_to_batch_result(self, spark, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sressentials_spark.operators.sketch import cms_probe_counts
+        from sressentials_spark.sources.tables import load_table
+        from sressentials_spark.streaming.sketch import run_cms_stream_batch
+
+        # Two files → two micro-batches; per-batch partial counts must
+        # merge in state to exactly the batch sketch's counters.
+        src = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+        half = len(src) // 2
+        d = str(tmp_path)
+        fa, fb = os.path.join(d, "ev_a.parquet"), os.path.join(d, "ev_b.parquet")
+        pq.write_table(pa.Table.from_pandas(src.iloc[:half], preserve_index=False), fa)
+        pq.write_table(pa.Table.from_pandas(src.iloc[half:], preserve_index=False), fb)
+        os.utime(fa, (1_000_000, 1_000_000))
+        os.utime(fb, (2_000_000, 2_000_000))
+
+        probes = list(range(10))
+        streamed = run_cms_stream_batch(
+            spark, d, probes, glob="*.parquet", max_files_per_trigger=1
+        ).collect()
+        batch = cms_probe_counts(
+            load_table(spark, "/root/testdata/sf0.001", "events"),
+            "user_id",
+            probes,
+        ).collect()
+        assert [r.asDict() for r in streamed] == [r.asDict() for r in batch]
+
+
 class TestStreamingHll:
     def test_multi_batch_registers_merge_to_batch_result(self, spark, tmp_path):
         import pyarrow as pa
