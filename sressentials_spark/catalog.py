@@ -1594,6 +1594,50 @@ def streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hll_stream_batch(spark, sf_dir)
 
 
+_BLOOM_H = (
+    "(('0x' || substring(md5('bloom-v1:' || CAST(i AS VARCHAR) || ':' || fp),"
+    " 1, 15))::BIGINT) % 65536"
+)
+
+_BLOOM_ORACLE = f"""
+WITH split AS (SELECT (max(doc_id) + 1) * 7 // 10 AS s FROM documents),
+rows_i AS (SELECT unnest(range(3)) AS i),
+hist AS (SELECT md5(text) AS fp FROM documents, split WHERE doc_id < s),
+bits AS (SELECT DISTINCT {_BLOOM_H} AS bit FROM hist, rows_i),
+newd AS (SELECT doc_id, md5(text) AS fp FROM documents, split WHERE doc_id >= s),
+pc AS (SELECT doc_id, {_BLOOM_H} AS bit FROM newd, rows_i)
+SELECT doc_id,
+       CAST(MIN(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS bloom_maybe
+FROM pc LEFT JOIN bits ON pc.bit = bits.bit
+GROUP BY doc_id
+"""
+
+
+@register("sketch_bloom_history_membership", _BLOOM_ORACLE)
+def sketch_bloom_history_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe: new-batch content fingerprints
+    (last 30% of the corpus by id) tested against a filter built over
+    the ingested history's fingerprints — the O(1)-bits-per-key
+    pre-gate an incremental ingest runs BEFORE the relational
+    anti-join, at 100 TB the difference between touching the history
+    store for every arriving document and touching it only for bloom
+    hits. The filter is a relational set-bit table (≤ m = 65536 rows —
+    broadcast), so the probe is a broadcast join + min-fold; a true
+    member can never read 0 (pinned by test), a 1 is "maybe" at the
+    fill-ratio FP rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    fp = F.md5(F.col("text").cast("binary")).alias("fp")
+    hist = docs.filter(F.col("doc_id") < split).select(fp)
+    newd = docs.filter(F.col("doc_id") >= split).select("doc_id", fp)
+    bits = K.bloom_bits(hist, "fp")
+    return K.bloom_probe(bits, newd, "fp").join(
+        newd.select("doc_id", "fp"), "fp"
+    ).select("doc_id", "bloom_maybe")
+
+
 #: Probe set for the CMS frequency query: a fixed slate of user ids
 #: standing in for the candidate heavy hitters surfaced by a sample.
 _CMS_PROBE_USERS = list(range(20))
@@ -1759,6 +1803,51 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast benchmark shingles, one corpus pass, no self-join."""
     return C.decontaminate(
         load_table(spark, sf_dir, "documents"), _DECON_BENCH_IDS, min_shared=2
+    )
+
+
+@register(
+    "curation_pipeline_end2end",
+    f"""
+WITH qf AS ({C.quality_filter_oracle_sql("documents")}),
+kept_q AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d
+  JOIN qf ON d.doc_id = qf.doc_id AND qf.keep = 1
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept_q GROUP BY md5(text)
+),
+deduped AS (
+  SELECT k.doc_id, k.lang FROM kept_q k JOIN canon USING (doc_id)
+)
+SELECT doc_id, lang FROM deduped
+WHERE (('0x' || substring(md5('strat-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       ::BIGINT) % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 100 END
+""",
+)
+def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation stages COMPOSED, as a production pipeline would run
+    them: quality gates → exact dedup (keep the smallest id per
+    content hash) → language-rebalancing downsample. Each stage is the
+    already-verified operator applied to the previous stage's output —
+    one corpus scan feeding a hash-keyed groupBy and two stateless
+    filters, so the composition inherits every stage's scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept_q = (
+        C.quality_filter(docs)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+        .join(docs, "doc_id")
+        .select("doc_id", "text", "lang")
+    )
+    from sressentials_spark.operators.text import exact_dedup_groups
+
+    canon = exact_dedup_groups(kept_q).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    deduped = kept_q.join(canon, "doc_id", "left_semi").select("doc_id", "lang")
+    return C.stratified_sample(deduped, "lang", _STRAT_RATES).select(
+        "doc_id", "lang"
     )
 
 

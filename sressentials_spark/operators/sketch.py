@@ -328,6 +328,77 @@ ORDER BY {col}
 """
 
 
+# --------------------------------------------------------------------------
+# Bloom filter (set membership)
+# --------------------------------------------------------------------------
+
+#: Filter geometry: d hash functions over an m-bit array. The filter
+#: is represented RELATIONALLY — a distinct (bit) table of set
+#: positions, at most min(m, d·|keys|) rows — which is what makes it
+#: oracle-exact and lets the probe be a broadcast join instead of a
+#: bit-twiddling UDF. m = 65536 keeps the sf0.1 fill ratio ~0.15
+#: (≈0.3% false positives at d = 3); size m with the keyset.
+BLOOM_M = 65536
+BLOOM_D = 3
+BLOOM_SEED = "bloom-v1"
+
+
+def _bloom_positions(c: Column, seed: str) -> Column:
+    """Array of the ``d`` bit positions for one key."""
+    return F.array(
+        *[
+            F.pmod(
+                md5_long(F.concat(F.lit(f"{seed}:{i}:"), c)),
+                F.lit(BLOOM_M),
+            )
+            for i in range(BLOOM_D)
+        ]
+    )
+
+
+def bloom_bits(df: DataFrame, col: str, seed: str = BLOOM_SEED) -> DataFrame:
+    """Build the set-bit relation ``(bit)`` for the keys in ``df[col]``.
+
+    One narrow projection (d positions per key via an exploded literal
+    array) + a ``distinct`` on the bit position — map-side combinable,
+    ≤ ``min(m, d·n)`` rows out regardless of input size. Union of two
+    filters is relational UNION (dedup'd by the same distinct), so
+    per-shard/per-day filters roll up without re-scanning history.
+    """
+    src = df.filter(F.col(col).isNotNull())
+    return (
+        src.select(F.explode(_bloom_positions(F.col(col), seed)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame, probes: DataFrame, col: str, seed: str = BLOOM_SEED
+) -> DataFrame:
+    """Membership test: ``bloom_maybe = 1`` iff ALL ``d`` of a probe
+    key's bits are set (the classic guarantee: a true member can never
+    read 0; a 1 is "maybe" at the filter's false-positive rate).
+
+    The set-bit relation broadcasts (≤ m rows); each probe key explodes
+    to its d positions, left-joins the bits, and folds with ``min`` —
+    no shuffle touches the probe side beyond its own groupBy.
+    """
+    pc = probes.filter(F.col(col).isNotNull()).select(
+        F.col(col),
+        F.explode(_bloom_positions(F.col(col), seed)).alias("bit"),
+    )
+    hit = bits.withColumn("_hit", F.lit(1))
+    return (
+        pc.join(F.broadcast(hit), "bit", "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce("_hit", F.lit(0)))
+            .cast("long")
+            .alias("bloom_maybe")
+        )
+    )
+
+
 def hll_distinct_oracle_sql(
     table: str, col: str, seed: str = HLL_SEED, with_exact: bool = False
 ) -> str:

@@ -53,3 +53,35 @@ def test_star_join_broadcasts_dimensions(spark):
 
     plan = _plan(QUERIES["join_revenue_by_nation"](spark, SF))
     assert "BroadcastHashJoin" in plan  # dims ride broadcast, fact never shuffles for them
+
+
+def test_cms_counter_aggregate_is_map_side_combinable(spark):
+    # The sketch's whole point: a partial HashAggregate runs BEFORE the
+    # exchange, so each map task ships <= d*w counter rows.
+    from sressentials_spark.operators.sketch import cms_counters
+
+    plan = _plan(cms_counters(load_table(spark, SF, "events"), "user_id"))
+    pre_exchange = plan.split("Exchange")[-1]  # bottom-most section
+    assert "partial_count" in pre_exchange or "partial" in pre_exchange
+
+
+def test_bloom_probe_broadcasts_bit_relation(spark):
+    # The set-bit relation (<= m rows) must broadcast; the probe side
+    # never shuffles for the membership join.
+    from sressentials_spark.operators.sketch import bloom_bits, bloom_probe
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    bits = bloom_bits(docs, "fp")
+    plan = _plan(bloom_probe(bits, docs, "fp"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_probe_broadcasts_counters(spark):
+    from sressentials_spark.operators.sketch import cms_probe_counts
+
+    plan = _plan(
+        cms_probe_counts(load_table(spark, SF, "events"), "user_id", [0, 1])
+    )
+    assert "BroadcastHashJoin" in plan

@@ -106,6 +106,44 @@ class TestCountMin:
         assert ghost["cms_estimate"] >= 0
 
 
+class TestBloom:
+    def _build_probe(self, spark, members, probes):
+        from sressentials_spark.operators.sketch import bloom_bits, bloom_probe
+
+        m = spark.createDataFrame([(v,) for v in members], "fp string")
+        p = spark.createDataFrame([(v,) for v in probes], "fp string")
+        bits = bloom_bits(m, "fp")
+        return {
+            r["fp"]: r["bloom_maybe"]
+            for r in bloom_probe(bits, p, "fp").collect()
+        }
+
+    def test_members_never_read_zero(self, spark):
+        # The defining Bloom guarantee: no false negatives, ever.
+        members = [f"key-{i}" for i in range(500)]
+        out = self._build_probe(spark, members, members)
+        assert all(v == 1 for v in out.values())
+
+    def test_nonmembers_mostly_read_zero_at_low_fill(self, spark):
+        members = [f"key-{i}" for i in range(200)]
+        ghosts = [f"ghost-{i}" for i in range(200)]
+        out = self._build_probe(spark, members, ghosts)
+        # fill ratio ~1% at m=65536 -> expected FPs ~0; allow a couple.
+        assert sum(out.values()) <= 2
+
+    def test_union_is_relational_union(self, spark):
+        from sressentials_spark.operators.sketch import bloom_bits
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "fp string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "fp string")
+        both = a.union(b)
+        merged = bloom_bits(a, "fp").union(bloom_bits(b, "fp")).distinct()
+        direct = bloom_bits(both, "fp")
+        assert {r["bit"] for r in merged.collect()} == {
+            r["bit"] for r in direct.collect()
+        }
+
+
 class TestStreamingCms:
     def test_multi_batch_counters_merge_to_batch_result(self, spark, tmp_path):
         import os
