@@ -1594,6 +1594,20 @@ def streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hll_stream_batch(spark, sf_dir)
 
 
+@register(
+    "sketch_histogram_quantiles_value",
+    K.histogram_quantiles_oracle_sql("events", "value"),
+)
+def sketch_histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of the event value via the mergeable fixed-bin
+    histogram sketch — counts per bin are map-side combinable and at
+    most 1024 rows reach the cumulative window (bounded regardless of
+    corpus size; union of two histograms is elementwise ``+``).
+    Engine-native ``approx_percentile`` sketches can't be cross-checked
+    between engines; this one is bit-exact by construction."""
+    return K.histogram_quantiles(load_table(spark, sf_dir, "events"), "value")
+
+
 _BLOOM_H = (
     "(('0x' || substring(md5('bloom-v1:' || CAST(i AS VARCHAR) || ':' || fp),"
     " 1, 15))::BIGINT) % 65536"
@@ -1803,6 +1817,37 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast benchmark shingles, one corpus pass, no self-join."""
     return C.decontaminate(
         load_table(spark, sf_dir, "documents"), _DECON_BENCH_IDS, min_shared=2
+    )
+
+
+@register(
+    "curation_shard_manifest",
+    f"""
+WITH p AS ({C.pack_token_budget_oracle_sql(budget=2048, n_shards=8)})
+SELECT lang, shard, chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
+FROM p
+GROUP BY lang, shard, chunk_id
+""",
+)
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: per packed chunk ``(lang, shard,
+    chunk_id)``, the document count, token mass, and id range — the
+    table a shard writer consumes and the catalog a trainer reads to
+    plan epochs. A pure rollup of the verified packing stage on its
+    own partition key, so the groupBy rides the window's existing
+    partitioning."""
+    packed = C.pack_token_budget(
+        load_table(spark, sf_dir, "documents"), budget=2048, n_shards=8
+    )
+    return packed.groupBy("lang", "shard", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
     )
 
 

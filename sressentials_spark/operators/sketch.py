@@ -31,7 +31,7 @@ the 53-bit mantissa.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sressentials_spark.operators.dedup import md5_long
@@ -325,6 +325,117 @@ SELECT {col}, cms_estimate, total_rows,
                  THEN 1 ELSE 0 END AS BIGINT) AS heavy
 FROM est, total
 ORDER BY {col}
+"""
+
+
+# --------------------------------------------------------------------------
+# Histogram quantile sketch (mergeable approximate percentiles)
+# --------------------------------------------------------------------------
+
+#: Fixed-width histogram geometry. ``approx_percentile``/t-digest
+#: sketches are engine-specific and nondeterministic to merge; a
+#: fixed-bin histogram is the mergeable quantile structure that IS
+#: bit-reproducible: counts per bin (map-side combinable, ≤ B rows
+#: through any shuffle), union = elementwise ``+``, quantile lookup =
+#: first bin whose cumulative count crosses the integer-crossmultiplied
+#: rank. Resolution is the bin width; size B to the domain.
+HIST_BINS = 1024
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: list[int] = (50, 90, 99),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Approximate percentiles from a fixed-width histogram.
+
+    Output, one row per requested integer percentile ``q``:
+    ``(quantile, bin, bin_lo, bin_hi, n_le)`` — the first bin where
+    the cumulative count reaches ``q%`` of the total (ties and
+    boundaries resolved by pure integer arithmetic:
+    ``100 * cum >= q * total``), with the bin's value range and the
+    cumulative count at it.
+
+    Scale shape: one narrow binning projection + a map-side-combinable
+    ``groupBy(bin).count()`` — at most ``bins`` rows survive to the
+    cumulative window, so the single-partition ordered window is over
+    a BOUNDED input regardless of corpus size (the same ≤-sketch-rows
+    argument as HLL's fold). Bin width is 1.0 over ``[0, bins)``;
+    rescale the column for other domains.
+    """
+    src = df.filter(F.col(col).isNotNull())
+    binned = src.select(
+        F.least(F.lit(bins - 1), F.floor(F.col(col)).cast("long")).alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    qs = df.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles], "quantile long"
+    )
+    return (
+        qs.crossJoin(cum)
+        .filter(F.col("cum") * 100 >= F.col("quantile") * F.col("total"))
+        .groupBy("quantile")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.min_by(F.col("cum"), F.col("bin")).alias("n_le"),
+        )
+        .select(
+            "quantile",
+            "bin",
+            F.col("bin").cast("double").alias("bin_lo"),
+            (F.col("bin") + 1).cast("double").alias("bin_hi"),
+            "n_le",
+        )
+        .orderBy("quantile")
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    table: str,
+    col: str,
+    quantiles: list[int] = (50, 90, 99),
+    bins: int = HIST_BINS,
+) -> str:
+    """DuckDB restatement of :func:`histogram_quantiles`."""
+    qvals = ", ".join(f"({int(q)})" for q in quantiles)
+    return f"""
+WITH binned AS (
+  SELECT least({bins - 1}, CAST(floor({col}) AS BIGINT)) AS bin
+  FROM {table} WHERE {col} IS NOT NULL
+),
+counts AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin,
+         SUM(n) OVER (ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER () AS total
+  FROM counts
+),
+qs AS (SELECT CAST(q AS BIGINT) AS quantile FROM (VALUES {qvals}) v(q)),
+hit AS (
+  SELECT quantile, bin, cum,
+         ROW_NUMBER() OVER (PARTITION BY quantile ORDER BY bin) AS rn
+  FROM qs JOIN cum ON cum * 100 >= quantile * total
+)
+SELECT quantile,
+       CAST(bin AS BIGINT) AS bin,
+       CAST(bin AS DOUBLE) AS bin_lo,
+       CAST(bin + 1 AS DOUBLE) AS bin_hi,
+       CAST(cum AS BIGINT) AS n_le
+FROM hit WHERE rn = 1
+ORDER BY quantile
 """
 
 

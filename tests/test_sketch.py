@@ -106,6 +106,64 @@ class TestCountMin:
         assert ghost["cms_estimate"] >= 0
 
 
+class TestHistogramQuantiles:
+    def test_within_one_bin_of_exact(self, spark):
+        from sressentials_spark.operators.sketch import histogram_quantiles
+        from sressentials_spark.sources.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        rows = {
+            r["quantile"]: r
+            for r in histogram_quantiles(ev, "value").collect()
+        }
+        exact = ev.selectExpr(
+            "percentile(value, array(0.5, 0.9, 0.99)) AS p"
+        ).collect()[0]["p"]
+        for q, x in zip((50, 90, 99), exact):
+            r = rows[q]
+            # The true percentile must land inside (or at the edge of)
+            # the reported bin: resolution = one bin width.
+            assert r["bin_lo"] <= x <= r["bin_hi"] + 1e-9, (q, x, r)
+
+    def test_counts_partition_invariant(self, spark):
+        from sressentials_spark.operators.sketch import histogram_quantiles
+        from sressentials_spark.sources.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        a = [r.asDict() for r in histogram_quantiles(ev, "value").collect()]
+        b = [
+            r.asDict()
+            for r in histogram_quantiles(ev.repartition(17), "value").collect()
+        ]
+        assert a == b
+
+    def test_merge_is_elementwise_sum(self, spark):
+        # Union property: summing two shards' bin counts must equal the
+        # whole input's bin counts (what makes the sketch mergeable).
+        from pyspark.sql import functions as F
+        from sressentials_spark.operators.sketch import HIST_BINS
+
+        df = spark.range(1000).select(
+            (F.col("id") % 97).cast("double").alias("v")
+        )
+        a, b = df.filter("id < 400"), df.filter("id >= 400")
+
+        def bins(d):
+            return {
+                r["bin"]: r["n"]
+                for r in d.select(
+                    F.least(F.lit(HIST_BINS - 1), F.floor("v").cast("long")).alias("bin")
+                )
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        whole, ba, bb = bins(df), bins(a), bins(b)
+        merged = {k: ba.get(k, 0) + bb.get(k, 0) for k in set(ba) | set(bb)}
+        assert merged == whole
+
+
 class TestBloom:
     def _build_probe(self, spark, members, probes):
         from sressentials_spark.operators.sketch import bloom_bits, bloom_probe
