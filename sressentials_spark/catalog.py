@@ -1673,6 +1673,21 @@ def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_histogram_quantiles_value",
+    K.histogram_quantiles_oracle_sql("events", "value"),
+)
+def streaming_histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram bin-count stage as a stateful stream (≤ 1024
+    state rows; micro-batch partial counts merging in state is the
+    histogram union), folded to p50/p90/p99 over the settled bins.
+    Same oracle as the batch sketch — both execution models must agree
+    bit-for-bit."""
+    from sressentials_spark.streaming.sketch import run_histogram_stream_batch
+
+    return run_histogram_stream_batch(spark, sf_dir)
+
+
+@register(
     "streaming_exact_dedup",
     "SELECT DISTINCT md5(text) AS content_hash FROM documents",
 )

@@ -100,8 +100,11 @@ FROM src
 # Rule-based quality filter (Gopher/MassiveText-style keep/drop gates)
 # --------------------------------------------------------------------------
 
-#: Stopword slate for the natural-language gate (regex alternation —
-#: whole words via ``\b``, valid in both Java regex and RE2).
+#: Stopword slate for the natural-language gate. Counted by EXACT
+#: token equality, not a ``\b``-anchored regex: Java's ``\b`` is
+#: Unicode-aware even while its ``\w`` stays ASCII, RE2's is not, so
+#: ``\b(the)\b`` diverges between engines on text like ``andétat``
+#: (caught by tests/test_quality_filter_fuzz.py).
 QF_STOPWORDS = ["the", "a", "of", "to", "and"]
 
 #: Rule thresholds. All comparisons are integer-only (cross-multiplied
@@ -126,10 +129,11 @@ def quality_filter(
     own 0/1 flag so the drop *reason* is queryable (the usual corpus
     triage: ``GROUP BY`` the flags to see what the filter is killing).
 
-    One narrow codegen projection — counts come from ``regexp_count`` /
-    ``size(split(...))``, every ratio test is cross-multiplied into
-    integer arithmetic (no float thresholds), no shuffle, no Python —
-    so the pass costs one corpus scan at any scale.
+    One narrow projection — counts come from ``regexp_count`` /
+    ``size(split(...))`` / an exact-token stopword filter, every ratio
+    test is cross-multiplied into integer arithmetic (no float
+    thresholds), no shuffle, no Python — so the pass costs one corpus
+    scan at any scale.
     """
     toks = tokens(text_col)
     n_words = F.size(toks).cast("long")
@@ -137,8 +141,9 @@ def quality_filter(
         F.regexp_replace(F.col(text_col), r"\s+", "")
     ).cast("long")
     n_symbols = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("long")
-    stop_pat = r"\b(" + "|".join(QF_STOPWORDS) + r")\b"
-    stop_hits = F.regexp_count(F.col(text_col), F.lit(stop_pat)).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*QF_STOPWORDS))
+    ).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
 
     def flag(cond):
@@ -186,7 +191,7 @@ def quality_filter(
 
 def quality_filter_oracle_sql(table: str = "documents") -> str:
     """DuckDB restatement of :func:`quality_filter`."""
-    stop_pat = r"\b(" + "|".join(QF_STOPWORDS) + r")\b"
+    stop_in = ", ".join(f"'{w}'" for w in QF_STOPWORDS)
     toks = r"regexp_split_to_array(trim(text), '\s+')"
     return rf"""
 WITH sig AS (
@@ -195,7 +200,7 @@ WITH sig AS (
          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
            AS n_nonspace_chars,
          CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_symbols,
-         CAST(len(regexp_extract_all(text, '{stop_pat}')) AS BIGINT)
+         CAST(len(list_filter({toks}, x -> x IN ({stop_in}))) AS BIGINT)
            AS stop_hits,
          CAST(len(list_distinct({toks})) AS BIGINT) AS n_distinct_words
   FROM {table}

@@ -77,6 +77,81 @@ def run_hll_stream_batch(
     return out
 
 
+def run_histogram_stream_batch(
+    spark: SparkSession, sf_dir: str,
+    col: str = "value",
+    quantiles: list[int] = (50, 90, 99),
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Histogram bin counts maintained as a stateful stream, folded to
+    quantiles after the replay settles.
+
+    Same split as the HLL/CMS streams: the bin-count stage
+    (``groupBy(bin).count()``) is a streaming-supported stateful agg
+    with ≤ ``HIST_BINS`` state rows — per-micro-batch partial counts
+    merging into state is the histogram's elementwise-``+`` union —
+    and the cumulative/lookup fold runs as a batch step over the
+    settled (bounded) bin table.
+    """
+    from pyspark.sql import Window
+
+    from sressentials_spark.operators.sketch import HIST_BINS
+
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(sf_dir).filter(F.col(col).isNotNull())
+    binned = src.select(
+        F.least(F.lit(HIST_BINS - 1), F.floor(F.col(col)).cast("long")).alias(
+            "bin"
+        )
+    )
+    run_key = f"{sf_dir}|{col}|{glob}|{max_files_per_trigger}|hist"
+    name = "stream_hist_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
+    q = (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = spark.table(name)
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    qs = spark.createDataFrame([(int(x),) for x in quantiles], "quantile long")
+    return (
+        qs.crossJoin(cum)
+        .filter(F.col("cum") * 100 >= F.col("quantile") * F.col("total"))
+        .groupBy("quantile")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.min_by(F.col("cum"), F.col("bin")).alias("n_le"),
+        )
+        .select(
+            "quantile",
+            "bin",
+            F.col("bin").cast("double").alias("bin_lo"),
+            (F.col("bin") + 1).cast("double").alias("bin_hi"),
+            "n_le",
+        )
+        .orderBy("quantile")
+    )
+
+
 def run_cms_stream_batch(
     spark: SparkSession, sf_dir: str, probe_keys: list[int],
     col: str = "user_id",
