@@ -31,12 +31,19 @@ from sressentials_spark.operators.text import BPE_TOKEN_PATTERN, tokens
 
 #: (name, pattern, replacement) applied IN ORDER — order matters because
 #: later patterns see earlier replacements. Patterns are valid in both
-#: Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs;
-#: ``\b`` is the ASCII word boundary in both.
+#: Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs,
+#: and — deliberately — no ``\b``: Java's ``\b`` is Unicode-aware even
+#: while its ``\w`` stays ASCII (RE2's is not), so ``\b``-anchored
+#: patterns diverge between engines wherever a digit abuts an accented
+#: letter (``é123456789``). The numeric patterns instead use greedy
+#: maximal-run semantics (leftmost greedy matching is identical in
+#: both engines), which also redacts ids embedded in tokens —
+#: the safer default for a PII scrub. Pinned by
+#: tests/test_quality_filter_fuzz.py.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("idnum", r"\b\d{9,}\b", "<NUM>"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("idnum", r"\d{9,}", "<NUM>"),
 ]
 
 

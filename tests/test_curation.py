@@ -33,17 +33,25 @@ class TestPiiRedact:
     def test_sequential_semantics(self, spark):
         # The ipv4 digits must NOT be re-counted by the idnum pass:
         # after replacement the digits are gone, so n_idnum sees only
-        # genuine long runs that survived earlier passes. A 4-digit
-        # final octet breaks the trailing \b, so it is not an IP in
-        # either engine and its 9+ digit runs stay eligible for <NUM>.
+        # genuine long runs that survived earlier passes.
         df = _docs(spark, [(1, "ip 10.222.33.44 plus 987654321", "en")])
         row = C.pii_redact(df).collect()[0]
         assert row["n_ipv4"] == 1
         assert row["n_idnum"] == 1
         assert row["redacted"] == "ip <IP> plus <NUM>"
-        no_ip = _docs(spark, [(2, "not-ip 10.222.333.4444", "en")])
-        row2 = C.pii_redact(no_ip).collect()[0]
-        assert row2["n_ipv4"] == 0 and row2["redacted"] == "not-ip 10.222.333.4444"
+
+    def test_greedy_run_semantics(self, spark):
+        # Boundary-free patterns (see PII_PATTERNS: Java \b is
+        # Unicode-aware, RE2's is not — so \b is banned): a 4-digit
+        # final octet yields a maximal-prefix IP match with the spare
+        # digit left behind, and ids embedded in tokens ARE redacted.
+        df = _docs(spark, [(2, "not-ip 10.222.333.4444", "en")])
+        row = C.pii_redact(df).collect()[0]
+        assert row["n_ipv4"] == 1 and row["redacted"] == "not-ip <IP>4"
+        emb = _docs(spark, [(3, "order-no123456789x shipped", "en")])
+        row2 = C.pii_redact(emb).collect()[0]
+        assert row2["n_idnum"] == 1
+        assert row2["redacted"] == "order-no<NUM>x shipped"
 
 
 class TestQualityFilter:
