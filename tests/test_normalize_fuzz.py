@@ -22,8 +22,8 @@ from sressentials_spark.functions.normalize import (
 
 N_CASES = 400
 
-_MONGO_ALPHABET = list('{}[]:,"\' abcdefXYZ0123456789._$')
-_MYSQL_ALPHABET = list("abcdefgXYZ0123456789 '=,;().*_-")
+_MONGO_ALPHABET = list('{}[]:,"\' abcdefXYZ0123456789._$éü')
+_MYSQL_ALPHABET = list("abcdefgXYZ0123456789 '=,;().*_-éü")
 
 
 def _corpus(alphabet: list[str], seed: int) -> list[str]:
