@@ -1595,6 +1595,26 @@ def streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hll_daily_rollup",
+    K.hll_distinct_oracle_sql("events", "user_id"),
+)
+def sketch_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch union in anger: per-DAY HLL registers (the artifact a
+    daily pipeline would persist) merged by elementwise register max
+    into the all-time estimate — same oracle as the single-pass
+    sketch, because HLL union is exact. This is the 100 TB ingestion
+    pattern: each day's job reduces its events to ≤ m register rows;
+    history questions fold the tiny register tables, never the raw
+    events."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    daily = K.hll_registers(e, "user_id", extra_keys=["day"])
+    merged = daily.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    return K.finish_estimate(merged)
+
+
+@register(
     "sketch_histogram_quantiles_value",
     K.histogram_quantiles_oracle_sql("events", "value"),
 )

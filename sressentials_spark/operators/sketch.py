@@ -58,8 +58,16 @@ def _rho(w: Column) -> Column:
     return F.when(pos == 0, F.lit(HLL_W_BITS + 1)).otherwise(pos).cast("long")
 
 
-def hll_registers(df: DataFrame, col: str, seed: str = HLL_SEED) -> DataFrame:
-    """The register stage alone: ``(bucket, m_j)`` rows, ≤ m of them.
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    seed: str = HLL_SEED,
+    extra_keys: list[str] = (),
+) -> DataFrame:
+    """The register stage alone: ``(bucket, m_j)`` rows, ≤ m of them —
+    or ≤ m per group when ``extra_keys`` adds grouping columns (the
+    per-day/per-shard sketch artifact a rollup pipeline persists; a
+    later elementwise ``max`` over ``bucket`` is the exact union).
 
     Usable verbatim as a *streaming* aggregation too (``max`` per
     bucket is a streaming-supported stateful agg with exactly ``m``
@@ -68,13 +76,15 @@ def hll_registers(df: DataFrame, col: str, seed: str = HLL_SEED) -> DataFrame:
     """
     src = df.filter(F.col(col).isNotNull())
     h = md5_long(F.concat(F.lit(seed + ":"), F.col(col).cast("string")))
+    keys = list(extra_keys)
     return (
-        src.select(h.alias("_h"))
+        src.select(*keys, h.alias("_h"))
         .select(
+            *keys,
             F.pmod("_h", F.lit(HLL_M)).alias("bucket"),
             _rho(F.expr(f"_h div {HLL_M}")).alias("rho"),
         )
-        .groupBy("bucket")
+        .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )
 

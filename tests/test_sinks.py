@@ -61,3 +61,34 @@ def test_components_output_joins_documents_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {t_docs}")
         spark.sql(f"DROP TABLE IF EXISTS {t_comp}")
+
+
+def test_ivf_cell_partitioned_store_prunes_probed_cells(spark, tmp_path):
+    """The IVF 'read nprobe/K of the index' effect, realized as
+    physical layout: write the corpus partitioned by home cell, read a
+    probe set of cells back, and the scan must prune at the partition
+    level (PartitionFilters), returning exactly the cells' rows."""
+    from pyspark.sql import functions as F
+    from sressentials_spark.operators import similarity as S
+    from sressentials_spark.operators.linalg import ivf_cells_kernel
+    from sressentials_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ids, mat = S.ivf_seed_centroids(emb)
+    kern = ivf_cells_kernel(ids, mat, nprobe=1)
+    assigned = emb.select(
+        "vec_id", "embedding", kern(F.col("embedding")).alias("nc")
+    ).select(
+        "vec_id", "embedding", F.col("nc.cells")[0].alias("cell")
+    )
+    path = str(tmp_path / "emb_by_cell")
+    assigned.write.partitionBy("cell").parquet(path)
+
+    probe_cells = [int(r["cell"]) for r in assigned.select("cell").distinct().limit(2).collect()]
+    df = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in part_filters
+
+    expect = assigned.filter(F.col("cell").isin(probe_cells)).count()
+    assert df.count() == expect > 0
