@@ -1046,6 +1046,60 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_anomalies",
+    """
+WITH c AS (
+  SELECT event_id, event_type, date_trunc('hour', ts) AS hour,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT *,
+         COUNT(*) OVER w AS n,
+         SUM(cents) OVER w AS s,
+         SUM(cents * cents) OVER w AS q
+  FROM c
+  WINDOW w AS (PARTITION BY event_type, hour)
+)
+SELECT event_id, event_type, hour, cents
+FROM g
+WHERE CAST(n * q - s * s AS BIGINT) > 0
+  AND CAST((n * cents - s) * (n * cents - s) AS BIGINT)
+      >= CAST(4 * (n * q - s * s) AS BIGINT)
+""",
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, hour) z-score outliers — events at least 2 standard
+    deviations from their hour/type cohort mean — computed ENTIRELY in
+    integer arithmetic: values go to cents, and ``|x - mean| >= 2σ``
+    is cross-multiplied to ``(n·x - S)² >= 4(nQ - S²)`` so the flag is
+    bit-exact against the oracle (float mean/stddev folds differ
+    between engines). The window keys on the high-cardinality
+    ``(event_type, hour)`` pair; cohort sizes stay small (events/hour/
+    type), so the squared terms sit far below int64 at any corpus
+    width — the cohort definition, not the corpus, bounds magnitude."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "hour")
+    g = c.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"),
+    )
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    return g.filter((var_n2 > 0) & (dev * dev >= 4 * var_n2)).select(
+        "event_id", "event_type", "hour", "cents"
+    )
+
+
+@register(
     "text_top_terms_per_lang",
     r"""
 WITH tf AS (
