@@ -123,3 +123,24 @@ class TestMinhashIncremental:
         out = self._run(spark, rows, split=5)
         assert set(out) == {5}
         assert out[5]["status"] == "kept"
+
+
+class TestMinhashArtifactCache:
+    def test_hit_miss_and_release(self, spark):
+        from sressentials_spark.sources.tables import load_table
+
+        D.release_persisted()
+        base = len(D._PERSISTED)
+        a = load_table(spark, SF_DIR, "documents")
+        D._minhash_artifacts(a, 3, "doc_id")
+        assert len(D._PERSISTED) == base + 2
+        # Same corpus plan -> cache hit, no new persisted frames.
+        b = load_table(spark, SF_DIR, "documents")
+        D._minhash_artifacts(b, 3, "doc_id")
+        assert len(D._PERSISTED) == base + 2
+        # Different shingle width -> distinct artifacts.
+        D._minhash_artifacts(a, 2, "doc_id")
+        assert len(D._PERSISTED) == base + 4
+        # Release drops both the blocks and the cache.
+        D.release_persisted()
+        assert len(D._PERSISTED) == 0 and len(D._ARTIFACTS) == 0
