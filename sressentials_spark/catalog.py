@@ -1064,24 +1064,32 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.date_trunc("day", "ts")).alias("cohort_day")
     )
     a = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
-    return (
+    # The (user, day) activity rows are distinct and f has one row per
+    # user, so each user contributes at most one row per return-day
+    # condition — plain conditional counts equal the COUNT(DISTINCT …)
+    # the oracle states, without the Expand (input-row multiplication)
+    # that multiple count_distincts compile to.
+    ret = (
         f.join(a, "user_id")
         .groupBy("cohort_day")
         .agg(
-            F.count_distinct("user_id").alias("n_users"),
-            F.count_distinct(
+            F.count(
                 F.when(
                     F.col("d") == F.col("cohort_day") + F.expr("INTERVAL 1 DAY"),
-                    F.col("user_id"),
+                    1,
                 )
             ).alias("retained_d1"),
-            F.count_distinct(
+            F.count(
                 F.when(
                     F.col("d") == F.col("cohort_day") + F.expr("INTERVAL 7 DAY"),
-                    F.col("user_id"),
+                    1,
                 )
             ).alias("retained_d7"),
         )
+    )
+    sizes = f.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_users"))
+    return sizes.join(ret, "cohort_day").select(
+        "cohort_day", "n_users", "retained_d1", "retained_d7"
     )
 
 

@@ -85,3 +85,12 @@ def test_cms_probe_broadcasts_counters(spark):
         cms_probe_counts(load_table(spark, SF, "events"), "user_id", [0, 1])
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_retention_plan_has_no_expand(spark):
+    # Multiple count_distincts compile to an Expand (input-row
+    # multiplication); the retention query's rewrite must avoid it.
+    from sressentials_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["events_retention_cohorts"](spark, SF))
+    assert "Expand" not in plan
