@@ -284,7 +284,11 @@ def cms_probe_from_counters(
             "cms_estimate",
             "total_rows",
             F.when(
-                F.col("cms_estimate") * 1000 >= F.col("total_rows") * heavy_pm,
+                (F.col("total_rows") > 0)
+                & (
+                    F.col("cms_estimate") * 1000
+                    >= F.col("total_rows") * heavy_pm
+                ),
                 F.lit(1),
             )
             .otherwise(F.lit(0))
@@ -331,7 +335,8 @@ total AS (
   FROM {table} WHERE {col} IS NOT NULL
 )
 SELECT {col}, cms_estimate, total_rows,
-       CAST(CASE WHEN cms_estimate * 1000 >= total_rows * {int(heavy_pm)}
+       CAST(CASE WHEN total_rows > 0
+                  AND cms_estimate * 1000 >= total_rows * {int(heavy_pm)}
                  THEN 1 ELSE 0 END AS BIGINT) AS heavy
 FROM est, total
 ORDER BY {col}

@@ -266,3 +266,33 @@ class TestStreamingHll:
             with_exact=True,
         ).collect()[0]
         assert streamed.asDict() == batch.asDict()
+
+
+class TestEmptyInputs:
+    """Empty-stream behavior: sketches must degrade loudly or to
+    well-defined zeros, never crash or claim significance."""
+
+    def test_cms_empty_stream_not_heavy(self, spark):
+        from sressentials_spark.operators.sketch import cms_probe_counts
+
+        empty = spark.createDataFrame([], "user_id long")
+        rows = cms_probe_counts(empty, "user_id", [0, 1]).collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert r["cms_estimate"] == 0
+            assert r["total_rows"] == 0
+            assert r["heavy"] == 0  # 0 >= 0 must NOT read as heavy
+
+    def test_histogram_empty_stream_yields_no_quantiles(self, spark):
+        from sressentials_spark.operators.sketch import histogram_quantiles
+
+        empty = spark.createDataFrame([], "value double")
+        assert histogram_quantiles(empty, "value").count() == 0
+
+    def test_bloom_empty_filter_rejects_everything(self, spark):
+        from sressentials_spark.operators.sketch import bloom_bits, bloom_probe
+
+        empty = spark.createDataFrame([], "fp string")
+        probes = spark.createDataFrame([("x",), ("y",)], "fp string")
+        out = bloom_probe(bloom_bits(empty, "fp"), probes, "fp").collect()
+        assert {r["bloom_maybe"] for r in out} == {0}
