@@ -932,6 +932,83 @@ def sim_cosine_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_documents_source",
+    f"""
+SELECT doc_id, lang, md5(text) AS text_md5
+FROM documents WHERE doc_id % {loggen.JSONL_BROKEN_EVERY} <> 0
+""",
+)
+def jsonl_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines corpus ingestion end-to-end: the corpus is rendered
+    to a JSONL file (with a deterministic malformed line every 97th
+    doc), scanned back PERMISSIVE against an explicit schema, the
+    corrupt channel split off, and the surviving rows checked against
+    the parquet ground truth — the schema-on-read connector pattern
+    for text-delivered corpora (no ``inferSchema`` double scan; bad
+    lines route to diagnostics instead of failing the job)."""
+    from sressentials_spark.sources.jsonl import split_documents_jsonl
+
+    path = loggen.ensure_documents_jsonl(sf_dir)
+    good, _bad = split_documents_jsonl(spark, path)
+    return good.select(
+        "doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
+@register(
+    "cdc_upsert_documents",
+    """
+WITH snapshot AS (
+  SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM documents
+),
+updates AS (
+  SELECT doc_id, upper(text) AS text, CAST(2 AS BIGINT) AS version
+  FROM documents WHERE doc_id % 7 = 0
+),
+unioned AS (SELECT * FROM snapshot UNION ALL SELECT * FROM updates),
+ranked AS (
+  SELECT doc_id, text, version,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY version DESC, doc_id) AS rn
+  FROM unioned
+)
+SELECT doc_id, version, md5(text) AS text_md5
+FROM ranked WHERE rn = 1
+""",
+)
+def cdc_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge / compaction: apply an updates batch to a snapshot
+    with latest-version-wins semantics (here the updates batch is a
+    deterministic slice of the corpus re-emitted at version 2). The
+    dedup-by-recency window keys on the uniform document id, so the
+    merge is one shuffle regardless of snapshot size — the same shape
+    a MERGE INTO compiles to on a lakehouse table, minus the
+    transactional commit."""
+    docs = load_table(spark, sf_dir, "documents")
+    snapshot = docs.select(
+        "doc_id", "text", F.lit(1).cast("long").alias("version")
+    )
+    updates = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.upper("text").alias("text"),
+                F.lit(2).cast("long").alias("version"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("version").desc(), F.col("doc_id")
+    )
+    return (
+        snapshot.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "version",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+    )
+
+
+@register(
     "copurchase_part_pairs",
     """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

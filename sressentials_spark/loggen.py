@@ -231,7 +231,21 @@ def _events_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _generate(sf_dir: str, name: str, sql: str, preamble: str | None = None) -> str:
+def _docs_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _generate(
+    sf_dir: str,
+    name: str,
+    sql: str,
+    preamble: str | None = None,
+    src_name: str = "events.parquet",
+    con_factory=None,
+) -> str:
     """Render one line/entry per event (event_id order) into a cached file.
 
     Each log lives in its own subdirectory (``<tag>/<stem>/<name>``) so
@@ -245,13 +259,13 @@ def _generate(sf_dir: str, name: str, sql: str, preamble: str | None = None) -> 
     tag = f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:10]}"
     out_dir = os.path.join(_cache_dir(), tag, name.split(".")[0])
     path = os.path.join(out_dir, name)
-    src = os.path.join(norm, "events.parquet")
+    src = os.path.join(norm, src_name)
     if os.path.exists(path) and (
         not os.path.exists(src) or os.path.getmtime(path) >= os.path.getmtime(src)
     ):
         return path
     os.makedirs(out_dir, exist_ok=True)
-    con = _events_con(sf_dir)
+    con = (con_factory or _events_con)(sf_dir)
     rows = con.execute(sql).fetchall()
     con.close()
     parts = [] if preamble is None else [preamble]
@@ -273,3 +287,31 @@ def ensure_mysql_log(sf_dir: str) -> str:
     """Generate (once) and return the MySQL slow log for ``sf_dir``."""
     sql = f"WITH ev AS ({MYSQL_EV}) SELECT {MYSQL_ENTRY} FROM ev ORDER BY event_id"
     return _generate(sf_dir, "mysql-slow.log", sql, preamble=MYSQL_PREAMBLE)
+
+
+#: Every doc whose id is divisible by this renders as a malformed JSON
+#: line — the deterministic corrupt-record fixture for the JSONL source.
+JSONL_BROKEN_EVERY = 97
+
+
+def ensure_documents_jsonl(sf_dir: str) -> str:
+    """Generate (once) and return a JSON-lines dump of ``documents``,
+    with every :data:`JSONL_BROKEN_EVERY`-th doc_id rendered as a
+    truncated (unparseable) line to exercise the PERMISSIVE
+    corrupt-record channel."""
+    sql = f"""
+SELECT CASE WHEN doc_id % {JSONL_BROKEN_EVERY} = 0
+            THEN '{{"doc_id": ' || doc_id || ', "text": BROKEN'
+            ELSE CAST(to_json(struct_pack(
+                   doc_id := doc_id, text := text, lang := lang,
+                   source := source, n_chars := n_chars)) AS VARCHAR)
+       END
+FROM documents ORDER BY doc_id
+"""
+    return _generate(
+        sf_dir,
+        "documents.jsonl",
+        sql,
+        src_name="documents.parquet",
+        con_factory=_docs_con,
+    )
