@@ -955,6 +955,74 @@ def jsonl_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int = 3) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT e.t AS node,
+         CAST(150 + (850 * SUM({prev}.pr // deg.outdeg)) // 1000 AS BIGINT)
+           AS pr
+  FROM e JOIN {prev} ON e.s = {prev}.node JOIN deg ON e.s = deg.s
+  GROUP BY e.t
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+e AS (SELECT pa AS s, pb AS t FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs),
+deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+r0 AS (SELECT s AS node, CAST(1000 AS BIGINT) AS pr FROM deg),
+{', '.join(rounds)}
+SELECT node, pr FROM {prev}
+"""
+
+
+@register("graph_pagerank_copurchase", _pagerank_oracle(3))
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm tier: 3 rounds of integer-arithmetic
+    PageRank over the co-purchase graph (parts linked when bought
+    together in ≥ 2 orders). Integer milli-ranks make an inherently
+    iterative float algorithm oracle-verifiable — integer sums are
+    order-independent where float accumulation is not. Each round is
+    one node-keyed equi-join + map-side-combinable sum; the oracle
+    unrolls the same three rounds as chained CTEs."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    return P.pagerank_integer(edges, iterations=3)
+
+
 @register(
     "cdc_upsert_documents",
     """

@@ -350,3 +350,54 @@ def connected_components(
         F.col("comp").alias("canonical_id"),
         (F.col("comp") != F.col("id")).alias("is_dup"),
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pm: int = 850,
+    scale: int = 1000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in pure integer arithmetic.
+
+    Ranks are milli-units (``scale`` = 1000): every node starts at
+    ``scale``; each round a node emits ``rank // out_degree`` along its
+    out-edges and collects ``(1 - d) * scale + d * sum(contribs)``
+    with ``d`` expressed per-mille and the product floor-divided back.
+    Floor division loses mass, so this is not the stochastic-matrix
+    PageRank — it is a deterministic variant chosen because INTEGER
+    sums are order-independent: float PageRank cannot be verified
+    bit-for-bit across engines (per-node accumulation order differs),
+    integer PageRank can.
+
+    Scale shape: each iteration is one equi-join of the rank vector
+    against the edge list (both keyed on node id — uniform) and one
+    map-side-combinable sum. The loop unrolls into a fixed ``k``-deep
+    plan (k is small and fixed; for large k add ``localCheckpoint``
+    every few rounds as :func:`connected_components` does).
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    # "pr", not "rank": bare `rank` inside expr() parses as the window
+    # function in both engines' SQL dialects.
+    ranks = deg.select(
+        F.col("s").alias("node"), F.lit(scale).cast("long").alias("pr")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["s"] == ranks["node"])
+            .join(deg, "s")
+            .select(
+                F.col("t").alias("node"),
+                F.expr("pr div outdeg").alias("c"),
+            )
+        )
+        ranks = contribs.groupBy("node").agg(
+            (
+                F.lit(scale - damping_pm).cast("long")
+                + F.expr(f"({damping_pm} * sum(c)) div {scale}")
+            ).alias("pr")
+        )
+    return ranks.select("node", F.col("pr").cast("long").alias("pr"))

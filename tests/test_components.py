@@ -71,3 +71,34 @@ class TestConnectedComponents:
         # pretending to be a fixpoint.
         assert out[3] == 0
         assert out[11] != 0
+
+
+class TestPagerankInteger:
+    def _ranks(self, spark, edges, iters=3):
+        from sressentials_spark.operators.pipeline import pagerank_integer
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: r["pr"]
+            for r in pagerank_integer(df, iterations=iters).collect()
+        }
+
+    def test_star_center_outranks_leaves(self, spark):
+        # Undirected star: center 0 <-> leaves 1..5.
+        edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+        ranks = self._ranks(spark, edges)
+        assert all(ranks[0] > ranks[i] for i in range(1, 6))
+        assert len({ranks[i] for i in range(1, 6)}) == 1  # leaves tie
+
+    def test_partition_invariant(self, spark):
+        from sressentials_spark.operators.pipeline import pagerank_integer
+
+        edges = [(i, (i * 7 + 1) % 20) for i in range(20)]
+        edges += [(d, s) for s, d in edges]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = {r["node"]: r["pr"] for r in pagerank_integer(df).collect()}
+        b = {
+            r["node"]: r["pr"]
+            for r in pagerank_integer(df.repartition(13)).collect()
+        }
+        assert a == b
