@@ -1239,10 +1239,10 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_hourly_anomalies",
+    "events_daily_anomalies",
     """
 WITH c AS (
-  SELECT event_id, event_type, date_trunc('hour', ts) AS hour,
+  SELECT event_id, event_type, date_trunc('day', ts) AS day,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 ),
@@ -1252,18 +1252,18 @@ g AS (
          SUM(cents) OVER w AS s,
          SUM(cents * cents) OVER w AS q
   FROM c
-  WINDOW w AS (PARTITION BY event_type, hour)
+  WINDOW w AS (PARTITION BY event_type, day)
 )
-SELECT event_id, event_type, hour, cents
+SELECT event_id, event_type, day, cents
 FROM g
 WHERE CAST(n * q - s * s AS BIGINT) > 0
   AND CAST((n * cents - s) * (n * cents - s) AS BIGINT)
       >= CAST(4 * (n * q - s * s) AS BIGINT)
 """,
 )
-def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(type, hour) z-score outliers — events at least 2 standard
-    deviations from their hour/type cohort mean — computed ENTIRELY in
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) z-score outliers — events at least 2 standard
+    deviations from their day/type cohort mean — computed ENTIRELY in
     integer arithmetic: values go to cents, and ``|x - mean| >= 2σ``
     is cross-multiplied to ``(n·x - S)² >= 4(nQ - S²)`` so the flag is
     bit-exact against the oracle (float mean/stddev folds differ
@@ -1275,10 +1275,10 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         "event_id",
         "event_type",
-        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("day", "ts").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w = Window.partitionBy("event_type", "hour")
+    w = Window.partitionBy("event_type", "day")
     g = c.select(
         "*",
         F.count(F.lit(1)).over(w).alias("n"),
@@ -1288,7 +1288,7 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
     dev = F.col("n") * F.col("cents") - F.col("s")
     return g.filter((var_n2 > 0) & (dev * dev >= 4 * var_n2)).select(
-        "event_id", "event_type", "hour", "cents"
+        "event_id", "event_type", "day", "cents"
     )
 
 
