@@ -35,6 +35,7 @@ def main() -> None:
     # Render log fixtures outside the timed region.
     loggen.ensure_mongo_log(sf_dir)
     loggen.ensure_mysql_log(sf_dir)
+    loggen.ensure_documents_jsonl(sf_dir)
 
     # JIT warmup: run every query once at the smallest scale factor.
     # Identical plan shape → identical generated code (janino cache hit),
@@ -56,6 +57,7 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != os.path.normpath(sf_dir):
         loggen.ensure_mongo_log(warm_dir)
         loggen.ensure_mysql_log(warm_dir)
+        loggen.ensure_documents_jsonl(warm_dir)
         # TWO warmup iterations: for the queries with very large
         # expression trees (unrolled dot products / LSH planes) one
         # pass leaves the Catalyst/janino driver paths half-tiered —
