@@ -378,8 +378,15 @@ def pagerank_integer(
     plan (k is small and fixed; for large k add ``localCheckpoint``
     every few rounds as :func:`connected_components` does).
     """
-    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Edge list and degrees persist ONCE — without this every round
+    # recomputes the (possibly expensive) upstream edge derivation,
+    # e.g. the basket self-join feeding the shipped co-purchase query.
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # "pr", not "rank": bare `rank` inside expr() parses as the window
     # function in both engines' SQL dialects.
     ranks = deg.select(
@@ -400,4 +407,11 @@ def pagerank_integer(
                 + F.expr(f"({damping_pm} * sum(c)) div {scale}")
             ).alias("pr")
         )
-    return ranks.select("node", F.col("pr").cast("long").alias("pr"))
+    # Materialize the final vector, then release the loop inputs: the
+    # returned frame carries no dangling persisted dependencies.
+    out = ranks.select(
+        "node", F.col("pr").cast("long").alias("pr")
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    deg.unpersist()
+    return out
