@@ -778,6 +778,35 @@ SELECT * FROM (
 """
 
 
+@register(
+    "emb_dedup_components",
+    f"""
+WITH RECURSIVE pairs AS ({_emb_lsh_oracle(0.4)}),
+edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
+          UNION ALL SELECT vec_b, vec_a FROM pairs),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+)
+SELECT id AS vec_id, MIN(r) AS canonical_id, (MIN(r) <> id) AS is_dup
+FROM reach GROUP BY id
+""",
+)
+def emb_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side dedup closure: banded-LSH cosine near-dup
+    pairs resolved to per-vector canonical assignments by the same
+    min-label propagation as the text-side components query — the
+    "keep one vector per semantic cluster" filter an embedding store
+    applies before indexing. Oracle walks the identical edge set with
+    a recursive CTE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_lsh(emb, threshold=0.4)
+    return P.connected_components(
+        emb, pairs, id_col="vec_id", pair_cols=("vec_a", "vec_b")
+    )
+
+
 @register("dedup_embedding_lsh", _emb_lsh_oracle(0.4))
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH embedding near-dups (>= 0.4) with exact verification —
