@@ -34,8 +34,10 @@ from sressentials_spark.operators import similarity as S
 from sressentials_spark.operators import rangejoin as _RJ
 from sressentials_spark.operators import sketch as K
 from sressentials_spark.operators.text import (
+    bpe_merge_pair_counts_oracle_sql,
     exact_dedup_groups,
     quality_scores,
+    rare_bigram_stats_oracle_sql,
     token_stats,
 )
 from sressentials_spark.plans.mongo import analyze_mongo_log
@@ -2223,4 +2225,117 @@ def curation_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus / (|langs| · n_shards))."""
     return C.pack_token_budget(
         load_table(spark, sf_dir, "documents"), budget=2048, n_shards=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Graph tier 2: triangle counting
+# --------------------------------------------------------------------------
+
+@register(
+    "graph_triangle_counts",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        FROM e e1
+        JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+        JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+n AS (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY node
+""",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph —
+    tightly-knit product clusters (every pair of the three parts
+    co-bought in >= 2 orders). Uses the degree-oriented wedge join
+    (:func:`operators.pipeline.triangle_counts`), whose fan-out is
+    bounded by arboricity instead of hub degree; the oracle's
+    id-ordered enumeration is triangle-set-identical because
+    orientation only changes WHERE a triangle is counted, never
+    whether. Edge derivation is the already-verified
+    ``copurchase_part_pairs`` plan."""
+    edges = copurchase_part_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
+    )
+    return P.triangle_counts(edges)
+
+
+# --------------------------------------------------------------------------
+# Text analysis tier 3: tokenizer induction + rare-bigram quality
+# --------------------------------------------------------------------------
+
+@register(
+    "text_bpe_merge_pairs",
+    bpe_merge_pair_counts_oracle_sql(k=20),
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer merge round: the 20 highest-frequency adjacent
+    character pairs across the corpus (count desc, pair asc tie-break).
+    Distinct-word collapse first, so pair explosion runs over the word
+    vocabulary, not the token stream."""
+    from sressentials_spark.operators.text import bpe_merge_pair_counts
+
+    return bpe_merge_pair_counts(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "text_rare_bigram_quality",
+    rare_bigram_stats_oracle_sql(rare_max=1),
+)
+def text_rare_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hapax-bigram share (integer permille) — a fluency/
+    garbage pretraining filter signal. Corpus bigram counts reduce to a
+    ``count > 1`` key set; the doc-side join is a left join against
+    that smaller dim (skewed keys match exactly one row), and rarity
+    is the null flag."""
+    from sressentials_spark.operators.text import rare_bigram_stats
+
+    return rare_bigram_stats(load_table(spark, sf_dir, "documents"), rare_max=1)
+
+
+@register(
+    "window_running_customer_spend",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS running_spend_cents,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+       ) AS BIGINT) AS order_seq
+FROM orders
+""",
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window coverage: per-customer cumulative spend over
+    order history (``ROWS UNBOUNDED PRECEDING`` running sum + order
+    sequence number) in integer cents for oracle exactness. Partition
+    key is ``o_custkey`` — uniform, millions of partitions of tens of
+    rows at scale, so the single window shuffle is well distributed and
+    no per-partition serialization hotspot exists (contrast the
+    global-window anti-pattern Spark warns about)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        cents.alias("price_cents"),
+        F.sum(cents)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_spend_cents"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
     )

@@ -181,3 +181,144 @@ def deduplicate_exact(docs: DataFrame, text_col: str = "text", id_col: str = "do
         F.col("keep_doc_id").alias(id_col)
     )
     return docs.join(keep, id_col, "left_semi")
+
+
+def bpe_merge_pair_counts(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent character pairs across the corpus — the
+    statistic a BPE tokenizer trainer computes each merge round (the
+    highest-count pair becomes the next vocabulary merge).
+
+    Scale shape: the corpus collapses to its DISTINCT-word frequency
+    table first (one shuffle on the word string — uniform, and at web
+    scale the distinct-word table is orders of magnitude smaller than
+    the token stream), then each distinct word explodes into its
+    ``len-1`` character pairs weighted by word count. Pair cardinality
+    is bounded by alphabet² — a few thousand keys — so the final sum
+    is map-side combinable into a tiny result and the global top-k sort
+    is a ``TakeOrdered`` over it, never a full-data sort. Tie-break is
+    total (count desc, pair asc) so the top-k SET is deterministic.
+    """
+    words = docs.select(F.explode(tokens(text_col)).alias("w")).filter(
+        F.length("w") > 0
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
+def bpe_merge_pair_counts_oracle_sql(k: int = 20, table: str = "documents") -> str:
+    """DuckDB restatement of :func:`bpe_merge_pair_counts`."""
+    return rf"""
+WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM {table}),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM w WHERE len(w) > 0 GROUP BY w),
+p AS (SELECT unnest([substr(w, i, 2) for i in generate_series(1, len(w) - 1)]) AS pair,
+             wc
+      FROM wf WHERE len(w) >= 2)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {k}
+"""
+
+
+def rare_bigram_stats(
+    docs: DataFrame,
+    rare_max: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document rare-bigram quality signal: how much of a document
+    is token bigrams the rest of the corpus (almost) never produces.
+
+    A high hapax-bigram share is a standard fluency/garbage signal in
+    pretraining-data filters — boilerplate and natural prose reuse
+    common bigrams, OCR noise and mojibake don't. Output per document:
+    ``n_bigrams``, ``n_rare_bigrams`` (corpus frequency <= ``rare_max``)
+    and ``rare_permille`` (integer ‰, floor — integer-exact for the
+    oracle).
+
+    Scale shape: bigram corpus counts are one map-side-combinable
+    groupBy on the bigram string (uniform key). Rather than joining the
+    FULL count table back (hot keys like "of the" would carry huge
+    counts through the shuffle), the doc-side join is against only the
+    ``count > rare_max`` key set — a smaller dim whose skewed keys each
+    match exactly one row, the AQE-friendly shape — and rare bigrams
+    are the ones that DON'T match (left join, null flag).
+    """
+    tk = tokens(text_col)
+    base = docs.select(F.col(id_col), tk.alias("_tk")).filter(F.size("_tk") >= 2)
+    doc_bigrams = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_tk) - 1),"
+                " i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    common = (
+        doc_bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") > rare_max)
+        .select("bigram", F.lit(1).alias("is_common"))
+    )
+    flagged = doc_bigrams.join(common, "bigram", "left")
+    stats = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("is_common").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rare_bigrams"),
+    )
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("n_rare_bigrams", F.lit(0).cast("long")).alias("n_rare_bigrams"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(1000 * coalesce(n_rare_bigrams, 0)) div coalesce(n_bigrams, 1)")
+            )
+            .alias("rare_permille"),
+        )
+    )
+
+
+def rare_bigram_stats_oracle_sql(rare_max: int = 1, table: str = "documents") -> str:
+    """DuckDB restatement of :func:`rare_bigram_stats`."""
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM {table}),
+b AS (SELECT doc_id,
+             unnest([tk[i] || ' ' || tk[i + 1] for i in generate_series(1, len(tk) - 1)]) AS bigram
+      FROM t WHERE len(tk) >= 2),
+cnt AS (SELECT bigram, COUNT(*) AS bc FROM b GROUP BY bigram),
+st AS (SELECT b.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              CAST(SUM(CASE WHEN cnt.bc <= {rare_max} THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_rare_bigrams
+       FROM b JOIN cnt USING (bigram) GROUP BY b.doc_id)
+SELECT d.doc_id,
+       COALESCE(st.n_bigrams, 0) AS n_bigrams,
+       COALESCE(st.n_rare_bigrams, 0) AS n_rare_bigrams,
+       CASE WHEN COALESCE(st.n_bigrams, 0) = 0 THEN 0
+            ELSE (1000 * st.n_rare_bigrams) // st.n_bigrams END AS rare_permille
+FROM {table} d LEFT JOIN st USING (doc_id)
+"""
