@@ -2339,3 +2339,28 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("running_spend_cents"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
+
+
+@register(
+    "streaming_enriched_event_rollup",
+    """
+SELECT date_trunc('hour', e.ts) AS window_start,
+       n.n_name AS nation,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_enriched_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events STREAM broadcast-joined to
+    the customer→nation dimension per micro-batch (stateless join),
+    rolled up per (hour, nation, event_type) with integer-cents
+    revenue. The batch SQL restatement is the oracle — streaming and
+    batch execution must agree exactly."""
+    from sressentials_spark.streaming.enrich import run_enriched_rollup_batch
+
+    return run_enriched_rollup_batch(spark, sf_dir)
