@@ -33,6 +33,7 @@ from sressentials_spark.operators import pipeline as P
 from sressentials_spark.operators import similarity as S
 from sressentials_spark.operators import rangejoin as _RJ
 from sressentials_spark.operators import sketch as K
+from sressentials_spark.operators.profile import profile_columns_oracle_sql
 from sressentials_spark.operators.text import (
     bpe_merge_pair_counts_oracle_sql,
     exact_dedup_groups,
@@ -2364,3 +2365,106 @@ def streaming_enriched_event_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     from sressentials_spark.streaming.enrich import run_enriched_rollup_batch
 
     return run_enriched_rollup_batch(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Profiling, densification, fixed-size group sampling
+# --------------------------------------------------------------------------
+
+#: Columns the shipped orders profile covers (native-type extrema that
+#: stringify identically in Spark and DuckDB: BIGINT, VARCHAR, DATE).
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+]
+
+
+@register(
+    "profile_orders_columns",
+    profile_columns_oracle_sql("orders", _PROFILE_COLS),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over ``orders``: per column, row/null counts,
+    exact distinct cardinality, and native-type min/max rendered as
+    strings. One small aggregate per column (columnar scans read only
+    their own column) instead of one wide multi-``count_distinct``
+    aggregate (which would Expand every row N-fold)."""
+    from sressentials_spark.operators.profile import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS mn,
+                  date_trunc('hour', MAX(ts)) AS mx FROM events),
+sp AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_start FROM b),
+ty AS (SELECT DISTINCT event_type FROM events),
+hc AS (SELECT date_trunc('hour', ts) AS h, event_type,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM events GROUP BY 1, 2)
+SELECT sp.hour_start, ty.event_type,
+       CAST(COALESCE(hc.n, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN hc.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+FROM sp CROSS JOIN ty
+LEFT JOIN hc ON hc.h = sp.hour_start AND hc.event_type = ty.event_type
+""",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: a continuous hourly spine per event
+    type, left-joined to observed counts with zero fill and a gap
+    flag. The spine is ``sequence(min_hour, max_hour, 1 hour)`` off a
+    one-row bounds aggregate crossed with the distinct type set — both
+    broadcast-sized — so at 100 TB the only full-data pass is the
+    hourly count itself; the spine join is broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    types = e.select("event_type").distinct()
+    spine = (
+        bounds.crossJoin(F.broadcast(types))
+        .select(
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(
+            hourly,
+            (F.col("h") == F.col("hour_start"))
+            & (spine["event_type"] == hourly["event_type"]),
+            "left",
+        )
+        .select(
+            "hour_start",
+            spine["event_type"].alias("event_type"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("was_gap"),
+        )
+    )
+
+
+@register(
+    "curation_group_sample_topn",
+    C.group_sample_topn_oracle_sql("lang", 50),
+)
+def curation_group_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50-per-language deterministic uniform sample (seeded
+    md5 rank, no sampling state) — the fixed-COUNT companion to the
+    rate-based stratified sample, as eval-set builders need."""
+    return C.group_sample_topn(
+        load_table(spark, sf_dir, "documents"), "lang", 50
+    )

@@ -641,3 +641,60 @@ SELECT doc_id, {keys}, n_tokens,
          AS chunk_id
 FROM d
 """
+
+
+# --------------------------------------------------------------------------
+# Per-group fixed-size deterministic sample
+# --------------------------------------------------------------------------
+
+def group_sample_topn(
+    docs: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "gsamp-v1",
+) -> DataFrame:
+    """Exactly-``n``-per-group uniform sample, deterministic.
+
+    The rate-based :func:`stratified_sample` keeps a PROPORTION per
+    stratum; this keeps a fixed COUNT — the shape eval-set builders and
+    per-language inspection dumps need. Rank within each group by the
+    md5 of the seeded id (a reproducible uniform permutation — no
+    sampling state, no ``rand()``), keep ranks ``<= n``. The window
+    partitions on the group column: fine when group cardinality ≥
+    cluster parallelism and per-group rows fit a task (languages here);
+    for a heavy-head group key at 100 TB, pre-filter with a rate-based
+    pass so the window sees a bounded slice per group.
+    """
+    hx = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")).cast("binary")
+    )
+    w = Window.partitionBy(group_col).orderBy(hx, F.col(id_col))
+    return (
+        docs.select(
+            F.col(id_col), F.col(group_col), hx.alias("_hx")
+        )
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n)
+        .select(id_col, group_col, "sample_rank")
+    )
+
+
+def group_sample_topn_oracle_sql(
+    group_col: str,
+    n: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: str = "gsamp-v1",
+) -> str:
+    """DuckDB restatement of :func:`group_sample_topn`."""
+    return f"""
+WITH r AS (
+  SELECT {id_col}, {group_col},
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY {group_col}
+           ORDER BY md5('{seed}:' || CAST({id_col} AS VARCHAR)), {id_col}
+         ) AS BIGINT) AS sample_rank
+  FROM {table})
+SELECT {id_col}, {group_col}, sample_rank FROM r WHERE sample_rank <= {n}
+"""
