@@ -33,7 +33,10 @@ from sressentials_spark.operators import pipeline as P
 from sressentials_spark.operators import similarity as S
 from sressentials_spark.operators import rangejoin as _RJ
 from sressentials_spark.operators import sketch as K
-from sressentials_spark.operators.profile import profile_columns_oracle_sql
+from sressentials_spark.operators.profile import (
+    key_skew_profile_oracle_sql,
+    profile_columns_oracle_sql,
+)
 from sressentials_spark.operators.text import (
     bpe_merge_pair_counts_oracle_sql,
     exact_dedup_groups,
@@ -2467,4 +2470,194 @@ def curation_group_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate-based stratified sample, as eval-set builders need."""
     return C.group_sample_topn(
         load_table(spark, sf_dir, "documents"), "lang", 50
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational tier 2: q3 / q6 / q18 shapes
+# --------------------------------------------------------------------------
+
+@register(
+    "tpch_q3_unshipped_revenue",
+    """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT))) AS BIGINT)
+         AS revenue_millicents,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_millicents DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q3 shape: top-10 highest-revenue orders from one market
+    segment, ordered before the cutoff but shipping after it. The
+    segment filter prunes customer BEFORE the join (pushdown), the
+    filtered customer side broadcasts, and the orders↔lineitem join
+    keys on orderkey (uniform). Revenue is integer milli-cents
+    (``price_cents × (1000 - discount_permille)``) so the top-10 order
+    is bit-stable across engines; the final top-k is a TakeOrdered
+    with a total tie-break, never a global sort."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pm = F.round(F.col("l_discount") * 1000).cast("long")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(cents * (F.lit(1000) - disc_pm)).alias("revenue_millicents"))
+        .select("l_orderkey", "revenue_millicents", "o_orderdate")
+        .orderBy(F.col("revenue_millicents").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 1000) AS BIGINT)) AS BIGINT)
+         AS revenue_millicents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 1000) AS BIGINT) BETWEEN 50 AND 70
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape: pure filter-and-sum over lineitem — the query
+    whose entire cost is the scan, so every predicate must reach the
+    parquet reader (date range and quantity are native pushdowns) and
+    the sum is one map-side-combinable partial per partition. Revenue
+    in integer milli-cents (``price_cents × discount_permille``)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_pm = F.round(F.col("l_discount") * 1000).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & disc_pm.between(50, 70)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(cents * disc_pm).alias("revenue_millicents"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN big ON big.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: orders whose total quantity exceeds 300, with
+    their customers. The HAVING subquery reduces lineitem to a small
+    orderkey set FIRST (map-side-combinable sum), which then
+    broadcast-semi-joins both fact reads — the classic
+    aggregate-then-join rewrite that keeps the 3-way join's big sides
+    pre-filtered. Quantities are integral in the data; rounding to
+    BIGINT makes the HAVING threshold and the final sum exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+    ).drop("l_orderkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "streaming_view_purchase_attribution",
+    """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
+)
+def streaming_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join: views matched to same-
+    user purchases within the following hour, both sides watermarked
+    so buffered join state is evicted once the range condition proves
+    a row dead (the contract that bounds state at 100 TB/day). Batch
+    self-join restatement is the oracle."""
+    from sressentials_spark.streaming.attribution import run_attribution_batch
+
+    return run_attribution_batch(spark, sf_dir)
+
+
+@register(
+    "profile_events_key_skew",
+    key_skew_profile_oracle_sql("events", ["user_id", "event_type"]),
+)
+def profile_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over candidate join keys of
+    ``events``: cardinality, hottest key (deterministic tie-break),
+    and an integer skew ratio — the pre-flight check before keying a
+    100 TB join, computed without any global window."""
+    from sressentials_spark.operators.profile import key_skew_profile
+
+    return key_skew_profile(
+        load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
     )

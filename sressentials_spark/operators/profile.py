@@ -58,3 +58,83 @@ FROM {table}"""
         for c in cols
     ]
     return "\nUNION ALL\n".join(selects)
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Join/shuffle-key skew diagnostics: one row per candidate key
+    column with its cardinality, hottest key, and a skew ratio.
+
+    This is the "why is my join slow" tool — run it on a prospective
+    shuffle key BEFORE keying a 100 TB join on it. Every metric is a
+    two-stage aggregate: per-key counts (one uniform shuffle on the
+    key itself), then a global fold of the counts table plus a
+    broadcast scalar join to name the hottest key deterministically
+    (smallest key among those at the max count — no engine-specific
+    ``arg_max`` tie behavior). ``skew_ratio_permille`` is
+    ``1000 × max_count × n_keys / n_rows`` (integer floor): 1000 means
+    perfectly uniform, and the value approximates how many times
+    slower the hottest task runs than the average.
+
+    No windows and no quantiles over the counts table on purpose: a
+    global order statistic would funnel the (possibly billion-row)
+    counts table through one partition — the very anti-pattern this
+    profiler exists to catch.
+    """
+    parts = []
+    for c in key_cols:
+        counts = df.groupBy(F.col(c).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        totals = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_count"),
+        )
+        top = (
+            counts.join(
+                F.broadcast(totals.select("max_count")),
+                counts["cnt"] == F.col("max_count"),
+            )
+            .agg(F.min("k").alias("top_key"))
+        )
+        parts.append(
+            totals.crossJoin(F.broadcast(top)).select(
+                F.lit(c).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_count",
+                "top_key",
+                F.expr("n_rows div n_keys").alias("mean_count"),
+                F.expr("(1000 * max_count * n_keys) div n_rows").alias(
+                    "skew_ratio_permille"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def key_skew_profile_oracle_sql(table: str, key_cols: list[str]) -> str:
+    """DuckDB restatement of :func:`key_skew_profile`."""
+    selects = [
+        f"""
+SELECT '{c}' AS key_col, n_rows, n_keys, max_count, top_key,
+       n_rows // n_keys AS mean_count,
+       (1000 * max_count * n_keys) // n_rows AS skew_ratio_permille
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_count
+  FROM (SELECT CAST({c} AS VARCHAR) AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1)
+) t
+CROSS JOIN (
+  SELECT MIN(k) AS top_key
+  FROM (SELECT CAST({c} AS VARCHAR) AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1) c1
+  WHERE cnt = (SELECT MAX(cnt) FROM
+               (SELECT COUNT(*) AS cnt FROM {table} GROUP BY CAST({c} AS VARCHAR)) m)
+) tk"""
+        for c in key_cols
+    ]
+    return "\nUNION ALL\n".join(selects)
