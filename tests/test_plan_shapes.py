@@ -94,3 +94,53 @@ def test_retention_plan_has_no_expand(spark):
 
     plan = _plan(QUERIES["events_retention_cohorts"](spark, SF))
     assert "Expand" not in plan
+
+
+def test_q6_predicates_reach_parquet_scan(spark):
+    from sressentials_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["tpch_q6_forecast_revenue"](spark, SF))
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    # The scan-dominant query: date range and quantity bound must be
+    # IN the parquet pushdown list, not applied post-scan only.
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    # Only the four needed columns are read.
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q3_broadcasts_filtered_customer_and_takeordered(spark):
+    from sressentials_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["tpch_q3_unshipped_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # Top-10 compiles to TakeOrdered, never a global Sort of all groups.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_reduces_lineitem_before_joining(spark):
+    from sressentials_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["tpch_q18_large_volume_orders"](spark, SF))
+    # The HAVING-derived orderkey set rides broadcast into both fact
+    # joins (aggregate-then-join, not join-then-aggregate).
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_gapfill_spine_join_is_broadcast(spark):
+    from sressentials_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["events_hourly_gapfill"](spark, SF))
+    # The spine (bounds x types) must broadcast against hourly counts —
+    # a shuffle join here would shuffle the fact side for a tiny spine.
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_profiler_has_no_expand(spark):
+    from sressentials_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["profile_orders_columns"](spark, SF))
+    # Per-column aggregates unioned — N count_distincts in ONE agg
+    # would compile to an Expand multiplying every row N-fold.
+    assert "Expand" not in plan
