@@ -28,13 +28,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _typed_stream(spark: SparkSession, sf_dir: str, event_type: str, prefix: str) -> DataFrame:
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+def _typed_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str,
+    prefix: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        # Bounds each micro-batch to N files: tests use it to force a
+        # multi-batch replay where one side's rows must be BUFFERED in
+        # join state across the batch boundary to match the other.
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(sf_dir)
     return stream.filter(F.col("event_type") == event_type).select(
         F.col("user_id").alias(f"{prefix}_user_id"),
         F.col("event_id").alias(f"{prefix}_event_id"),
@@ -47,16 +56,18 @@ def attribution_stream(
     sf_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """(view, purchase) pairs for the same user with the purchase
     inside ``[view_ts, view_ts + window]`` — each side watermarked so
     join state is evictable."""
-    views = _typed_stream(spark, sf_dir, "view", "view").withWatermark(
-        "view_ts", watermark
-    )
-    purchases = _typed_stream(spark, sf_dir, "purchase", "p").withWatermark(
-        "p_ts", watermark
-    )
+    views = _typed_stream(
+        spark, sf_dir, "view", "view", glob, max_files_per_trigger
+    ).withWatermark("view_ts", watermark)
+    purchases = _typed_stream(
+        spark, sf_dir, "purchase", "p", glob, max_files_per_trigger
+    ).withWatermark("p_ts", watermark)
     joined = views.join(
         purchases,
         (F.col("view_user_id") == F.col("p_user_id"))
@@ -73,13 +84,24 @@ def attribution_stream(
 
 
 def run_attribution_batch(
-    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Replay both streams to completion (availableNow) and return the
     settled attribution pairs."""
-    name = "attr_" + hashlib.md5(f"{sf_dir}|{window}".encode()).hexdigest()[:10]
+    run_key = f"{sf_dir}|{window}|{glob}|{max_files_per_trigger}"
+    name = "attr_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
     q = (
-        attribution_stream(spark, sf_dir, window)
+        attribution_stream(
+            spark,
+            sf_dir,
+            window,
+            glob=glob,
+            max_files_per_trigger=max_files_per_trigger,
+        )
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
