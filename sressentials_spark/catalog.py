@@ -2661,3 +2661,58 @@ def profile_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(
         load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
     )
+
+
+@register(
+    "cdc_scd2_documents",
+    """
+WITH snapshot AS (
+  SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM documents
+),
+updates AS (
+  SELECT doc_id, upper(text) AS text, CAST(2 AS BIGINT) AS version
+  FROM documents WHERE doc_id % 7 = 0
+),
+redactions AS (
+  SELECT doc_id, '[deleted]' AS text, CAST(3 AS BIGINT) AS version
+  FROM documents WHERE doc_id % 21 = 0
+),
+unioned AS (SELECT * FROM snapshot UNION ALL SELECT * FROM updates
+            UNION ALL SELECT * FROM redactions)
+SELECT doc_id, version, md5(text) AS text_md5,
+       LEAD(version) OVER (PARTITION BY doc_id ORDER BY version)
+         AS valid_to_version,
+       CAST(CASE WHEN LEAD(version) OVER (PARTITION BY doc_id ORDER BY version)
+                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM unioned
+""",
+)
+def cdc_scd2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: the CDC version history
+    (same synthetic v1 snapshot / v2 updates as ``cdc_upsert``, plus a
+    v3 redaction wave) resolved into validity INTERVALS — each row
+    carries the version that supersedes it (``lead`` over the per-key
+    history) and a current flag, so point-in-time joins become simple
+    range predicates. One window shuffle keyed on the uniform document
+    id; per-key history is a handful of rows, so no partition
+    serializes — the standard warehouse dimension-build shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    snapshot = docs.select(
+        "doc_id", "text", F.lit(1).cast("long").alias("version")
+    )
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.upper("text").alias("text"), F.lit(2).cast("long").alias("version")
+    )
+    redactions = docs.filter(F.col("doc_id") % 21 == 0).select(
+        "doc_id", F.lit("[deleted]").alias("text"), F.lit(3).cast("long").alias("version")
+    )
+    w = Window.partitionBy("doc_id").orderBy("version")
+    hist = snapshot.unionByName(updates).unionByName(redactions)
+    nxt = F.lead("version").over(w)
+    return hist.select(
+        "doc_id",
+        "version",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        nxt.alias("valid_to_version"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
