@@ -1030,25 +1030,8 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent where float accumulation is not. Each round is
     one node-keyed equi-join + map-side-combinable sum; the oracle
     unrolls the same three rounds as chained CTEs."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
+    pairs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
     )
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
@@ -1130,25 +1113,38 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by items-per-order choose 2 (≤ ~80 here), so unlike a
     part-keyed join this shape stays linear in order count at 100 TB;
     the pair groupBy keys on the uniform (part, part) composite."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    return _copurchase_pairs(spark, sf_dir)
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase edge list ``(part_a, part_b, n_orders)``,
+    session-cached: three catalog queries consume it (the pairs query
+    itself, PageRank, triangle counting), so a multi-query session
+    materializes the basket self-join ONCE via the shared artifact
+    registry (released by ``dedup.release_persisted``)."""
+
+    def build() -> DataFrame:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+        a, b = li.alias("a"), li.alias("b")
+        return D.tracked_persist(
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("part_a"),
+                F.col("b.l_partkey").alias("part_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .filter(F.col("n_orders") >= 2)
         )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
+
+    return D.get_or_build_artifact(spark, ("copurchase_pairs", sf_dir), build)
 
 
 @register(
@@ -2266,7 +2262,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation only changes WHERE a triangle is counted, never
     whether. Edge derivation is the already-verified
     ``copurchase_part_pairs`` plan."""
-    edges = copurchase_part_pairs(spark, sf_dir).select(
+    edges = _copurchase_pairs(spark, sf_dir).select(
         F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
     return P.triangle_counts(edges)

@@ -83,8 +83,37 @@ def release_persisted() -> int:
 # the way the log pipelines share one parsed sheet cache. Keyed by
 # applicationId (a second session never sees dead plans) + the
 # DataFrame's semantic hash; dropped by :func:`release_persisted`.
-_ARTIFACTS: dict[tuple, tuple[DataFrame, DataFrame]] = {}
-_ARTIFACTS_MAX = 4
+_ARTIFACTS: dict[tuple, object] = {}
+_ARTIFACTS_MAX = 8
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """Public handle on the module's persisted-intermediate registry:
+    persist ``df`` such that :func:`release_persisted` frees it."""
+    return _tracked_persist(df)
+
+
+def get_or_build_artifact(spark, key_parts: tuple, builder):
+    """Generic session-level artifact cache (same registry and
+    hygiene as the minhash artifacts): build once per
+    (applicationId, ``key_parts``), reuse until
+    :func:`release_persisted`. The builder should persist its frames
+    via :func:`tracked_persist` so release actually frees the blocks.
+    Used for shared derivations consumed by several catalog queries —
+    e.g. the co-purchase edge list feeding the pairs/PageRank/triangle
+    family — mirroring how a real multi-query session materializes a
+    shared intermediate once."""
+    try:
+        key = (spark.sparkContext.applicationId,) + key_parts
+    except Exception:  # no live context → build uncached
+        return builder()
+    if key in _ARTIFACTS:
+        return _ARTIFACTS[key]
+    val = builder()
+    while len(_ARTIFACTS) >= _ARTIFACTS_MAX:
+        _ARTIFACTS.pop(next(iter(_ARTIFACTS)))
+    _ARTIFACTS[key] = val
+    return val
 
 
 def _minhash_artifacts(
