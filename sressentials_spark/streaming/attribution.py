@@ -92,21 +92,27 @@ def run_attribution_batch(
 ) -> DataFrame:
     """Replay both streams to completion (availableNow) and return the
     settled attribution pairs."""
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
+    )
+
     run_key = f"{sf_dir}|{window}|{glob}|{max_files_per_trigger}"
     name = "attr_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
-    q = (
-        attribution_stream(
-            spark,
-            sf_dir,
-            window,
-            glob=glob,
-            max_files_per_trigger=max_files_per_trigger,
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            attribution_stream(
+                spark,
+                sf_dir,
+                window,
+                glob=glob,
+                max_files_per_trigger=max_files_per_trigger,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(name)

@@ -40,14 +40,20 @@ def exact_dedup_stream(
 def run_exact_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the dedup stream to completion (availableNow) and return the
     distinct-hash result table."""
-    name = "stream_dedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    q = (
-        exact_dedup_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
     )
-    q.awaitTermination()
+
+    name = "stream_dedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            exact_dedup_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

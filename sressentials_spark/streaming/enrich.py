@@ -85,14 +85,20 @@ def run_enriched_rollup_batch(
 ) -> DataFrame:
     """Replay the stream to completion (availableNow) and return the
     settled rollup."""
-    name = "enrich_" + hashlib.md5(f"{sf_dir}|{window}".encode()).hexdigest()[:10]
-    q = (
-        enriched_event_rollup_stream(spark, sf_dir, window)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
     )
-    q.awaitTermination()
+
+    name = "enrich_" + hashlib.md5(f"{sf_dir}|{window}".encode()).hexdigest()[:10]
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            enriched_event_rollup_stream(spark, sf_dir, window)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

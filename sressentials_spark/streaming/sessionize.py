@@ -125,17 +125,23 @@ def run_sessionize_batch(
     """Replay the stream to completion (availableNow) and return the
     sessionized table. ``max_files_per_trigger`` forces multi-batch
     replays in tests so the cross-batch state hand-off is exercised."""
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
+    )
+
     run_key = f"{sf_dir}|{glob}|{max_files_per_trigger}"
     name = "stream_sessionize_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
-    src = sessionize_stream(
-        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
-    )
-    q = (
-        src.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        src = sessionize_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        )
+        q = (
+            src.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

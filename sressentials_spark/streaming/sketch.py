@@ -53,17 +53,23 @@ def run_hll_stream_batch(
     appends a batch-side exact count as a self-validation column —
     tests only; the shipped query omits it (it is the computation the
     sketch avoids)."""
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
+    )
+
     run_key = f"{sf_dir}|{col}|{glob}|{max_files_per_trigger}"
     name = "stream_hll_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
-    q = (
-        hll_register_stream(spark, sf_dir, col, glob, max_files_per_trigger)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            hll_register_stream(spark, sf_dir, col, glob, max_files_per_trigger)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     regs = spark.table(name)
     out = finish_estimate(regs)
     if with_exact:
@@ -108,18 +114,24 @@ def run_histogram_stream_batch(
             "bin"
         )
     )
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
+    )
+
     run_key = f"{sf_dir}|{col}|{glob}|{max_files_per_trigger}|hist"
     name = "stream_hist_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
-    q = (
-        binned.groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     counts = spark.table(name)
     w_cum = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -176,17 +188,23 @@ def run_cms_stream_batch(
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
+    )
+
     run_key = f"{sf_dir}|{col}|{glob}|{max_files_per_trigger}|cms"
     name = "stream_cms_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
-    q = (
-        cms_counters(reader.parquet(sf_dir), col)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            cms_counters(reader.parquet(sf_dir), col)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     total = (
         spark.read.option("pathGlobFilter", glob)
         .parquet(sf_dir)

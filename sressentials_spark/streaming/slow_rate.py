@@ -99,14 +99,20 @@ def run_slow_rate_batch(
     spark: SparkSession, path: str, window: str = "1 hour"
 ) -> DataFrame:
     """Run the stream to completion (availableNow) and return the result."""
-    name = "slow_rate_" + hashlib.md5(path.encode()).hexdigest()[:10]
-    q = (
-        slow_rate_stream(spark, path, window)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
     )
-    q.awaitTermination()
+
+    name = "slow_rate_" + hashlib.md5(path.encode()).hexdigest()[:10]
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            slow_rate_stream(spark, path, window)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
