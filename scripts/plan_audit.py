@@ -74,6 +74,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sim_cosine_topk": {
         "BroadcastNestedLoopJoin": "exact top-k baseline, 5 queries broadcast"
     },
+    "sim_lsh_recall_at_k": {
+        "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
+    },
 }
 
 

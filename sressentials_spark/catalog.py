@@ -2712,3 +2712,159 @@ def cdc_scd2_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to_version"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
     )
+
+
+@register(
+    "sim_lsh_recall_at_k",
+    f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       (1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS recall_permille
+FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
+LEFT JOIN ({ORACLE_SQL["sim_cosine_topk_lsh"]}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""",
+)
+def sim_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class query: recall@10 of the hyperplane-
+    LSH top-k against the exact top-k, per query vector (integer
+    permille). This is the evaluation loop an embedding store runs
+    when tuning bands/probes — the exact side is the deliberate
+    baseline scan, the approx side the production path, and the
+    comparison a tiny per-query join of two k-row sets."""
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        QUERIES["sim_cosine_topk_lsh"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                          * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_revenue_millicents,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT))) AS BIGINT)
+         AS total_revenue_millicents,
+       (1000 * SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                             * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT))
+                        ELSE 0 END))
+         // SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT)))
+         AS promo_share_permille
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-02-01'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: promotional revenue share for one month. The
+    date filter prunes lineitem at the scan; the part dimension
+    broadcasts (fact never shuffles); the conditional/total sums are
+    one map-side-combinable aggregate in integer milli-cents, and the
+    share is an integer permille — no float division in the gate."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(1000) - F.round(F.col("l_discount") * 1000).cast("long")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(promo).alias("promo_revenue_millicents"),
+            F.sum(rev).alias("total_revenue_millicents"),
+        )
+        .select(
+            "promo_revenue_millicents",
+            "total_revenue_millicents",
+            F.expr(
+                "(1000 * promo_revenue_millicents) div total_revenue_millicents"
+            ).alias("promo_share_permille"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT))) AS BIGINT)
+         AS revenue_millicents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: a disjunction of brand/size/quantity predicate
+    bundles over the joined fact. The join stays a plain broadcast
+    equi-join on partkey with the disjunction applied as a post-join
+    filter — the planner must NOT fall into a nested-loop join over
+    the OR (the audit pins no CartesianProduct/BNLJ); per-bundle
+    single-side conjuncts (brand/size on part, quantity bounds on
+    lineitem as a derived OR envelope) could be pushed further at
+    scale, but the equi-key is what keeps this linear."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(1000) - F.round(F.col("l_discount") * 1000).cast("long")
+    )
+    bundle = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(bundle)
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(rev).alias("revenue_millicents"),
+        )
+    )
