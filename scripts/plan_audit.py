@@ -70,6 +70,7 @@ ALLOWED: dict[str, dict[str, str]] = {
     },
     # Inherent grouping-sets expansion.
     "rollup_orders_status_priority": {"Expand": "ROLLUP grouping sets"},
+    "cube_events_type_day": {"Expand": "CUBE grouping sets (chosen marginals)"},
     # Deliberate exact baseline: tiny broadcast query set x corpus.
     "sim_cosine_topk": {
         "BroadcastNestedLoopJoin": "exact top-k baseline, 5 queries broadcast"

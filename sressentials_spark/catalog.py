@@ -2868,3 +2868,36 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("revenue_millicents"),
         )
     )
+
+
+@register(
+    "cube_events_type_day",
+    """
+SELECT event_type,
+       CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY CUBE(event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR))
+""",
+)
+def cube_events_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: per (type, day), per type, per day, and the
+    grand total in one pass. The Expand this compiles to is the
+    INHERENT cost of grouping sets (each input row feeds all four
+    grouping combinations — 4× amplification, fixed and chosen), the
+    opposite of the accidental multi-``count_distinct`` Expand the
+    profiler avoids; at 100 TB you pay it only when you really want
+    all the marginals materialized together."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return e.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("vc").alias("value_cents"),
+    )
