@@ -33,7 +33,9 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         parts.append(
             df.agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(col.isNull(), 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_nulls"),
                 F.countDistinct(col).alias("n_distinct"),
@@ -50,7 +52,7 @@ def profile_columns_oracle_sql(table: str, cols: list[str]) -> str:
         f"""
 SELECT '{c}' AS col_name,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
        CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
        CAST(MIN({c}) AS VARCHAR) AS min_value,
        CAST(MAX({c}) AS VARCHAR) AS max_value
@@ -87,7 +89,7 @@ def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
         )
         totals = counts.agg(
             F.count(F.lit(1)).alias("n_keys"),
-            F.sum("cnt").alias("n_rows"),
+            F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias("n_rows"),
             F.max("cnt").alias("max_count"),
         )
         top = (
@@ -104,10 +106,13 @@ def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
                 "n_keys",
                 "max_count",
                 "top_key",
-                F.expr("n_rows div n_keys").alias("mean_count"),
-                F.expr("(1000 * max_count * n_keys) div n_rows").alias(
-                    "skew_ratio_permille"
-                ),
+                F.expr(
+                    "CASE WHEN n_keys = 0 THEN 0 ELSE n_rows div n_keys END"
+                ).alias("mean_count"),
+                F.expr(
+                    "CASE WHEN n_rows = 0 THEN 0"
+                    " ELSE (1000 * max_count * n_keys) div n_rows END"
+                ).alias("skew_ratio_permille"),
             )
         )
     out = parts[0]
@@ -121,11 +126,12 @@ def key_skew_profile_oracle_sql(table: str, key_cols: list[str]) -> str:
     selects = [
         f"""
 SELECT '{c}' AS key_col, n_rows, n_keys, max_count, top_key,
-       n_rows // n_keys AS mean_count,
-       (1000 * max_count * n_keys) // n_rows AS skew_ratio_permille
+       CASE WHEN n_keys = 0 THEN 0 ELSE n_rows // n_keys END AS mean_count,
+       CASE WHEN n_rows = 0 THEN 0
+            ELSE (1000 * max_count * n_keys) // n_rows END AS skew_ratio_permille
 FROM (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
          CAST(MAX(cnt) AS BIGINT) AS max_count
   FROM (SELECT CAST({c} AS VARCHAR) AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1)
 ) t

@@ -119,3 +119,27 @@ def test_rare_bigram_single_token_doc_zero_row(spark):
     assert rows[1]["rare_permille"] == 333
     # doc 2: single hapax bigram → fully rare
     assert rows[2]["rare_permille"] == 1000
+
+
+def test_empty_inputs_degrade_gracefully(spark):
+    """Empty corpora/graphs: empty results (or zeroed profiles), never
+    a crash or an ANSI division error."""
+    from sressentials_spark.operators.profile import (
+        key_skew_profile,
+        profile_columns,
+    )
+
+    empty_docs = _docs(spark, [])
+    assert bpe_merge_pair_counts(empty_docs).collect() == []
+    assert rare_bigram_stats(empty_docs).collect() == []
+    empty_edges = spark.createDataFrame([], "a long, b long")
+    assert triangle_counts(empty_edges).collect() == []
+    prof = profile_columns(empty_docs, ["doc_id", "text"]).collect()
+    assert [(r["col_name"], r["n_rows"], r["n_nulls"], r["n_distinct"]) for r in prof] == [
+        ("doc_id", 0, 0, 0),
+        ("text", 0, 0, 0),
+    ]
+    skew = key_skew_profile(
+        spark.createDataFrame([], "user_id long"), ["user_id"]
+    ).collect()
+    assert len(skew) == 1 and skew[0]["n_keys"] == 0 and skew[0]["n_rows"] == 0
