@@ -32,6 +32,8 @@ def enriched_event_rollup_stream(
     sf_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming purchases per (hour, nation, event_type) with revenue.
 
@@ -50,12 +52,13 @@ def enriched_event_rollup_stream(
         )
         .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
     )
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        # Bounds each micro-batch to N files: tests use it to prove the
+        # complete-mode rollup merges partial counts across batches.
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(sf_dir)
     events = stream.select(
         F.col("ts").cast("timestamp").alias("ts"),
         "user_id",
@@ -81,7 +84,11 @@ def enriched_event_rollup_stream(
 
 
 def run_enriched_rollup_batch(
-    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Replay the stream to completion (availableNow) and return the
     settled rollup."""
@@ -90,10 +97,17 @@ def run_enriched_rollup_batch(
         state_partitions,
     )
 
-    name = "enrich_" + hashlib.md5(f"{sf_dir}|{window}".encode()).hexdigest()[:10]
+    run_key = f"{sf_dir}|{window}|{glob}|{max_files_per_trigger}"
+    name = "enrich_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
     with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
         q = (
-            enriched_event_rollup_stream(spark, sf_dir, window)
+            enriched_event_rollup_stream(
+                spark,
+                sf_dir,
+                window,
+                glob=glob,
+                max_files_per_trigger=max_files_per_trigger,
+            )
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
