@@ -39,7 +39,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sressentials_spark.operators.dedup import DEFAULT_DIM, md5_long, with_norm
+from sressentials_spark.operators.dedup import (
+    DEFAULT_DIM,
+    get_or_build_artifact,
+    md5_long,
+    tracked_persist,
+    with_norm,
+)
 from sressentials_spark.operators.linalg import dot, ivf_cells_kernel, norm_bucket_kernel
 
 #: Number of hyperplanes (sign bits) for the LSH bucketing.
@@ -90,6 +96,21 @@ def attach_norm_bucket(
     )
 
 
+def _cached_corpus(emb: DataFrame, tag: str, params: tuple, builder):
+    """Session-cache an annotated corpus (norm / norm+bucket / IVF
+    cells) through the shared artifact registry: every similarity
+    query over the same corpus plan reuses ONE materialization — the
+    way a real embedding store builds its index once and serves many
+    query batches — released by ``dedup.release_persisted``."""
+    try:
+        key = ("sim", tag, emb.semanticHash()) + params
+    except Exception:  # semanticHash unavailable → build uncached
+        return builder()
+    return get_or_build_artifact(
+        emb.sparkSession, key, lambda: tracked_persist(builder())
+    )
+
+
 def _collect_queries(
     corpus: DataFrame, query_ids: list[int], id_col: str, cols: list[str]
 ) -> DataFrame:
@@ -115,7 +136,7 @@ def cosine_topk(
     dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector."""
-    corpus = with_norm(emb, dim=dim)
+    corpus = _cached_corpus(emb, "norm", (dim,), lambda: with_norm(emb, dim=dim))
     queries = _collect_queries(
         corpus, query_ids, id_col, [id_col, "embedding", "norm"]
     ).select(
@@ -208,14 +229,17 @@ def cosine_topk_ivf(
     *inside* the probed cells; the shared IVF index is built on the
     unfiltered corpus, as a real deployment would.
     """
-    ids, mat = ivf_seed_centroids(emb, n_cells, id_col=id_col)
-    kern = ivf_cells_kernel(ids, mat, nprobe)
+    def build_annotated() -> DataFrame:
+        ids, mat = ivf_seed_centroids(emb, n_cells, id_col=id_col)
+        kern = ivf_cells_kernel(ids, mat, nprobe)
+        return emb.withColumn("_nc", kern(F.col("embedding"))).select(
+            *emb.columns,
+            F.col("_nc.norm").alias("norm"),
+            F.col("_nc.cells").alias("cells"),
+        )
+
     extra = [filter_col] if filter_col else []
-    annotated = emb.withColumn("_nc", kern(F.col("embedding"))).select(
-        *emb.columns,
-        F.col("_nc.norm").alias("norm"),
-        F.col("_nc.cells").alias("cells"),
-    )
+    annotated = _cached_corpus(emb, "ivf", (n_cells, nprobe), build_annotated)
     corpus = annotated.select(
         F.col(id_col),
         "embedding",
@@ -266,7 +290,9 @@ def cosine_topk_lsh(
     dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket."""
-    corpus = attach_norm_bucket(emb, dim=dim)
+    corpus = _cached_corpus(
+        emb, "bucket", (LSH_PLANES, dim), lambda: attach_norm_bucket(emb, dim=dim)
+    )
     queries = _collect_queries(
         corpus, query_ids, id_col, [id_col, "embedding", "norm", "bucket"]
     ).select(
