@@ -92,3 +92,27 @@ def test_ivf_cell_partitioned_store_prunes_probed_cells(spark, tmp_path):
 
     expect = assigned.filter(F.col("cell").isin(probe_cells)).count()
     assert df.count() == expect > 0
+
+
+def test_orc_roundtrip_preserves_values_and_pushdown(spark, tmp_path):
+    """Format breadth: ORC is the other columnar format Spark ships a
+    native vectorized reader for. A results table written as ORC must
+    round-trip exactly and still take predicate pushdown on read."""
+    src = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    src.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    assert (
+        back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+    )
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]
