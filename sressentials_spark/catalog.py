@@ -2901,3 +2901,52 @@ def cube_events_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum("vc").alias("value_cents"),
     )
+
+
+@register(
+    "curation_quality_weighted_sample",
+    f"""
+WITH rb AS ({rare_bigram_stats_oracle_sql(rare_max=1)})
+SELECT doc_id,
+       CAST(greatest(0, least(1000, 12 * n_bigrams) - 10 * rare_permille)
+            AS BIGINT) AS keep_permille,
+       CAST(('0x' || substring(md5('qws-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT % 1000 AS BIGINT) AS draw
+FROM rb
+WHERE (('0x' || substring(md5('qws-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       ::BIGINT % 1000)
+      < greatest(0, least(1000, 12 * n_bigrams) - 10 * rare_permille)
+""",
+)
+def curation_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED downsampling: each document's keep probability
+    is a length-balanced, fluency-penalized weight —
+    ``clamp(12 x n_bigrams, 0..1000) - 10 x rare_permille`` — realized
+    as a deterministic hash draw (``md5(seed:id) % 1000 < weight``).
+    The soft alternative to a hard quality gate: short boilerplate is
+    thinned in proportion to length (de-biasing the doc-count mix away
+    from fragments) and noisy documents pay an amplified hapax-share
+    penalty, but neither is axed outright, preserving tail diversity.
+    Stateless per row given the (already scale-shaped) rare-bigram
+    stage; reproducible across runs and repartitions."""
+    from sressentials_spark.operators.dedup import md5_long
+    from sressentials_spark.operators.text import rare_bigram_stats
+
+    rb = rare_bigram_stats(load_table(spark, sf_dir, "documents"), rare_max=1)
+    draw = F.pmod(
+        md5_long(F.concat(F.lit("qws-v1:"), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    ).cast("long")
+    keep = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(1000).cast("long"), 12 * F.col("n_bigrams"))
+        - 10 * F.col("rare_permille"),
+    ).cast("long")
+    return (
+        rb.select(
+            "doc_id",
+            keep.alias("keep_permille"),
+            draw.alias("draw"),
+        )
+        .filter(F.col("draw") < F.col("keep_permille"))
+    )
