@@ -2950,3 +2950,95 @@ def curation_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .filter(F.col("draw") < F.col("keep_permille"))
     )
+
+
+@register(
+    "graph_degree_histogram",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) n
+      GROUP BY node)
+SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS degree_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(deg) AS BIGINT) AS min_degree,
+       CAST(MAX(deg) AS BIGINT) AS max_degree
+FROM d GROUP BY 1
+""",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph —
+    the power-law diagnostic run BEFORE any wedge/propagation job to
+    size skew mitigations (the hub the triangle orientation defends
+    against shows up as a lonely high bucket here). Rides the shared
+    session edge-list artifact; two map-side-combinable aggregates,
+    output rows = O(log max_degree). The bucket is the INTEGER bit
+    length (``length(bin(deg)) - 1`` == floor(log2) for positive
+    degrees) — float ``log2`` disagrees between engines by an ulp at
+    exact powers of two, which would shift a bucket boundary; string
+    bit-length is exact in both."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("part_a").alias("node"))
+        .unionAll(pairs.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.groupBy(
+            (F.length(F.bin("deg")) - 1).cast("long").alias("degree_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_degree"),
+            F.max("deg").alias("max_degree"),
+        )
+    )
+
+
+@register(
+    "window_customer_spend_quartiles",
+    """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_spend_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, total_spend_cents, n_orders,
+       CAST(NTILE(4) OVER (ORDER BY total_spend_cents, o_custkey) AS BIGINT)
+         AS spend_quartile,
+       CAST(ROW_NUMBER() OVER (ORDER BY total_spend_cents DESC, o_custkey)
+            AS BIGINT) AS spend_rank
+FROM s
+""",
+)
+def window_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (``ntile`` + global rank) over the
+    per-customer spend rollup. The windows are GLOBAL by definition —
+    a quartile is a property of the whole population — but they run
+    over the already-aggregated customer table (one row per customer,
+    orders-of-magnitude smaller than the fact input), which is the
+    scale rule for global windows: aggregate first, window the
+    reduction, never the raw facts. Total tie-break (spend, custkey)
+    makes ntile assignment engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_spend_cents"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_q = Window.orderBy("total_spend_cents", "o_custkey")
+    w_r = Window.orderBy(F.col("total_spend_cents").desc(), "o_custkey")
+    return s.select(
+        "o_custkey",
+        "total_spend_cents",
+        "n_orders",
+        F.ntile(4).over(w_q).cast("long").alias("spend_quartile"),
+        F.row_number().over(w_r).cast("long").alias("spend_rank"),
+    )
