@@ -68,11 +68,15 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
 def release_persisted() -> int:
     """Unpersist every intermediate this module has cached; returns the
     number of frames released. Safe to call at any time AFTER the
-    consuming queries have materialized (collect/write/count)."""
+    consuming queries have materialized (collect/write/count).
+    Blocking on purpose: callers (bench pass boundaries, cache-hygiene
+    tests) reason about the block store immediately after the call, and
+    the default async unpersist leaves blocks visible for an
+    arbitrary beat afterwards."""
     _ARTIFACTS.clear()
     n = 0
     while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+        _PERSISTED.pop().unpersist(blocking=True)
         n += 1
     return n
 
