@@ -58,13 +58,21 @@ def main() -> None:
         loggen.ensure_mongo_log(warm_dir)
         loggen.ensure_mysql_log(warm_dir)
         loggen.ensure_documents_jsonl(warm_dir)
-        # TWO warmup iterations: for the queries with very large
-        # expression trees (unrolled dot products / LSH planes) one
-        # pass leaves the Catalyst/janino driver paths half-tiered —
-        # measured ~3s of residual driver-side cost on the first timed
-        # run, gone by the second execution of the same plan shape.
-        for _ in range(2):
+        # Warmup: every query once, then a SECOND pass only for the
+        # families with very large expression trees (log route structs,
+        # unrolled/Arrow linalg, shingle pipelines) — one pass leaves
+        # their Catalyst/janino driver paths half-tiered (measured ~3s
+        # residual on the first timed run, gone by the second execution
+        # of the same plan shape). Small-codegen plans (profilers,
+        # windows, curation filters, streaming harnesses whose cost is
+        # state-store setup, not codegen) don't benefit from a second
+        # lap; skipping them keeps the bench's wall clock bounded as
+        # the catalog grows.
+        BIG_CODEGEN_PREFIXES = ("mongo_", "mysql_", "sim_", "dedup_", "emb_")
+        for it in range(2):
             for name, fn in bench_queries.items():
+                if it == 1 and not name.startswith(BIG_CODEGEN_PREFIXES):
+                    continue
                 try:
                     fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
                 except Exception as exc:  # warmup must never fail the bench
