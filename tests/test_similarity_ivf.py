@@ -168,3 +168,31 @@ class TestAnnRecall:
             key = (r["query_id"], r["neighbor_id"])
             assert key in exact
             assert r["cosine"] == exact[key]
+
+
+def test_cached_corpus_keyed_by_corpus_plan(spark):
+    """The session artifact cache must key on the CORPUS plan: two
+    different embedding tables queried back-to-back get independent
+    annotations (a stale shared cache would leak neighbors across
+    corpora)."""
+    from sressentials_spark.operators.dedup import release_persisted
+    from sressentials_spark.operators.similarity import cosine_topk
+
+    release_persisted()
+    a = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    # b: vectors 1-3 all equal vector 0's direction => all cosine 1.0
+    b = spark.createDataFrame(
+        [(i, [1.0] + [0.0] * 7) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    got_a = cosine_topk(a, [0], k=3, dim=8).collect()
+    got_b = cosine_topk(b, [0], k=3, dim=8).collect()
+    # Orthogonal corpus: every neighbor of query 0 has cosine 0.
+    assert all(abs(r["cosine"]) < 1e-12 for r in got_a)
+    # Identical-direction corpus: every neighbor has cosine 1 — would
+    # read 0 if the first corpus' cached annotation leaked.
+    assert all(abs(r["cosine"] - 1.0) < 1e-12 for r in got_b)
+    release_persisted()
