@@ -3042,3 +3042,42 @@ def window_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFra
         F.ntile(4).over(w_q).cast("long").alias("spend_quartile"),
         F.row_number().over(w_r).cast("long").alias("spend_rank"),
     )
+
+
+@register(
+    "mysql_hourly_slow_rate",
+    f"""
+WITH ev AS ({loggen.MYSQL_EV})
+SELECT date_trunc('hour', strptime(tstr, '%y%m%d %H:%M:%S')) AS window_start,
+       CAST(COUNT(*) AS BIGINT)  AS n_slow,
+       MAX(qt_ms)                AS max_query_time_ms,
+       MIN(qt_ms)                AS min_query_time_ms
+FROM ev
+WHERE event_type <> 'error' AND qt_ms > 50000
+GROUP BY 1
+""",
+)
+def mysql_hourly_slow_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal symmetry with the Mongo side: hourly rate of the
+    slowest MySQL queries (> 50 s), computed FROM THE PARSED SHEET —
+    the engine's own ``mysql_detailed`` output is the input, so the
+    rollup exercises the full scan → record-split → regex-extract →
+    N3 pipeline before a single low-cardinality window groupBy.
+    Extrema only (no double sums — max/min are order-independent,
+    summation is not)."""
+    sheet = _mysql_sheet(spark, sf_dir, "detailed")
+    return (
+        sheet.select(
+            F.date_trunc(
+                "hour", F.to_timestamp(F.col("Time"), "yyMMdd HH:mm:ss")
+            ).alias("window_start"),
+            F.col("Query_time (ms)").alias("qt_ms"),
+        )
+        .filter(F.col("qt_ms") > 50000)
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_slow"),
+            F.max("qt_ms").alias("max_query_time_ms"),
+            F.min("qt_ms").alias("min_query_time_ms"),
+        )
+    )
