@@ -65,6 +65,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "mysql_skip_warnings": {
         "BroadcastNestedLoopJoin": "one-row preamble probe broadcast"
     },
+    "mysql_hourly_slow_rate": {
+        "BroadcastNestedLoopJoin": "one-row preamble probe broadcast (via sheet)"
+    },
     "events_hourly_gapfill": {
         "BroadcastNestedLoopJoin": "one-row bounds x tiny type set spine"
     },
