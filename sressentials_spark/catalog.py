@@ -3081,3 +3081,47 @@ def mysql_hourly_slow_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("qt_ms").alias("min_query_time_ms"),
         )
     )
+
+
+@register(
+    "tpch_q9_profit_by_supp_nation_year",
+    """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT))) AS BIGINT)
+         AS revenue_millicents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+""",
+)
+def tpch_q9_profit_by_supp_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape (minus partsupp, absent from the schema):
+    revenue by supplier nation × ship year. The supplier→nation
+    dimension chain broadcasts (fact never shuffles for it); the year
+    extraction is a scan-side expression; the final groupBy keys on a
+    ~(25 × 7)-cardinality composite — map-side combinable to almost
+    nothing. Revenue in integer milli-cents."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = s.join(n, s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(1000) - F.round(F.col("l_discount") * 1000).cast("long")
+    )
+    return (
+        l.join(F.broadcast(dim), l["l_suppkey"] == dim["s_suppkey"])
+        .groupBy(
+            "nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(rev).alias("revenue_millicents"),
+        )
+    )
