@@ -3125,3 +3125,73 @@ def tpch_q9_profit_by_supp_nation_year(spark: SparkSession, sf_dir: str) -> Data
             F.sum(rev).alias("revenue_millicents"),
         )
     )
+
+
+@register(
+    "audit_referential_integrity",
+    """
+SELECT 'lineitem_orphans' AS check_name,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_violations
+UNION ALL
+SELECT 'orders_without_customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'duplicate_orderkeys',
+       CAST((SELECT COALESCE(SUM(cnt - 1), 0) FROM
+             (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey) g
+             WHERE cnt > 1) AS BIGINT)
+UNION ALL
+SELECT 'customer_null_nation',
+       CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL) AS BIGINT)
+""",
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit suite: one row per referential/uniqueness
+    check with its violation count — the gate a pipeline runs before
+    trusting a new 100 TB snapshot. Orphan checks are LEFT ANTI joins
+    (the NOT EXISTS shape — no row materialization for matches, and
+    the anti join's small side broadcasts or shuffles on the uniform
+    key); the duplicate check is a map-side-combinable groupBy. Each
+    check reduces to one scalar before the union, so the result is
+    always exactly one row per check, violations or none."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    def scalar(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.first("n"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    orphans = scalar(
+        "lineitem_orphans",
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    no_cust = scalar(
+        "orders_without_customer",
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    dup_keys = scalar(
+        "duplicate_orderkeys",
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n")),
+    )
+    null_nation = scalar(
+        "customer_null_nation",
+        c.filter(F.col("c_nationkey").isNull()).agg(F.count(F.lit(1)).alias("n")),
+    )
+    return (
+        orphans.unionByName(no_cust).unionByName(dup_keys).unionByName(null_nation)
+    )
