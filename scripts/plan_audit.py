@@ -56,6 +56,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "profile_events_key_skew": {
         "BroadcastNestedLoopJoin": "one-row totals x one-row top-key fold"
     },
+    "window_customer_spend_quartiles": {
+        "BroadcastNestedLoopJoin": "one-row quantile-boundary fold (with_global_rank)"
+    },
     "mysql_detailed": {
         "BroadcastNestedLoopJoin": "one-row preamble probe broadcast"
     },

@@ -32,6 +32,7 @@ from sressentials_spark.operators import dedup as D
 from sressentials_spark.operators import pipeline as P
 from sressentials_spark.operators import similarity as S
 from sressentials_spark.operators import rangejoin as _RJ
+from sressentials_spark.operators import rownum as _RN
 from sressentials_spark.operators import sketch as K
 from sressentials_spark.operators.profile import (
     key_skew_profile_oracle_sql,
@@ -2417,9 +2418,13 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification: a continuous hourly spine per event
     type, left-joined to observed counts with zero fill and a gap
     flag. The spine is ``sequence(min_hour, max_hour, 1 hour)`` off a
-    one-row bounds aggregate crossed with the distinct type set — both
-    broadcast-sized — so at 100 TB the only full-data pass is the
-    hourly count itself; the spine join is broadcast."""
+    one-row bounds aggregate crossed with the distinct type set, so at
+    100 TB the only full-data pass is the hourly count itself. Both
+    spine-join inputs are reductions (hours × types), and the
+    broadcast hint goes on the HOURLY side: a LeftOuter
+    BroadcastHashJoin can only build the non-preserved side, so
+    hinting the preserved spine would be silently ignored
+    (HintErrorLogger) and the join could degrade to a sort-merge."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
@@ -2440,9 +2445,9 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        F.broadcast(spine)
+        spine
         .join(
-            hourly,
+            F.broadcast(hourly),
             (F.col("h") == F.col("hour_start"))
             & (spine["event_type"] == hourly["event_type"]),
             "left",
@@ -3012,20 +3017,29 @@ WITH s AS (
 SELECT o_custkey, total_spend_cents, n_orders,
        CAST(NTILE(4) OVER (ORDER BY total_spend_cents, o_custkey) AS BIGINT)
          AS spend_quartile,
-       CAST(ROW_NUMBER() OVER (ORDER BY total_spend_cents DESC, o_custkey)
+       CAST(ROW_NUMBER() OVER (ORDER BY total_spend_cents DESC, o_custkey DESC)
             AS BIGINT) AS spend_rank
 FROM s
 """,
 )
 def window_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution windows (``ntile`` + global rank) over the
-    per-customer spend rollup. The windows are GLOBAL by definition —
-    a quartile is a property of the whole population — but they run
-    over the already-aggregated customer table (one row per customer,
-    orders-of-magnitude smaller than the fact input), which is the
-    scale rule for global windows: aggregate first, window the
-    reduction, never the raw facts. Total tie-break (spend, custkey)
-    makes ntile assignment engine-exact."""
+    """NTILE(4) + global rank over the per-customer spend rollup,
+    WITHOUT an unpartitioned window. Quartiles/ranks are global
+    properties of the population, but a bare ``ntile() OVER (ORDER BY
+    ...)`` single-partitions the whole rollup (hundreds of millions of
+    customers at 100 TB) through one task. Instead
+    :func:`~sressentials_spark.operators.rownum.with_global_rank`
+    computes the exact ascending position ``r`` distributively
+    (range-exchange → per-bucket windows → broadcast prefix-sum
+    offsets), and both outputs are pure arithmetic on ``(r, n)``:
+
+    * ``spend_quartile`` — NTILE(4)'s exact assignment: the first
+      ``n % 4`` tiles get ``n div 4 + 1`` rows, the rest ``n div 4``;
+    * ``spend_rank`` — the descending position ``n + 1 - r`` (total
+      tie-break, so the oracle orders ``spend DESC, custkey DESC``).
+
+    One ranking pass serves both. Tested: no Window node without a
+    partition spec on the data path (test_plan_shapes.py)."""
     o = load_table(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
@@ -3033,14 +3047,25 @@ def window_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFra
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w_q = Window.orderBy("total_spend_cents", "o_custkey")
-    w_r = Window.orderBy(F.col("total_spend_cents").desc(), "o_custkey")
-    return s.select(
+    ranked = _RN.with_global_rank(
+        s, ["total_spend_cents", "o_custkey"], name="__r", total_name="__n"
+    )
+    # NTILE(k) arithmetic on (r, n): base = n div 4, rem = n % 4,
+    # cut = (base+1)*rem rows fill the first rem (larger) tiles. The
+    # ELSE branch divides by base only when r > cut, which implies
+    # base >= 1 (CASE evaluates lazily), so no ANSI div-by-zero.
+    return ranked.select(
         "o_custkey",
         "total_spend_cents",
         "n_orders",
-        F.ntile(4).over(w_q).cast("long").alias("spend_quartile"),
-        F.row_number().over(w_r).cast("long").alias("spend_rank"),
+        F.expr(
+            "CAST(CASE WHEN __r <= ((__n div 4) + 1) * (__n % 4) "
+            "THEN (__r + (__n div 4)) div ((__n div 4) + 1) "
+            "ELSE (__n % 4) + "
+            "((__r - ((__n div 4) + 1) * (__n % 4)) + (__n div 4) - 1) "
+            "div (__n div 4) END AS BIGINT)"
+        ).alias("spend_quartile"),
+        (F.col("__n") + 1 - F.col("__r")).cast("long").alias("spend_rank"),
     )
 
 

@@ -97,6 +97,21 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return _tracked_persist(df)
 
 
+def _evict_artifact(val: object) -> None:
+    """Free an artifact evicted from the FIFO cache: unpersist every
+    DataFrame it holds and drop it from the release registry, so a
+    long session cycling more than ``_ARTIFACTS_MAX`` artifacts does
+    not accumulate dead cached blocks until :func:`release_persisted`."""
+    frames = val if isinstance(val, (tuple, list)) else (val,)
+    for f in frames:
+        if isinstance(f, DataFrame):
+            try:
+                f.unpersist(blocking=False)
+            except Exception:  # context already gone — nothing to free
+                pass
+            _PERSISTED[:] = [p for p in _PERSISTED if p is not f]
+
+
 def get_or_build_artifact(spark, key_parts: tuple, builder):
     """Generic session-level artifact cache (same registry and
     hygiene as the minhash artifacts): build once per
@@ -115,7 +130,7 @@ def get_or_build_artifact(spark, key_parts: tuple, builder):
         return _ARTIFACTS[key]
     val = builder()
     while len(_ARTIFACTS) >= _ARTIFACTS_MAX:
-        _ARTIFACTS.pop(next(iter(_ARTIFACTS)))
+        _evict_artifact(_ARTIFACTS.pop(next(iter(_ARTIFACTS))))
     _ARTIFACTS[key] = val
     return val
 
@@ -142,7 +157,7 @@ def _minhash_artifacts(
     )
     if key is not None:
         while len(_ARTIFACTS) >= _ARTIFACTS_MAX:
-            _ARTIFACTS.pop(next(iter(_ARTIFACTS)))
+            _evict_artifact(_ARTIFACTS.pop(next(iter(_ARTIFACTS))))
         _ARTIFACTS[key] = (ex, sig)
     return ex, sig
 

@@ -27,7 +27,7 @@ same partitioning, which holds for file sources.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__ssk_pid"
@@ -150,3 +150,115 @@ def with_file_row_numbers(
         )
         .drop(_PID, "__ssk_file", "__ssk_off", "__ssk_mi", "__ssk_mid")
     )
+
+
+def with_global_rank(
+    df: DataFrame,
+    cols: list[str],
+    name: str = "rank",
+    total_name: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based rank over a total order — no global window.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` funnels the whole
+    relation through one task ("No Partition Defined"); this computes
+    the identical numbering distributively, in ONE plan with no driver
+    collect:
+
+    1. stamp each row with a range-bucket id computed BY VALUE: ``P-1``
+       approximate-quantile boundaries of the leading sort key (one
+       tiny 1-row aggregate, broadcast) and
+       ``bucket = #boundaries < key``. Boundary quality only affects
+       bucket *balance*, never correctness — and because the bucket is
+       a deterministic, order-monotonic function of the row's value,
+       every branch of the plan agrees on it (unlike
+       ``repartitionByRange``, whose sampled boundaries can differ
+       between two physical exchanges of the same logical child);
+    2. per-BUCKET ``row_number`` window — every window partition is a
+       range bucket, so no single-partition WindowExec touches the
+       data;
+    3. per-bucket counts are folded into a SINGLE ROW (``collect_list``
+       of ≤P tiny (bucket, count) pairs — bounded by cluster config,
+       not data) whose higher-order ``aggregate`` produces the prefix
+       sums, exploded back to a ≤P-row offsets relation;
+    4. a broadcast equi-join attaches each bucket's offset:
+       ``rank = offset[bucket] + local row_number``.
+
+    ``cols`` must be a total order (include a unique tie-break) for the
+    numbering to be deterministic, and the leading column must be
+    orderable by ``percentile_approx`` (numeric/date/timestamp).
+    ``total_name`` optionally exposes the relation's row count on every
+    row (needed by e.g. NTILE arithmetic) — it rides the same
+    broadcast, no extra job.
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = cols[0]
+    if p >= 2:
+        fracs = F.array(*[F.lit(i / p) for i in range(1, p)])
+        bounds = df.agg(
+            F.sort_array(
+                F.percentile_approx(key, fracs, 10000)
+            ).alias("__ssk_bounds")
+        )
+        rs = (
+            df.join(F.broadcast(bounds))
+            .withColumn(
+                # coalesce/greatest: an all-NULL key column yields NULL
+                # bounds → NULL/-1 size; pin those rows to bucket 0 (they
+                # sort first anyway) so the offsets equi-join keeps them.
+                _PID,
+                F.greatest(
+                    F.lit(0),
+                    F.coalesce(
+                        F.size(
+                            F.filter("__ssk_bounds", lambda b: b < F.col(key))
+                        ),
+                        F.lit(0),
+                    ),
+                ).cast("int"),
+            )
+            .drop("__ssk_bounds")
+        )
+    else:
+        rs = df.withColumn(_PID, F.lit(0))
+    counts = rs.groupBy(_PID).agg(F.count(F.lit(1)).alias("__ssk_cnt"))
+    folded = counts.agg(
+        F.sort_array(F.collect_list(F.struct(_PID, "__ssk_cnt"))).alias("pc")
+    ).select(
+        F.aggregate(
+            "pc",
+            F.struct(
+                F.lit(0).cast("long").alias("acc"),
+                F.array()
+                .cast(f"array<struct<{_PID}:int,__ssk_off:bigint>>")
+                .alias("offs"),
+            ),
+            lambda a, x: F.struct(
+                (a["acc"] + x["__ssk_cnt"]).alias("acc"),
+                F.concat(
+                    a["offs"],
+                    F.array(
+                        F.struct(
+                            x[_PID].alias(_PID), a["acc"].alias("__ssk_off")
+                        )
+                    ),
+                ).alias("offs"),
+            ),
+        ).alias("st")
+    )
+    offs = folded.select(
+        F.explode("st.offs").alias("e"), F.col("st.acc").alias("__ssk_n")
+    ).select(
+        F.col(f"e.{_PID}").alias(_PID),
+        F.col("e.__ssk_off").alias("__ssk_off"),
+        "__ssk_n",
+    )
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    out = rs.join(F.broadcast(offs), _PID).withColumn(
+        name, (F.row_number().over(w) + F.col("__ssk_off")).cast("long")
+    )
+    if total_name is not None:
+        out = out.withColumn(total_name, F.col("__ssk_n"))
+    return out.drop(_PID, "__ssk_off", "__ssk_n")

@@ -132,9 +132,34 @@ def test_gapfill_spine_join_is_broadcast(spark):
     from sressentials_spark.catalog import QUERIES
 
     plan = _plan(QUERIES["events_hourly_gapfill"](spark, SF))
-    # The spine (bounds x types) must broadcast against hourly counts —
-    # a shuffle join here would shuffle the fact side for a tiny spine.
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # The spine↔hourly join specifically must be a BroadcastHashJoin
+    # (built on the hourly side — LeftOuter can't build the preserved
+    # spine). Checking for any broadcast node isn't enough: the query
+    # always contains a BNLJ from the bounds×types crossJoin, so that
+    # would pass even if this join degraded to sort-merge.
+    spine_joins = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and "hour_start" in line
+    ]
+    assert spine_joins, plan
+    assert all("SortMergeJoin" not in line for line in plan.splitlines() if "hour_start" in line)
+
+
+def test_quartiles_have_no_global_window(spark):
+    from sressentials_spark.catalog import QUERIES
+
+    df = QUERIES["window_customer_spend_quartiles"](spark, SF)
+    plan = _plan(df)
+    # Every Window node must be partitioned by the range-bucket id —
+    # an unpartitioned ntile/row_number would single-partition the
+    # whole customer rollup ("No Partition Defined").
+    window_lines = [line for line in plan.splitlines() if "Window [" in line]
+    assert window_lines, plan
+    assert all("__ssk_pid" in line for line in window_lines), window_lines
+    assert "ntile(" not in plan  # replaced by (rank, n) arithmetic
+    # (the remaining SinglePartition exchanges carry only the one-row
+    # boundary sketch and the <=P (bucket, count) pairs — config-bounded)
 
 
 def test_profiler_has_no_expand(spark):
