@@ -113,17 +113,25 @@ def main() -> None:
     except ValueError:
         sf = tag
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # Also mirror the artifact in-repo: the driver's BENCH_r{N} capture
+    # truncates long stdout lines, losing the per-query map — a
+    # committed bench_r{N}.json is the durable record. Round number via
+    # SPARK_GRAFT_ROUND; skipped for partial (SPARK_GRAFT_ONLY) runs.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd and not only:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"bench_r{rnd}.json")
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=2, sort_keys=True)
+        print(f"[bench] wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sim_lsh_recall_at_k": {
         "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
     },
+    "sim_lsh_multiprobe_recall_at_k": {
+        "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
+    },
 }
 
 

@@ -638,22 +638,48 @@ FROM newd LEFT JOIN agg ON newd.doc_id = agg.doc_id
 
 @register("dedup_incremental_ingest", _INCR_ORACLE)
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup ingest: the last 30% of the corpus (by
-    doc_id) plays the role of a freshly arrived batch, triaged against
-    the first 70% (the ingested history) and against earlier rows of
-    its own batch — ``dup_of_history`` / ``dup_in_batch`` / ``kept``
-    per new document, with verified-match counts.
+    """Incremental near-dup ingest AGAINST THE PERSISTED INDEX: the
+    last 30% of the corpus (by doc_id) plays the role of a freshly
+    arrived batch, triaged against the first 70% (the ingested
+    history) and against earlier rows of its own batch —
+    ``dup_of_history`` / ``dup_in_batch`` / ``kept`` per new document,
+    with verified-match counts.
 
-    The candidate join probes new-batch band signatures against the
-    band index, so the history×history quadrant (the cost a naive
-    re-dedup pays on every ingest) never materializes; verification is
-    the same relational shingle-intersection as the batch LSH query.
-    The split point is a one-scalar ``max(doc_id)`` action (70/30 at
-    any scale factor)."""
+    The history's shingle/signature/band tables are built ONCE per
+    session by :func:`~...dedup.build_dedup_index` as bucketed parquet
+    tables (``sinks.write_bucketed``) and every ingest loads them:
+    the band join's history side arrives pre-hashed on the band key
+    (zero shuffle — pinned by tests/test_sinks.py) and the batch pays
+    only its own signatures. The history×history quadrant (the
+    quadratic bulk a naive re-dedup would re-pay on every ingest)
+    never materializes. The split point is a one-scalar
+    ``max(doc_id)`` action (70/30 at any scale factor)."""
+    import os as _os
+    import re as _re
+
     docs = load_table(spark, sf_dir, "documents")
     max_id = docs.agg(F.max("doc_id")).first()[0]
     split = (max_id + 1) * 7 // 10
-    return D.minhash_incremental(docs, split, threshold=0.8)
+
+    def _build() -> D.DedupIndexTables:
+        app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
+        tag = _re.sub(r"\W", "_", _os.path.basename(_os.path.normpath(sf_dir)))
+        base = f"/tmp/sressentials_dedup_index/{app}/{tag}_{split}"
+        prefix = f"ssk_dedup_idx_{app}_{tag}_{split}"
+        return D.build_dedup_index(
+            docs.filter(F.col("doc_id") < split), base, prefix
+        )
+
+    idx = D.get_or_build_disk_artifact(
+        spark, ("dedup_index", sf_dir, split), _build
+    )
+    return D.minhash_incremental_from_index(
+        spark,
+        docs.filter(F.col("doc_id") >= split),
+        idx,
+        split,
+        threshold=0.8,
+    )
 
 
 @register("dedup_minhash_lsh", _jaccard_oracle(0.8))
@@ -845,19 +871,23 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
 
 
-def _lsh_bucket_sql(vec: str) -> str:
-    weights = S.lsh_plane_weights()
-    terms = []
-    for p, row in enumerate(weights):
-        warr = "[" + ", ".join(str(w) for w in row) + "]::DOUBLE[]"
-        proj = (
-            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({warr})[i] "
-            f"for i in generate_series(1, len({vec}))])"
-        )
-        terms.append(
-            f"CASE WHEN ({proj}) > 0 THEN CAST({1 << p} AS BIGINT) "
-            f"ELSE CAST(0 AS BIGINT) END"
-        )
+def _lsh_proj_sql(vec: str, p: int, planes: int | None = None) -> str:
+    """Raw fold-exact projection of ``vec`` onto hyperplane ``p``."""
+    row = S.lsh_plane_weights(planes or S.LSH_PLANES)[p]
+    warr = "[" + ", ".join(str(w) for w in row) + "]::DOUBLE[]"
+    return (
+        f"list_sum([CAST({vec}[i] AS DOUBLE) * ({warr})[i] "
+        f"for i in generate_series(1, len({vec}))])"
+    )
+
+
+def _lsh_bucket_sql(vec: str, planes: int | None = None) -> str:
+    n = planes or S.LSH_PLANES
+    terms = [
+        f"CASE WHEN ({_lsh_proj_sql(vec, p, n)}) > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for p in range(n)
+    ]
     return "(" + " + ".join(terms) + ")"
 
 
@@ -880,6 +910,59 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
 def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors via hyperplane-LSH bucketing."""
     return S.cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
+
+
+def _multiprobe_probes_sql(ids: str, nprobe: int) -> str:
+    """CTE chain producing (query_id, qv, pb): the query's own bucket
+    plus single-bit flips of its ``nprobe - 1`` lowest-|margin| planes
+    — the SQL restatement of ``similarity.multiprobe_buckets``."""
+    per_plane = " UNION ALL ".join(
+        f"SELECT query_id, {p} AS plane, "
+        f"abs({_lsh_proj_sql('qv', p)}) AS ap FROM q"
+        for p in range(S.LSH_PLANES)
+    )
+    return f"""
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb FROM wb
+      WHERE vec_id IN ({ids})),
+qp AS ({per_plane}),
+fl AS (SELECT query_id, plane,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ap, plane) AS rn
+       FROM qp),
+probes AS (
+  SELECT query_id, qv, qb AS pb FROM q
+  UNION ALL
+  SELECT q.query_id, q.qv, xor(q.qb, (CAST(1 AS BIGINT) << f.plane)) AS pb
+  FROM q JOIN fl f ON f.query_id = q.query_id AND f.rn <= {nprobe - 1}
+)"""
+
+
+_MULTIPROBE_SQL = f"""
+WITH wb AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+            FROM embeddings),
+{_multiprobe_probes_sql(', '.join(map(str, _TOPK_QUERY_IDS)), S.MULTIPROBE_PROBES)},
+scored AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+                  {_cos_sql('p.qv', 'e.embedding')} AS cosine
+           FROM probes p JOIN wb e ON e.bucket = p.pb AND e.vec_id <> p.query_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+"""
+
+
+@register("sim_cosine_topk_lsh_multiprobe", _MULTIPROBE_SQL)
+def sim_cosine_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al., VLDB'07): each query
+    scores its own bucket PLUS the buckets across its 3 lowest-margin
+    planes — the planes whose sign bit was least certain for this
+    vector, exactly where a missed true neighbor most likely lives.
+    Same index artifact as the single-probe query (multi-probe is a
+    query-side knob — no rebuild); fan-in 4/64 of the corpus, the same
+    expected cost as a single-probe 4-plane index but with higher
+    recall (measured by ``sim_lsh_multiprobe_recall_at_k``)."""
+    return S.cosine_topk_lsh_multiprobe(
+        load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10
+    )
 
 
 @register(
@@ -1858,6 +1941,24 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_batch(spark, sf_dir)
 
 
+@register("streaming_sessionize_events_ooo", _SESSIONIZE_ORACLE)
+def streaming_sessionize_events_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over an OUT-OF-ORDER arrival: the events table is
+    staged as jitter-perturbed arrival files (bounded disorder — a real
+    100 TB ingest is never perfectly event-time-ordered), replayed one
+    file per micro-batch, and sessionized by the watermark +
+    reorder-buffer stateful operator: rows wait in per-user state until
+    the watermark passes them, then emit in exact event-time order.
+    The strict-ordering variant refuses this input loudly; this one
+    matches the batch window oracle exactly because the watermark delay
+    exceeds the staged disorder bound (no late drops). Same oracle as
+    the batch and in-order streaming queries — all three engines must
+    agree."""
+    from sressentials_spark.streaming.sessionize import run_sessionize_ooo_batch
+
+    return run_sessionize_ooo_batch(spark, sf_dir)
+
+
 @register(
     "streaming_hll_distinct_users",
     K.hll_distinct_oracle_sql("events", "user_id"),
@@ -2765,6 +2866,121 @@ def sim_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Query-id set for the multi-probe recall eval: 50 queries — the
+#: 5-query headline set is too small to separate the variants (±1 hit
+#: swings dominate); 500 exact-vs-approx pairs give a stable read.
+_RECALL_QUERY_IDS = list(range(50))
+_RECALL_IDS_SQL = ", ".join(map(str, _RECALL_QUERY_IDS))
+
+_RECALL_EXACT_SQL = f"""
+WITH qx AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN ({_RECALL_IDS_SQL})),
+sx AS (SELECT qx.query_id, e.vec_id AS neighbor_id,
+              {_cos_sql('qx.qv', 'e.embedding')} AS cosine
+       FROM qx JOIN embeddings e ON e.vec_id <> qx.query_id),
+rx AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank FROM sx)
+SELECT query_id, neighbor_id FROM rx WHERE rank <= 10
+"""
+
+_RECALL_MULTI_SQL = f"""
+WITH wb AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+            FROM embeddings),
+{_multiprobe_probes_sql(_RECALL_IDS_SQL, S.MULTIPROBE_PROBES)},
+sm AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+              {_cos_sql('p.qv', 'e.embedding')} AS cosine
+       FROM probes p JOIN wb e ON e.bucket = p.pb AND e.vec_id <> p.query_id),
+rm AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank FROM sm)
+SELECT query_id, neighbor_id FROM rm WHERE rank <= 10
+"""
+
+_SINGLE4_SQL = f"""
+WITH wb4 AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 4)} AS bucket
+             FROM embeddings),
+q4 AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb FROM wb4
+       WHERE vec_id IN ({_RECALL_IDS_SQL})),
+s4 AS (SELECT q4.query_id, e.vec_id AS neighbor_id,
+              {_cos_sql('q4.qv', 'e.embedding')} AS cosine
+       FROM q4 JOIN wb4 e ON e.bucket = q4.qb AND e.vec_id <> q4.query_id),
+r4 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank FROM s4)
+SELECT query_id, neighbor_id FROM r4 WHERE rank <= 10
+"""
+
+
+@register(
+    "sim_lsh_multiprobe_recall_at_k",
+    f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_multiprobe,
+       CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_single_eq_fanin,
+       (1000 * SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS recall_multi_permille,
+       (1000 * SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS recall_single_permille
+FROM ({_RECALL_EXACT_SQL}) e
+LEFT JOIN ({_RECALL_MULTI_SQL}) m
+  ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+LEFT JOIN ({_SINGLE4_SQL}) s
+  ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+GROUP BY e.query_id
+""",
+)
+def sim_lsh_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-probe payoff measured INSIDE the engine at equal
+    fan-in: recall@10 over 50 query vectors of (a) the 6-plane/4-probe
+    multi-probe index and (b) a single-probe 4-plane index — both
+    score an expected 1/16 of the corpus per query (measured 34 vs 32
+    candidates/query at sf0.01) — against the exact top-k. Multi-probe
+    spends its fan-in on the lowest-margin flips of a finer partition
+    instead of a coarser partition's single bucket; measured at sf0.01
+    over 500 exact pairs: multi 164‰ vs single-equal-fan-in 134‰ (and
+    the same-index single probe manages only 40‰ at 1/4 the fan-in).
+    This query is the committed evidence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, _RECALL_QUERY_IDS, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    multi = (
+        S.cosine_topk_lsh_multiprobe(emb, _RECALL_QUERY_IDS, k=10)
+        .select("query_id", "neighbor_id")
+        .withColumn("mhit", F.lit(1))
+    )
+    single4 = (
+        S.cosine_topk_lsh(emb, _RECALL_QUERY_IDS, k=10, planes=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("shit", F.lit(1))
+    )
+    return (
+        exact.join(multi, ["query_id", "neighbor_id"], "left")
+        .join(single4, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("mhit", F.lit(0))).cast("long").alias("hits_multiprobe"),
+            F.sum(F.coalesce("shit", F.lit(0)))
+            .cast("long")
+            .alias("hits_single_eq_fanin"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "hits_multiprobe",
+            "hits_single_eq_fanin",
+            F.expr("(1000 * hits_multiprobe) div n_exact").alias(
+                "recall_multi_permille"
+            ),
+            F.expr("(1000 * hits_single_eq_fanin) div n_exact").alias(
+                "recall_single_permille"
+            ),
+        )
+    )
+
+
 @register(
     "tpch_q14_promo_revenue",
     """
@@ -3148,6 +3364,102 @@ def tpch_q9_profit_by_supp_nation_year(spark: SparkSession, sf_dir: str) -> Data
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
             F.sum(rev).alias("revenue_millicents"),
+        )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'),
+pc AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(l.l_extendedprice / l.l_quantity) AS supply_cost
+  FROM lineitem l JOIN eu ON l.l_suppkey = eu.s_suppkey
+  GROUP BY l.l_partkey, l.l_suppkey)
+SELECT p.p_partkey, p.p_brand, p.p_type, eu.s_name, eu.n_name,
+       eu.s_acctbal, pc.supply_cost
+FROM pc
+JOIN eu ON pc.l_suppkey = eu.s_suppkey
+JOIN part p ON p.p_partkey = pc.l_partkey
+WHERE pc.supply_cost = (SELECT MIN(pc2.supply_cost) FROM pc pc2
+                        WHERE pc2.l_partkey = pc.l_partkey)
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape — the canonical correlated min-per-group
+    subquery ("the supplier(s) achieving the minimum supply cost for
+    each part in a region"), restated on the available schema: supply
+    cost of a (part, supplier) pair is its minimum observed unit price
+    over lineitems, suppliers restricted to EUROPE.
+
+    The oracle keeps the textbook correlated subquery; the engine
+    plans it the way the subquery should execute at 100 TB:
+
+    * the region→nation→supplier dim chain broadcasts onto lineitem
+      (the fact side never shuffles for the filter);
+    * one uniform-key groupBy builds the (part, supplier) cost table;
+    * the correlated ``= (SELECT MIN ...)`` becomes a ``min() OVER
+      (PARTITION BY partkey)`` + filter on the ALREADY-AGGREGATED cost
+      table — one shuffle on partkey, no join back, no second scan
+      (the join-back formulation re-shuffles the cost table twice);
+    * part/supplier attributes attach by broadcast afterwards, so only
+      winner rows pay the dimension joins.
+
+    Unit price is an IEEE double division — bit-identical in the JVM
+    and DuckDB — so the float equality against the group minimum is
+    exact on both sides."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    eu = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            supplier["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    pc = (
+        li.join(F.broadcast(eu.select("s_suppkey")),
+                li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cost").alias("supply_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = pc.withColumn("_mc", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("_mc")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    return (
+        best.join(F.broadcast(eu), best["l_suppkey"] == eu["s_suppkey"])
+        .join(F.broadcast(part), best["l_partkey"] == part["p_partkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            "supply_cost",
         )
     )
 

@@ -99,9 +99,37 @@ def main(argv: list[str] | None = None) -> int:
 
 
 #: Parse-error warnings surfaced interactively before they overwhelm
-#: the page (the reference loops over ALL of them, st.warning each —
-#: unbounded on a corrupt file; we cap and summarize the remainder).
+#: the page. The reference loops over ALL of them, ``st.warning`` each
+#: (``Mongo/mongo_parser.py:162-163``); the default view caps and
+#: summarizes the remainder, and a "show all" toggle restores the
+#: reference's unbounded behavior (the UI twin of the CLI's
+#: ``--max-errors -1``).
 _UI_MAX_WARNINGS = 50
+
+
+def _render_diagnostics(st, diag_df, show_all: bool) -> int:
+    """Emit parse-error diagnostics to the Streamlit surface; returns
+    the number of warnings rendered. ``show_all=True`` streams EVERY
+    diagnostic through ``toLocalIterator`` (reference parity — and no
+    driver-side materialization of an arbitrarily corrupt file);
+    otherwise the first ``_UI_MAX_WARNINGS`` plus a suppression note.
+    Takes ``st`` as a parameter so tests can drive it without a
+    streamlit install."""
+    if show_all:
+        n = 0
+        for row in diag_df.toLocalIterator():
+            st.warning(row["message"])
+            n += 1
+        return n
+    diags = diag_df.limit(_UI_MAX_WARNINGS + 1).collect()
+    for row in diags[:_UI_MAX_WARNINGS]:
+        st.warning(row["message"])
+    if len(diags) > _UI_MAX_WARNINGS:
+        st.warning(
+            f"... further diagnostics suppressed (showing {_UI_MAX_WARNINGS}; "
+            "enable 'Show all parse diagnostics' for the full list)."
+        )
+    return min(len(diags), _UI_MAX_WARNINGS)
 
 
 def _run_streamlit(tool: str) -> int:  # pragma: no cover - optional dep
@@ -139,11 +167,11 @@ def _run_streamlit(tool: str) -> int:  # pragma: no cover - optional dep
             analyze_mysql_log(spark, path, cache=False), MYSQL_SHEETS, "warnings",
         )
 
-    diags = sheets[diag_key].limit(_UI_MAX_WARNINGS + 1).collect()
-    for row in diags[:_UI_MAX_WARNINGS]:
-        st.warning(row["message"])
-    if len(diags) > _UI_MAX_WARNINGS:
-        st.warning(f"... further diagnostics suppressed (showing {_UI_MAX_WARNINGS}).")
+    show_all = st.checkbox(
+        "Show all parse diagnostics (unbounded, like the reference)",
+        value=False,
+    )
+    _render_diagnostics(st, sheets[diag_key], show_all)
 
     for key, title in order:
         st.subheader(title)

@@ -42,6 +42,8 @@ document cluster) cannot go quadratic. All groupBys key on hashes or
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -840,4 +842,228 @@ def embedding_near_dup_lsh(
         .join(n.alias("y"), F.col("vec_b") == F.col(f"y.{id_col}"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted dedup index (the 100 TB ingest shape, materialized)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DedupIndexTables:
+    """Names of the bucketed session-catalog tables making up a
+    persisted MinHash dedup index (see :func:`build_dedup_index`)."""
+
+    shingles: str    # (id, g)               bucketed+sorted on id
+    signatures: str  # (id, s1..s24, n_sh)   bucketed+sorted on id
+    bands: str       # (id, band, r0, r1)    bucketed+sorted on (band, r0, r1)
+
+
+def band_rows_flat(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Flatten a signature table to one (id, band, r0, r1) row per
+    band — the band join's native key layout, and (unlike a struct
+    column) directly bucketable by ``write_bucketed``."""
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            *[
+                F.col(f"s{bi * MINHASH_ROWS + r + 1}").alias(f"r{r}")
+                for r in range(MINHASH_ROWS)
+            ],
+        )
+        for bi in range(MINHASH_BANDS)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bv")
+    ).select(
+        id_col,
+        F.col("bv.band").alias("band"),
+        *[F.col(f"bv.r{r}").alias(f"r{r}") for r in range(MINHASH_ROWS)],
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    base_path: str,
+    table_prefix: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    num_buckets: int = 8,
+) -> DedupIndexTables:
+    """Materialize the MinHash dedup index over an ingested corpus as
+    three BUCKETED parquet tables (``sinks.write_bucketed``):
+
+    * shingles ``(id, g)`` bucketed on ``id`` — the exact-verification
+      side;
+    * signatures ``(id, s1..s24, n_sh)`` bucketed on ``id`` — set
+      sizes for Jaccard;
+    * bands ``(id, band, r0, r1)`` bucketed AND sorted on
+      ``(band, r0, r1)`` — the LSH candidate join's build side.
+
+    This is the artifact the incremental-ingest story rides at 100 TB:
+    the history's shingling/signature cost is paid ONCE at index-build
+    time; every subsequent ingest batch joins against these tables
+    with ZERO shuffle on the history side (the band join's history
+    input is already hash-distributed on the join key — pinned by
+    tests/test_sinks.py), so ingest cost scales with the batch, not
+    the corpus. Size ``num_buckets ≈ band_table_bytes / 256 MB`` at the
+    target scale.
+    """
+    from sressentials_spark import sinks
+
+    ex = shingle_rows(docs, n, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = signatures_from_shingles(
+        ex, id_col, extra_aggs=[F.count(F.lit(1)).alias("n_sh")]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    t = DedupIndexTables(
+        shingles=f"{table_prefix}_shingles",
+        signatures=f"{table_prefix}_signatures",
+        bands=f"{table_prefix}_bands",
+    )
+    try:
+        sinks.write_bucketed(
+            ex, t.shingles, f"{base_path}/shingles", [id_col], num_buckets
+        )
+        sinks.write_bucketed(
+            sig, t.signatures, f"{base_path}/signatures", [id_col], num_buckets
+        )
+        sinks.write_bucketed(
+            band_rows_flat(sig, id_col),
+            t.bands,
+            f"{base_path}/bands",
+            ["band", "r0", "r1"],
+            num_buckets,
+        )
+    finally:
+        ex.unpersist()
+        sig.unpersist()
+    return t
+
+
+# Disk-backed artifact registry: table-name handles for indexes already
+# built this session. Deliberately NOT cleared by release_persisted():
+# a persisted index's entire point is durability across queries/passes
+# (reuse costs a catalog lookup; no executor blocks are held). Keyed by
+# applicationId so a new session never trusts another session's
+# catalog registrations.
+_DISK_ARTIFACTS: dict[tuple, object] = {}
+
+
+def get_or_build_disk_artifact(spark, key_parts: tuple, builder):
+    """Build-once handle cache for disk-backed artifacts (bucketed
+    index tables). Unlike :func:`get_or_build_artifact` this survives
+    :func:`release_persisted` — the artifact lives in the warehouse,
+    not the block store."""
+    try:
+        key = (spark.sparkContext.applicationId,) + key_parts
+    except Exception:  # no live context → build uncached
+        return builder()
+    if key not in _DISK_ARTIFACTS:
+        _DISK_ARTIFACTS[key] = builder()
+    return _DISK_ARTIFACTS[key]
+
+
+def minhash_incremental_from_index(
+    spark,
+    batch_docs: DataFrame,
+    index: DedupIndexTables,
+    split_id: int,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """:func:`minhash_incremental`, but the history side LOADS the
+    persisted bucketed index instead of recomputing shingles and
+    signatures from the corpus — the production ingest shape promised
+    by the index docstring. Per-batch cost: shingle + signature the
+    BATCH only, one bucket-aligned band join (history side shuffle-free
+    — its table is pre-hashed on the band key), and relational
+    verification whose history shingles stream from the bucketed
+    table. Semantics are identical to :func:`minhash_incremental` on
+    ``history ∪ batch`` (same banding, same bucket cap over the
+    combined band population, same exact-Jaccard verification);
+    ``batch_docs`` must hold exactly the ids ``>= split_id``.
+    """
+    from sressentials_spark import sinks
+
+    hist_ex = sinks.read_bucketed(spark, index.shingles)
+    hist_sig = sinks.read_bucketed(spark, index.signatures)
+    hist_bands = sinks.read_bucketed(spark, index.bands)
+
+    batch_ex = _tracked_persist(shingle_rows(batch_docs, n, id_col))
+    batch_sig = _tracked_persist(
+        signatures_from_shingles(
+            batch_ex, id_col, extra_aggs=[F.count(F.lit(1)).alias("n_sh")]
+        )
+    )
+    batch_bands = band_rows_flat(batch_sig, id_col)
+
+    keys = ["band"] + [f"r{r}" for r in range(MINHASH_ROWS)]
+    if max_bucket is not None:
+        over = (
+            hist_bands.select(*keys)
+            .unionByName(batch_bands.select(*keys))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select(*keys)
+        )
+        # broadcast anti-joins preserve the history side's bucket
+        # distribution (no exchange is inserted above the bucketed scan)
+        hist_bands = hist_bands.join(F.broadcast(over), keys, "left_anti")
+        batch_bands = batch_bands.join(F.broadcast(over), keys, "left_anti")
+
+    ha = hist_bands.select(*keys, F.col(id_col).alias("doc_a"))
+    bb = batch_bands.select(*keys, F.col(id_col).alias("doc_b"))
+    # history×batch: every history id < split_id <= every batch id, so
+    # the usual a.id < b.id predicate is implied by construction.
+    hist_cand = ha.join(bb, keys).select("doc_a", "doc_b")
+    ba = batch_bands.select(*keys, F.col(id_col).alias("doc_a"))
+    batch_cand = (
+        ba.join(bb, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = hist_cand.unionByName(batch_cand).distinct()
+
+    ex_all = hist_ex.unionByName(batch_ex)
+    sizes = hist_sig.select(id_col, "n_sh").unionByName(
+        batch_sig.select(id_col, "n_sh")
+    )
+    inter = (
+        cand.join(ex_all.select(F.col(id_col).alias("doc_a"), "g"), "doc_a")
+        .join(ex_all.select(F.col(id_col).alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+    per_doc = verified.groupBy(F.col("doc_b").alias(id_col)).agg(
+        F.sum(F.when(F.col("doc_a") < split_id, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hist_matches"),
+        F.sum(F.when(F.col("doc_a") >= split_id, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch_matches"),
+    )
+    new_docs = batch_docs.select(id_col)
+    return new_docs.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hist_matches", F.lit(0)).cast("long").alias("n_hist_matches"),
+        F.coalesce("n_batch_matches", F.lit(0)).cast("long").alias("n_batch_matches"),
+        F.when(F.coalesce("n_hist_matches", F.lit(0)) > 0, F.lit("dup_of_history"))
+        .when(F.coalesce("n_batch_matches", F.lit(0)) > 0, F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
     )

@@ -145,3 +145,193 @@ def run_sessionize_batch(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Out-of-order variant: watermark + reorder buffer
+# --------------------------------------------------------------------------
+
+#: Watermark delay for the OOO variant. Correctness contract: arrival
+#: disorder (how far behind the stream's max-seen event time a new
+#: row may arrive) must stay under this delay; rows later than the
+#: watermark would be dropped by Spark's late-data filter.
+OOO_DELAY = "15 minutes"
+_OOO_DELAY_US = 15 * 60 * 1_000_000
+
+_OOO_STATE_SCHEMA = (
+    "buf_ids array<long>, buf_us array<long>, last_us long, sid long"
+)
+
+#: last_us sentinel for "no session history yet" (event times are
+#: positive epoch-µs, so -1 is unreachable).
+_NO_HISTORY = -1
+
+
+def _assign_sessions_ooo(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Reorder-buffered sessionization (EventTimeTimeout).
+
+    Instead of the strict ordering contract of :func:`_assign_sessions`,
+    incoming rows are held in per-user state and emitted in EVENT-TIME
+    order only once the watermark has passed them — at which point
+    Spark guarantees no earlier row can still arrive (late rows are
+    filtered before the state update), so session numbering over the
+    flushed prefix is exactly the batch window assignment. Buffered
+    rows re-flush on event-time timeout as the watermark advances.
+    """
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    if state.exists:
+        buf_ids, buf_us, last_us, sid = state.get
+        buf_ids, buf_us = list(buf_ids), list(buf_us)
+    else:
+        buf_ids, buf_us, last_us, sid = [], [], _NO_HISTORY, 0
+
+    rows = [p for p in pdfs if len(p)]
+    if rows:
+        pdf = pd.concat(rows, ignore_index=True)
+        buf_ids.extend(int(x) for x in pdf["event_id"])
+        buf_us.extend(int(x) for x in _ts_us(pdf["ts"]))
+
+    order = sorted(range(len(buf_us)), key=lambda i: (buf_us[i], buf_ids[i]))
+    buf_us = [buf_us[i] for i in order]
+    buf_ids = [buf_ids[i] for i in order]
+
+    n_flush = 0
+    while n_flush < len(buf_us) and buf_us[n_flush] < wm_us:
+        n_flush += 1
+
+    out_ids, out_us, out_sids = [], [], []
+    for i in range(n_flush):
+        t = buf_us[i]
+        if last_us == _NO_HISTORY or t - last_us > SESSION_GAP_US:
+            sid += 1
+        last_us = t
+        out_ids.append(buf_ids[i])
+        out_us.append(t)
+        out_sids.append(sid)
+
+    rem_ids, rem_us = buf_ids[n_flush:], buf_us[n_flush:]
+    state.update((rem_ids, rem_us, int(last_us), int(sid)))
+    if rem_us:
+        # Re-arm: fire when the watermark passes the oldest buffered
+        # row (must be strictly later than the current watermark).
+        state.setTimeoutTimestamp(max(rem_us[0] // 1000, wm_us // 1000 + 1))
+
+    if out_ids:  # an empty yield only feeds pandas-concat noise
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(out_ids, dtype="int64"),
+                "user_id": pd.Series(
+                    [int(key[0])] * len(out_ids), dtype="int64"
+                ),
+                "ts": pd.Series(out_us, dtype="int64").astype("datetime64[us]"),
+                "session_id": pd.Series(out_sids, dtype="int64"),
+            }
+        )
+
+
+#: Staging geometry for the OOO replay: events are perturbed by a
+#: deterministic per-event jitter in [0, _JITTER_US) and split into
+#: arrival files by perturbed-time range, so cross-batch disorder is
+#: REAL but bounded by the jitter — and the watermark delay exceeds it,
+#: so no row ever arrives behind the watermark (zero late drops, exact
+#: batch parity).
+_JITTER_US = 10 * 60 * 1_000_000
+_OOO_FILES = 4
+
+
+def stage_ooo_arrival(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """Write the events table as an out-of-order arrival sequence:
+    ``_OOO_FILES`` parquet files ordered by jittered event time (each
+    file a later arrival window, rows inside genuinely out of order
+    across file boundaries), plus a far-future sentinel row for a
+    dummy user (user_id = -1) whose only job is to push the GLOBAL
+    watermark past every real event so the final timeout round drains
+    all reorder buffers. Returns the number of staged files."""
+    import glob as globmod
+    import os
+    import time
+
+    from sressentials_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    jitter = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(_JITTER_US))
+    staged = e.withColumn("_pk", F.unix_micros(F.col("ts")) + jitter)
+    (
+        staged.repartitionByRange(_OOO_FILES, "_pk")
+        .drop("_pk")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/arrivals")
+    )
+    # File-stream sources process oldest-modified first: stamp strictly
+    # increasing mtimes in part-file (== range) order.
+    parts = sorted(globmod.glob(f"{out_dir}/arrivals/part-*.parquet"))
+    base = time.time() - 3600
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    max_ts = e.agg(F.max("ts")).first()[0]
+    sentinel_ts = pd.Timestamp(max_ts) + pd.Timedelta(hours=3)
+    spark.createDataFrame(
+        [(int(-1), int(-1), sentinel_ts.to_pydatetime())],
+        "event_id long, user_id long, ts timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/sentinel")
+    for p in globmod.glob(f"{out_dir}/sentinel/part-*.parquet"):
+        os.utime(p, (base + 900, base + 900))
+    return len(parts) + 1
+
+
+def run_sessionize_ooo_batch(
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+) -> DataFrame:
+    """Replay an out-of-order arrival of the events table through the
+    watermark + reorder-buffer sessionizer and return the full
+    sessionized table (sentinel rows excluded). Multi-batch by
+    construction: one micro-batch per staged arrival file
+    (``maxFilesPerTrigger=1``), so rows for one user really do arrive
+    out of event-time order across state updates — the case the strict
+    variant refuses loudly."""
+    import tempfile
+
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
+    )
+
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="sressentials_ooo_")
+    stage_ooo_arrival(spark, sf_dir, stage_dir)
+
+    name = "stream_sessionize_ooo_" + hashlib.md5(
+        stage_dir.encode()
+    ).hexdigest()[:10]
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        schema = "event_id long, user_id long, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "part-*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage_dir)
+        )
+        sessions = (
+            stream.withWatermark("ts", OOO_DELAY)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _assign_sessions_ooo,
+                outputStructType=_OUTPUT_SCHEMA,
+                stateStructType=_OOO_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0)

@@ -94,3 +94,40 @@ def test_save_report_bytes_zip_fallback(tmp_path, spark):
         names = set(zipfile.ZipFile(io.BytesIO(payload)).namelist())
         assert names == {"Detailed_Metrics.csv", "Query_Stats.csv",
                          "Non-Slow_Queries.csv", "Error_Stats.csv"}
+
+
+def test_ui_diagnostics_unbounded_toggle(tmp_path, spark):
+    """X4 parity: the web surface's 'show all' mode renders EVERY
+    diagnostic (the reference st.warning-loops over all of them,
+    Mongo/mongo_parser.py:162-163), while the default view caps at
+    _UI_MAX_WARNINGS and appends a suppression note."""
+    from sressentials_spark.cli import _UI_MAX_WARNINGS, _render_diagnostics
+    from sressentials_spark.plans.mongo import analyze_mongo_log
+
+    n_bad = _UI_MAX_WARNINGS + 13
+    bad = "\n".join(f"not json {i}" for i in range(n_bad))
+    log = tmp_path / "mongod.log"
+    log.write_text(MONGO_LOG + "\n" + bad)
+    sheets = analyze_mongo_log(spark, str(log), cache=False)
+    total = sheets["parse_errors"].count()
+    assert total >= n_bad
+
+    class FakeSt:
+        def __init__(self):
+            self.warnings = []
+
+        def warning(self, msg):
+            self.warnings.append(msg)
+
+    capped = FakeSt()
+    shown = _render_diagnostics(capped, sheets["parse_errors"], show_all=False)
+    assert shown == _UI_MAX_WARNINGS
+    # cap + one suppression note
+    assert len(capped.warnings) == _UI_MAX_WARNINGS + 1
+    assert "suppressed" in capped.warnings[-1]
+
+    full = FakeSt()
+    shown = _render_diagnostics(full, sheets["parse_errors"], show_all=True)
+    assert shown == total
+    assert len(full.warnings) == total
+    assert not any("suppressed" in w for w in full.warnings)

@@ -116,3 +116,64 @@ def test_orc_roundtrip_preserves_values_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_dedup_index_band_join_history_side_shuffle_free(spark, tmp_path):
+    """The persisted dedup index's contract: the band join's HISTORY
+    side reads the bucketed table pre-hashed on (band, r0, r1) — only
+    the batch side pays an Exchange. Also checks the index-backed
+    ingest matches the self-contained variant row-for-row."""
+    from sressentials_spark.operators import dedup as D
+
+    tag = f"t{abs(hash(str(tmp_path))) % 10**9}"
+    docs = load_table(spark, SF, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    idx = D.build_dedup_index(
+        docs.filter(F.col("doc_id") < split),
+        str(tmp_path / "idx"),
+        f"dedup_idx_{tag}",
+        num_buckets=4,
+    )
+    try:
+        # Plan shape: history bands scan is bucketed, and ONLY the
+        # batch side of the history×batch candidate join exchanges on
+        # the band key.
+        hist_bands = sinks.read_bucketed(spark, idx.bands)
+        batch_sig = D.signatures_from_shingles(
+            D.shingle_rows(docs.filter(F.col("doc_id") >= split)), "doc_id"
+        )
+        batch_bands = D.band_rows_flat(batch_sig)
+        keys = ["band", "r0", "r1"]
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = hist_bands.withColumnRenamed("doc_id", "doc_a").join(
+                batch_bands.withColumnRenamed("doc_id", "doc_b"), keys
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SelectedBucketsCount" in plan, plan
+        band_exchanges = [
+            line
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning(band" in line
+        ]
+        assert len(band_exchanges) == 1, plan  # batch side only
+
+        # Semantics: index-backed ingest == self-contained ingest.
+        from_index = D.minhash_incremental_from_index(
+            spark, docs.filter(F.col("doc_id") >= split), idx, split
+        )
+        self_contained = D.minhash_incremental(docs, split)
+        a = from_index.toPandas().sort_values("doc_id").reset_index(drop=True)
+        b = self_contained.toPandas().sort_values("doc_id").reset_index(drop=True)
+        release_persisted()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+        assert set(a["status"]) <= {"dup_of_history", "dup_in_batch", "kept"}
+    finally:
+        for t in (idx.shingles, idx.signatures, idx.bands):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
