@@ -1941,6 +1941,72 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_batch(spark, sf_dir)
 
 
+#: Session-LEVEL rollup oracle for Spark's native ``session_window``.
+#: Note the boundary semantics differ from the custom sessionizer on
+#: purpose: native session windows are half-open ``[start, last+gap)``
+#: and merge only on strict overlap, so an event arriving at EXACTLY
+#: ``gap`` after its predecessor starts a NEW session (``>=`` below),
+#: where the row-level queries keep it (``>``). Both are stated
+#: explicitly and both are under the gate.
+_SESSION_WINDOW_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us >= {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("session_window_stats", _SESSION_WINDOW_ORACLE)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup via Spark's NATIVE ``session_window``
+    (no custom code at all — the declarative twin of the
+    ``applyInPandasWithState`` operator): one aggregation keyed on
+    (user, merged-session window), emitting each session's start,
+    end (last event + gap, half-open) and event count. At scale this
+    is a single shuffle on the group key with Catalyst's session-merge
+    logic JVM-side — prefer it whenever session-LEVEL stats are the
+    goal and per-EVENT session ids aren't needed."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register("streaming_session_window_stats", _SESSION_WINDOW_ORACLE)
+def streaming_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same native ``session_window`` aggregation run as a
+    Structured Streaming query (availableNow replay, complete mode —
+    session state lives in the state store and merges across
+    micro-batches). Batch, streaming, and the relational oracle must
+    agree on every session boundary."""
+    from sressentials_spark.streaming.sessionize import (
+        run_session_window_batch,
+    )
+
+    return run_session_window_batch(spark, sf_dir)
+
+
 @register("streaming_sessionize_events_ooo", _SESSIONIZE_ORACLE)
 def streaming_sessionize_events_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization over an OUT-OF-ORDER arrival: the events table is

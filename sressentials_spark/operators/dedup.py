@@ -621,16 +621,21 @@ def minhash_incremental(
     )
 
     sizes = sig.select(id_col, "n_sh")
+    # doc_b is always a NEW document (the probe side was batch-filtered),
+    # so the (doc_b, g) join and its size lookup scan only the batch
+    # slice — no history shingles ride that shuffle.
+    ex_b = ex.filter(F.col(id_col) >= split_id)
+    sizes_b = sizes.filter(F.col(id_col) >= split_id)
     inter = (
         cand.join(ex.select(F.col(id_col).alias("doc_a"), "g"), "doc_a")
-        .join(ex.select(F.col(id_col).alias("doc_b"), "g"), ["doc_b", "g"])
+        .join(ex_b.select(F.col(id_col).alias("doc_b"), "g"), ["doc_b", "g"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     verified = (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a"), "doc_a")
         .withColumnRenamed("n_sh", "n_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b"), "doc_b")
+        .join(sizes_b.withColumnRenamed(id_col, "doc_b"), "doc_b")
         .withColumnRenamed("n_sh", "n_b")
         .filter(
             F.col("inter").cast("double")
@@ -1027,20 +1032,25 @@ def minhash_incremental_from_index(
     )
     cand = hist_cand.unionByName(batch_cand).distinct()
 
+    # doc_a may be history or batch (union); doc_b is ALWAYS a batch
+    # document, so its shingle join and size lookup touch only the
+    # batch-side frames — the history shingle table is scanned once
+    # (doc_a side), not twice.
     ex_all = hist_ex.unionByName(batch_ex)
     sizes = hist_sig.select(id_col, "n_sh").unionByName(
         batch_sig.select(id_col, "n_sh")
     )
+    sizes_b = batch_sig.select(id_col, "n_sh")
     inter = (
         cand.join(ex_all.select(F.col(id_col).alias("doc_a"), "g"), "doc_a")
-        .join(ex_all.select(F.col(id_col).alias("doc_b"), "g"), ["doc_b", "g"])
+        .join(batch_ex.select(F.col(id_col).alias("doc_b"), "g"), ["doc_b", "g"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     verified = (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a"), "doc_a")
         .withColumnRenamed("n_sh", "n_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b"), "doc_b")
+        .join(sizes_b.withColumnRenamed(id_col, "doc_b"), "doc_b")
         .withColumnRenamed("n_sh", "n_b")
         .filter(
             F.col("inter").cast("double")

@@ -240,6 +240,9 @@ def _assign_sessions_ooo(
 _JITTER_US = 10 * 60 * 1_000_000
 _OOO_FILES = 4
 
+#: memory-sink name sequence (see run_sessionize_ooo_batch)
+_OOO_RUN_SEQ = 0
+
 
 def stage_ooo_arrival(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """Write the events table as an out-of-order arrival sequence:
@@ -300,11 +303,32 @@ def run_sessionize_ooo_batch(
     )
 
     if stage_dir is None:
-        stage_dir = tempfile.mkdtemp(prefix="sressentials_ooo_")
-    stage_ooo_arrival(spark, sf_dir, stage_dir)
+        # Stage once per (session, corpus): the arrival sequence is a
+        # deterministic function of the events table, so re-rendering
+        # it per invocation (bench passes, repeated queries) would
+        # just re-pay the write. Disk artifact — survives
+        # release_persisted like the dedup index.
+        from sressentials_spark.operators.dedup import (
+            get_or_build_disk_artifact,
+        )
 
+        def _stage() -> str:
+            d = tempfile.mkdtemp(prefix="sressentials_ooo_")
+            stage_ooo_arrival(spark, sf_dir, d)
+            return d
+
+        stage_dir = get_or_build_disk_artifact(
+            spark, ("ooo_stage", sf_dir), _stage
+        )
+    else:
+        stage_ooo_arrival(spark, sf_dir, stage_dir)
+
+    global _OOO_RUN_SEQ
+    _OOO_RUN_SEQ += 1
+    # per-invocation suffix: the staged input may be session-cached, and
+    # a memory-sink name must not collide with an earlier replay's table
     name = "stream_sessionize_ooo_" + hashlib.md5(
-        stage_dir.encode()
+        f"{stage_dir}|{_OOO_RUN_SEQ}".encode()
     ).hexdigest()[:10]
     with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
         schema = "event_id long, user_id long, ts timestamp"
@@ -335,3 +359,52 @@ def run_sessionize_ooo_batch(
         )
         q.awaitTermination()
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+def run_session_window_batch(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregation as a streaming
+    query, replayed to completion (availableNow, complete mode so
+    every merged session emits without a watermark sentinel). Session
+    state (open windows per user) lives in the state store and merges
+    across micro-batches — all JVM-side, no custom code; the
+    declarative counterpart of the ``applyInPandasWithState``
+    operators above."""
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    name = "stream_session_window_" + hashlib.md5(
+        f"{sf_dir}|{glob}".encode()
+    ).hexdigest()[:10]
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", glob)
+            .parquet(sf_dir)
+        )
+        events = stream.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        agg = (
+            events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
