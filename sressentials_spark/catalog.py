@@ -1942,12 +1942,15 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Session-LEVEL rollup oracle for Spark's native ``session_window``.
-#: Note the boundary semantics differ from the custom sessionizer on
-#: purpose: native session windows are half-open ``[start, last+gap)``
-#: and merge only on strict overlap, so an event arriving at EXACTLY
-#: ``gap`` after its predecessor starts a NEW session (``>=`` below),
-#: where the row-level queries keep it (``>``). Both are stated
-#: explicitly and both are under the gate.
+#: Boundary semantics: native session windows are ``[start, last+gap]``
+#: for merging purposes — an event arriving at EXACTLY ``gap`` after
+#: its predecessor still MERGES (adjacent windows coalesce), so a new
+#: session starts only when the gap is STRICTLY greater (``>`` below),
+#: identical to the custom sessionizer's rule. Pinned empirically by
+#: tests/test_streaming_sessionize.py::test_native_session_window_
+#: boundary_semantics (the testdata's µs-random timestamps never hit
+#: the boundary, so only a constructed case can tell ``>`` from
+#: ``>=``).
 _SESSION_WINDOW_ORACLE = f"""
 WITH o AS (
   SELECT user_id, ts,
@@ -1957,7 +1960,7 @@ WITH o AS (
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(CASE WHEN gap_us IS NULL OR gap_us >= {_SESSION_GAP_US}
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts) AS sid
   FROM o
@@ -1976,7 +1979,7 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no custom code at all — the declarative twin of the
     ``applyInPandasWithState`` operator): one aggregation keyed on
     (user, merged-session window), emitting each session's start,
-    end (last event + gap, half-open) and event count. At scale this
+    end (last event + gap) and event count. At scale this
     is a single shuffle on the group key with Catalyst's session-merge
     logic JVM-side — prefer it whenever session-LEVEL stats are the
     goal and per-EVENT session ids aren't needed."""
@@ -3528,6 +3531,100 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supply_cost",
         )
     )
+
+
+@register(
+    "events_hourly_trend_by_type",
+    """
+WITH hc AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+ho AS (
+  SELECT event_type, hr - MIN(hr) OVER (PARTITION BY event_type) AS x, y
+  FROM hc)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(y) AS BIGINT) AS total_events,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+         / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+         AS slope_per_hour
+FROM ho GROUP BY event_type
+""",
+)
+def events_hourly_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type traffic trend: the least-squares slope of hourly event
+    counts over time — the aggregate-form regression pattern (one
+    groupBy computing Σx, Σy, Σxy, Σx² — no ML library, no Python, no
+    second pass). Everything before the final division is INTEGER
+    arithmetic (hour index re-based per type so Σx² stays far from
+    64-bit overflow at any horizon; counts are longs), so the sums are
+    exact and order-independent — float determinism never enters until
+    one double division per group. Two shuffles total: the uniform
+    (type, hour) rollup, then a ~|types|-row window + aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    hc = (
+        e.groupBy(
+            "event_type",
+            (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(3600000000))
+            .cast("long")
+            .alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type")
+    ho = hc.select(
+        "event_type",
+        (F.col("hr") - F.min("hr").over(w)).alias("x"),
+        "y",
+    )
+    n = F.count(F.lit(1))
+    return ho.groupBy("event_type").agg(
+        n.cast("long").alias("n_hours"),
+        F.sum("y").cast("long").alias("total_events"),
+        (
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).cast(
+                "double"
+            )
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast(
+                "double"
+            )
+        ).alias("slope_per_hour"),
+    )
+
+
+@register(
+    "streaming_view_purchase_attribution_outer",
+    """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM events v
+LEFT JOIN events p
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view'
+""",
+)
+def streaming_view_purchase_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream attribution: every view row emits —
+    matched to in-window purchases, or null-padded once watermarked
+    state expiry PROVES no purchase can still arrive (the
+    never-converted views an inner join can't produce). Far-future
+    sentinel rows drive both sides' final watermarks so the replay
+    settles completely; the oracle is the plain relational left join."""
+    from sressentials_spark.streaming.attribution import (
+        run_attribution_outer_batch,
+    )
+
+    return run_attribution_outer_batch(spark, sf_dir)
 
 
 @register(

@@ -36,8 +36,17 @@ def _typed_stream(
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    schema = (
+        spark.read.option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .parquet(sf_dir)
+        .schema
+    )
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+    )
     if max_files_per_trigger is not None:
         # Bounds each micro-batch to N files: tests use it to force a
         # multi-batch replay where one side's rows must be BUFFERED in
@@ -116,3 +125,97 @@ def run_attribution_batch(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def _stage_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
+    """Copy the events table plus one far-future sentinel per join side
+    (a 'view' and a 'purchase' for user -1) into a staging dir. The
+    sentinels' only job is to push BOTH streams' watermarks past every
+    real event at the end of an availableNow replay, so the OUTER
+    join's null-padded rows (emitted only once state provably expires)
+    all flush. Disk artifact — staged once per session."""
+    import tempfile
+
+    from sressentials_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="sressentials_attr_outer_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    e.write.mode("overwrite").parquet(f"{d}/arrivals")
+    max_ts = e.agg(F.max("ts")).first()[0]
+    import pandas as pd
+
+    sentinel_ts = (pd.Timestamp(max_ts) + pd.Timedelta(hours=6)).to_pydatetime()
+    spark.createDataFrame(
+        [(-1, -1, "view", sentinel_ts), (-2, -1, "purchase", sentinel_ts)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/sentinel")
+    # sentinel must be the LAST file the source picks up
+    import glob as globmod
+    import os
+    import time
+
+    base = time.time() - 3600
+    for i, p in enumerate(sorted(globmod.glob(f"{d}/arrivals/part-*.parquet"))):
+        os.utime(p, (base + i, base + i))
+    for p in globmod.glob(f"{d}/sentinel/part-*.parquet"):
+        os.utime(p, (base + 900, base + 900))
+    return d
+
+
+def run_attribution_outer_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream attribution: every view emits — joined
+    to its in-window purchases, or null-padded once the purchase-side
+    watermark proves no match can still arrive. The null-padded rows
+    are the part an inner join cannot give you ("views that never
+    converted"), and they only exist because watermarked state expiry
+    makes the non-match PROVABLE — the 100 TB contract is the same as
+    the inner join's, plus the guarantee that left state is held until
+    expiry. Sentinel rows (user -1) drive the final watermark and are
+    filtered from the result."""
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
+    )
+
+    stage = get_or_build_disk_artifact(
+        spark, ("attr_outer_stage", sf_dir), lambda: _stage_with_sentinels(spark, sf_dir)
+    )
+    run_key = f"{stage}|{window}|outer"
+    name = "attr_outer_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        views = _typed_stream(
+            spark, stage, "view", "view", glob="part-*.parquet"
+        ).withWatermark("view_ts", watermark)
+        purchases = _typed_stream(
+            spark, stage, "purchase", "p", glob="part-*.parquet"
+        ).withWatermark("p_ts", watermark)
+        joined = views.join(
+            purchases,
+            (F.col("view_user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("view_ts"))
+            & (F.col("p_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {window}")),
+            "leftOuter",
+        ).select(
+            F.col("view_user_id").alias("user_id"),
+            F.col("view_event_id").alias("view_event_id"),
+            F.col("p_event_id").alias("purchase_event_id"),
+            F.col("view_ts").alias("view_ts"),
+            F.col("p_ts").alias("purchase_ts"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0)

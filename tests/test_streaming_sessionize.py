@@ -153,3 +153,41 @@ def test_ooo_reorder_buffer_matches_batch_window(spark):
     pd.testing.assert_frame_equal(ooo[cols], batch[cols], check_dtype=False)
     # the replay really was multi-batch and multi-session
     assert ooo["session_id"].max() > 1
+
+
+def test_native_session_window_boundary_semantics(spark):
+    """Pins the native session_window boundary rule the shared oracle
+    states: an event arriving EXACTLY 30 min after its predecessor
+    still MERGES (adjacent windows coalesce — a new session needs a
+    STRICTLY greater gap, same as the custom sessionizer). The
+    testdata's µs-random timestamps never hit the boundary, so only
+    this constructed case distinguishes ``>`` from ``>=`` — round 5
+    first shipped ``>=`` and this test caught it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        (1, t0),
+        (1, t0 + gap),                          # exactly at the gap
+        (1, t0 + gap + dt.timedelta(seconds=1)),
+        (2, t0),
+        (2, t0 + gap - dt.timedelta(seconds=1)),  # just inside
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+        .orderBy("user_id", "n")
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    # user 1: the exact-gap event MERGES (one session of all 3 events)
+    assert per_user[1] == [3], per_user
+    # user 2: just-inside stays merged (1 session of 2 events)
+    assert per_user[2] == [2], per_user
