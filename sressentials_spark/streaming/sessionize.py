@@ -156,7 +156,6 @@ def run_sessionize_batch(
 #: row may arrive) must stay under this delay; rows later than the
 #: watermark would be dropped by Spark's late-data filter.
 OOO_DELAY = "15 minutes"
-_OOO_DELAY_US = 15 * 60 * 1_000_000
 
 _OOO_STATE_SCHEMA = (
     "buf_ids array<long>, buf_us array<long>, last_us long, sid long"
