@@ -36,6 +36,7 @@ def main() -> None:
     loggen.ensure_mongo_log(sf_dir)
     loggen.ensure_mysql_log(sf_dir)
     loggen.ensure_documents_jsonl(sf_dir)
+    loggen.ensure_documents_csv(sf_dir)
 
     # JIT warmup: run every query once at the smallest scale factor.
     # Identical plan shape → identical generated code (janino cache hit),
@@ -58,6 +59,7 @@ def main() -> None:
         loggen.ensure_mongo_log(warm_dir)
         loggen.ensure_mysql_log(warm_dir)
         loggen.ensure_documents_jsonl(warm_dir)
+        loggen.ensure_documents_csv(warm_dir)
         # Warmup: every query once, then a SECOND pass only for the
         # families with very large expression trees (log route structs,
         # unrolled/Arrow linalg, shingle pipelines) — one pass leaves

@@ -102,6 +102,7 @@ def main() -> int:
     loggen.ensure_mongo_log(sf_dir)
     loggen.ensure_mysql_log(sf_dir)
     loggen.ensure_documents_jsonl(sf_dir)
+    loggen.ensure_documents_csv(sf_dir)
 
     shapes = ["Expand", "CartesianProduct", "BroadcastNestedLoopJoin"]
     violations: list[str] = []

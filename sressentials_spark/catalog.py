@@ -1074,6 +1074,35 @@ def jsonl_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "csv_documents_source",
+    f"""
+SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+FROM documents WHERE doc_id % {loggen.CSV_BROKEN_EVERY} <> 0
+""",
+)
+def csv_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus ingestion end-to-end (format breadth beside the
+    JSONL connector): the corpus is rendered to a headerless RFC-4180
+    CSV (a deterministically malformed row every 89th doc), scanned
+    back as text + one typed ``from_csv`` per line (PERMISSIVE,
+    explicit schema — no ``inferSchema`` double scan), the corrupt
+    channel split off, and the surviving rows checked field-for-field
+    against the parquet ground truth. One record per line on purpose:
+    multiLine CSV serializes a file through a single reader at
+    scale."""
+    from sressentials_spark.sources.csv_source import split_documents_csv
+
+    path = loggen.ensure_documents_csv(sf_dir)
+    good, _bad = split_documents_csv(spark, path)
+    return good.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
 def _pagerank_oracle(iterations: int = 3) -> str:
     rounds = []
     prev = "r0"

@@ -315,3 +315,33 @@ FROM documents ORDER BY doc_id
         src_name="documents.parquet",
         con_factory=_docs_con,
     )
+
+
+#: Every doc whose id is divisible by this renders as a malformed CSV
+#: row (a non-numeric n_chars field) — the deterministic corrupt-record
+#: fixture for the CSV source. A different prime from the JSONL fixture
+#: so the two connectors' diagnostics never coincide.
+CSV_BROKEN_EVERY = 89
+
+
+def ensure_documents_csv(sf_dir: str) -> str:
+    """Generate (once) and return a headerless CSV dump of
+    ``documents`` (RFC-4180 quoting: text wrapped in double quotes,
+    embedded quotes doubled), with every :data:`CSV_BROKEN_EVERY`-th
+    doc_id rendered with an unparseable ``n_chars`` so the PERMISSIVE
+    corrupt-record channel is exercised on every run."""
+    sql = f"""
+SELECT CASE WHEN doc_id % {CSV_BROKEN_EVERY} = 0
+            THEN doc_id || ',broken,row,here,NOTANUMBER'
+            ELSE doc_id || ',"' || replace(text, '"', '""') || '",'
+                 || lang || ',' || source || ',' || n_chars
+       END
+FROM documents ORDER BY doc_id
+"""
+    return _generate(
+        sf_dir,
+        "documents.csv",
+        sql,
+        src_name="documents.parquet",
+        con_factory=_docs_con,
+    )
