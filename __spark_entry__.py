@@ -24,26 +24,40 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def _ever_rowed() -> set[str]:
-    """Names that already have a row in some committed CORRECTNESS artifact.
+#: Queries whose oracle/engine just changed and must be re-rowed this
+#: round regardless of ledger freshness (cleared once their fresh green
+#: row lands). r6: the three r5 red rows fixed by CASTing the DuckDB
+#: ``//`` output columns to BIGINT.
+_FORCE_FIRST = (
+    "tpch_q14_promo_revenue",
+    "sim_lsh_recall_at_k",
+    "sim_lsh_multiprobe_recall_at_k",
+)
 
-    The driver records at most 50 query rows per round; ordering the
-    registry never-rowed-first rotates coverage so every registered
-    query eventually has a hard row in a committed driver artifact.
-    Only driver-written ``CORRECTNESS_r{N}.json`` files feed the ledger
-    (not the locally-run full ``CORRECTNESS_LOCAL_r{N}.json`` mirrors),
-    so rotation keeps targeting queries the *driver* has never rowed.
+
+def _last_rowed_round() -> dict[str, int]:
+    """Latest driver round that rowed each query name.
+
+    The driver records at most 50 query rows per round. With every
+    registered query now rowed at least once, never-rowed-first ordering
+    degenerates to alphabetical and stale rows never refresh; ordering
+    least-recently-rowed-first instead means a regression in any query
+    surfaces in a committed driver artifact within ~2 rounds. Only
+    driver-written ``CORRECTNESS_r{N}.json`` files feed the ledger (not
+    the locally-run full ``CORRECTNESS_LOCAL_r{N}.json`` mirrors).
     """
-    rowed: set[str] = set()
+    latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r[0-9]*.json")):
         try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
             with open(path) as fh:
                 data = json.load(fh)
-            if isinstance(data, dict):
-                rowed.update(data.keys())
         except (OSError, ValueError):
             continue
-    return rowed
+        if isinstance(data, dict):
+            for name in data:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -59,11 +73,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query (SURVEY.md §2 + tier 5).
 
-    Ordered never-driver-rowed-first so the driver's 50-row/round
-    correctness artifact rotates through the whole registry.
+    Ordered least-recently-driver-rowed-first (never-rowed counts as
+    round 0) so the driver's 50-row/round correctness artifact keeps
+    rotating through the whole registry; queries in ``_FORCE_FIRST``
+    (just-fixed oracles needing a fresh row) jump the queue.
     """
-    rowed = _ever_rowed()
-    names = sorted(QUERIES, key=lambda n: (n in rowed, n))
+    latest = _last_rowed_round()
+    force = {n: i for i, n in enumerate(_FORCE_FIRST)}
+    names = sorted(
+        QUERIES,
+        key=lambda n: (force.get(n, len(force)), latest.get(n, 0), n),
+    )
     return {n: QUERIES[n] for n in names}
 
 

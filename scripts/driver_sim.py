@@ -45,6 +45,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def strict_values_equal(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
+    """Driver-faithful value comparison: canonically stringified cells,
+    so int64 139 != float64 139.0 (the driver value-hashes stringified
+    values; ``check_dtype=False`` green-washed exactly that drift in r5).
+    Returns None when equal, else a short diagnostic of the first diff.
+    """
+    sa, sb = canon(sdf).astype(str), canon(odf).astype(str)
+    if sa.equals(sb):
+        return None
+    for c in sa.columns:
+        neq = sa[c] != sb[c]
+        if neq.any():
+            i = int(neq.idxmax())
+            return (
+                f"col={c} row={i}: spark={sa[c].iloc[i]!r} "
+                f"({sdf[c].dtype}) vs oracle={sb[c].iloc[i]!r} "
+                f"({odf[c].dtype})"
+            )
+    return "frames differ (shape/ordering)"
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     out_path = None
@@ -106,13 +127,10 @@ def main() -> int:
         schema_ok = sorted(sdf.columns) == sorted(odf.columns)
         values_ok = rows_ok and schema_ok
         if values_ok:
-            try:
-                pd.testing.assert_frame_equal(
-                    canon(sdf), canon(odf), check_dtype=False, check_exact=True
-                )
-            except AssertionError as exc:
+            diag = strict_values_equal(sdf, odf)
+            if diag is not None:
                 values_ok = False
-                print(str(exc)[:500])
+                print(f"  {name}: VALUE DIFF {diag}")
         ok = rows_ok and schema_ok and values_ok
         if not ok:
             fails.append(name)

@@ -2925,8 +2925,8 @@ SELECT e.query_id,
        CAST(COUNT(*) AS BIGINT) AS n_exact,
        CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_hits,
-       (1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
-         // COUNT(*) AS recall_permille
+       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_permille
 FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
 LEFT JOIN ({ORACLE_SQL["sim_cosine_topk_lsh"]}) a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
@@ -3016,10 +3016,10 @@ SELECT e.query_id,
          AS hits_multiprobe,
        CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS hits_single_eq_fanin,
-       (1000 * SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
-         // COUNT(*) AS recall_multi_permille,
-       (1000 * SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
-         // COUNT(*) AS recall_single_permille
+       CAST((1000 * SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_multi_permille,
+       CAST((1000 * SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_single_permille
 FROM ({_RECALL_EXACT_SQL}) e
 LEFT JOIN ({_RECALL_MULTI_SQL}) m
   ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
@@ -3089,13 +3089,13 @@ SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
        CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
                 * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT))) AS BIGINT)
          AS total_revenue_millicents,
-       (1000 * SUM(CASE WHEN p.p_type = 'PROMO'
+       CAST((1000 * SUM(CASE WHEN p.p_type = 'PROMO'
                         THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
                              * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT))
                         ELSE 0 END))
          // SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
                 * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT)))
-         AS promo_share_permille
+         AS BIGINT) AS promo_share_permille
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
   AND l.l_shipdate < TIMESTAMP '1997-02-01'

@@ -16,9 +16,14 @@ the batch default afterwards.
 
 from __future__ import annotations
 
+import atexit
+import json
+import os
+import shutil
+import tempfile
 from contextlib import contextmanager
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 #: Default state partition count for the availableNow replays in this
 #: engine: test-scale state is KBs, so a handful of stores suffices.
@@ -39,3 +44,72 @@ def state_partitions(spark: SparkSession, n: int | None):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# Replay output/checkpoint directories created this process, removed at
+# exit so repeated sessions don't accumulate /tmp data.
+_REPLAY_DIRS: list[str] = []
+
+
+def _cleanup_replay_dirs() -> None:
+    while _REPLAY_DIRS:
+        shutil.rmtree(_REPLAY_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_replay_dirs)
+
+
+def replay_to_parquet(
+    spark: SparkSession, stream_df: DataFrame, name: str
+) -> tuple[DataFrame, list[dict]]:
+    """Run an append-mode streaming DataFrame to completion
+    (``availableNow``) through a PARQUET sink and read the result back
+    as a batch DataFrame; also returns the query's progress records.
+
+    The per-event replay harnesses (sessionize / dedup / attribution)
+    previously used ``format("memory")``, which materializes every
+    output row into DRIVER memory — fine for few-row aggregate
+    streams, but an O(events) driver bottleneck for per-event outputs
+    at scale. A parquet sink keeps the pipeline distributed end to
+    end: executors write their own files, the driver tracks only the
+    ``_spark_metadata`` commit log, and the read-back is an ordinary
+    distributed scan — the exact shape of a production streaming job
+    landing on object storage. Output + checkpoint live in a fresh
+    temp dir per replay (no cross-run state bleed) and are removed at
+    process exit.
+
+    Progress records are returned so callers can surface watermark
+    observability (``numRowsDroppedByWatermark``) — see
+    :func:`sressentials_spark.streaming.sessionize.run_sessionize_ooo_batch`.
+    """
+    out = tempfile.mkdtemp(prefix=f"sressentials_replay_{name}_")
+    _REPLAY_DIRS.append(out)
+    data_dir = os.path.join(out, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [
+        json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+    ]
+    # Explicit schema: a replay with zero output rows leaves no data
+    # files, and schema inference over an empty dir would fail.
+    return spark.read.schema(stream_df.schema).parquet(data_dir), progress
+
+
+def dropped_by_watermark(progress: list[dict]) -> int:
+    """Total rows Spark's late-data filter silently discarded across a
+    replay, summed from the per-batch state-operator metrics. Nonzero
+    means arrival disorder exceeded the watermark delay — the output
+    is missing rows, and a production job should alert on it."""
+    return sum(
+        int(op.get("numRowsDroppedByWatermark", 0))
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )

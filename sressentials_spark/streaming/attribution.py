@@ -22,8 +22,6 @@ the batch restatement is a plain self-join with the same predicates.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -106,25 +104,21 @@ def run_attribution_batch(
         state_partitions,
     )
 
-    run_key = f"{sf_dir}|{window}|{glob}|{max_files_per_trigger}"
-    name = "attr_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
+    from sressentials_spark.streaming import replay_to_parquet
+
     with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
-        q = (
+        out, _ = replay_to_parquet(
+            spark,
             attribution_stream(
                 spark,
                 sf_dir,
                 window,
                 glob=glob,
                 max_files_per_trigger=max_files_per_trigger,
-            )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+            ),
+            "attr",
         )
-        q.awaitTermination()
-    return spark.table(name)
+    return out
 
 
 def _stage_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
@@ -185,11 +179,11 @@ def run_attribution_outer_batch(
         state_partitions,
     )
 
+    from sressentials_spark.streaming import replay_to_parquet
+
     stage = get_or_build_disk_artifact(
         spark, ("attr_outer_stage", sf_dir), lambda: _stage_with_sentinels(spark, sf_dir)
     )
-    run_key = f"{stage}|{window}|outer"
-    name = "attr_outer_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
     with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
         views = _typed_stream(
             spark, stage, "view", "view", glob="part-*.parquet"
@@ -210,12 +204,5 @@ def run_attribution_outer_batch(
             F.col("view_ts").alias("view_ts"),
             F.col("p_ts").alias("purchase_ts"),
         )
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name).filter(F.col("user_id") >= 0)
+        out, _ = replay_to_parquet(spark, joined, "attr_outer")
+    return out.filter(F.col("user_id") >= 0)

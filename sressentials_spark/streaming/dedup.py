@@ -16,8 +16,6 @@ stateful shuffle carries 32 bytes per row, not documents.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,15 +43,10 @@ def run_exact_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions,
     )
 
-    name = "stream_dedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from sressentials_spark.streaming import replay_to_parquet
+
     with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
-        q = (
-            exact_dedup_stream(spark, sf_dir)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        out, _ = replay_to_parquet(
+            spark, exact_dedup_stream(spark, sf_dir), "dedup"
         )
-        q.awaitTermination()
-    return spark.table(name)
+    return out

@@ -130,21 +130,14 @@ def run_sessionize_batch(
         state_partitions,
     )
 
-    run_key = f"{sf_dir}|{glob}|{max_files_per_trigger}"
-    name = "stream_sessionize_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
+    from sressentials_spark.streaming import replay_to_parquet
+
     with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
         src = sessionize_stream(
             spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
         )
-        q = (
-            src.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+        out, _ = replay_to_parquet(spark, src, "sessionize")
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -239,8 +232,15 @@ def _assign_sessions_ooo(
 _JITTER_US = 10 * 60 * 1_000_000
 _OOO_FILES = 4
 
-#: memory-sink name sequence (see run_sessionize_ooo_batch)
-_OOO_RUN_SEQ = 0
+#: Watermark observability from the most recent OOO replay:
+#: ``dropped_late`` (rows Spark's late-data filter discarded — disorder
+#: exceeded OOO_DELAY) and ``emitted`` (rows the sessionizer produced;
+#: the sentinel never flushes — the watermark never passes it — so
+#: this counts real rows). A production deployment would alert on
+#: ``dropped_late > 0``; the staged replay keeps it 0 by construction
+#: and tests/test_streaming_ooo.py pins that a beyond-delay row is
+#: COUNTED here instead of vanishing silently.
+LAST_OOO_STATS: dict[str, int] = {}
 
 
 def stage_ooo_arrival(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
@@ -258,7 +258,11 @@ def stage_ooo_arrival(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     from sressentials_spark.sources.tables import load_table
 
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    jitter = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(_JITTER_US))
+    # Overflow-safe jitter: a raw `event_id * 2654435761` long multiply
+    # trips ANSI ARITHMETIC_OVERFLOW for ids above ~3.4e9 — exactly the
+    # id range of the 100 TB ingest this staging models. xxhash64 is a
+    # bounded 64-bit mix; pmod folds it into [0, _JITTER_US).
+    jitter = F.pmod(F.xxhash64(F.col("event_id")), F.lit(_JITTER_US))
     staged = e.withColumn("_pk", F.unix_micros(F.col("ts")) + jitter)
     (
         staged.repartitionByRange(_OOO_FILES, "_pk")
@@ -285,7 +289,10 @@ def stage_ooo_arrival(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
 
 
 def run_sessionize_ooo_batch(
-    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir: str | None = None,
+    prestaged: bool = False,
 ) -> DataFrame:
     """Replay an out-of-order arrival of the events table through the
     watermark + reorder-buffer sessionizer and return the full
@@ -319,16 +326,17 @@ def run_sessionize_ooo_batch(
         stage_dir = get_or_build_disk_artifact(
             spark, ("ooo_stage", sf_dir), _stage
         )
-    else:
+    elif not prestaged:
+        # prestaged=True replays arrival files the caller laid out
+        # directly (tests stage adversarial sequences, e.g. a
+        # beyond-delay row); default re-stages from the events table.
         stage_ooo_arrival(spark, sf_dir, stage_dir)
 
-    global _OOO_RUN_SEQ
-    _OOO_RUN_SEQ += 1
-    # per-invocation suffix: the staged input may be session-cached, and
-    # a memory-sink name must not collide with an earlier replay's table
-    name = "stream_sessionize_ooo_" + hashlib.md5(
-        f"{stage_dir}|{_OOO_RUN_SEQ}".encode()
-    ).hexdigest()[:10]
+    from sressentials_spark.streaming import (
+        dropped_by_watermark,
+        replay_to_parquet,
+    )
+
     with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
         schema = "event_id long, user_id long, ts timestamp"
         stream = (
@@ -349,15 +357,13 @@ def run_sessionize_ooo_batch(
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )
         )
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name).filter(F.col("user_id") >= 0)
+        out, progress = replay_to_parquet(spark, sessions, "sessionize_ooo")
+    LAST_OOO_STATS.clear()
+    LAST_OOO_STATS.update(
+        dropped_late=dropped_by_watermark(progress),
+        emitted=out.count(),
+    )
+    return out.filter(F.col("user_id") >= 0)
 
 
 def run_session_window_batch(
@@ -369,7 +375,16 @@ def run_session_window_batch(
     state (open windows per user) lives in the state store and merges
     across micro-batches — all JVM-side, no custom code; the
     declarative counterpart of the ``applyInPandasWithState``
-    operators above."""
+    operators above.
+
+    HARNESS-ONLY MODE CHOICE: ``complete`` + memory sink re-emits the
+    whole session table each micro-batch and retains all aggregation
+    state for the query's lifetime — acceptable only because this is a
+    bounded replay whose output is the final table. A production
+    deployment of the same aggregation uses ``append`` with
+    ``withWatermark`` (sessions emit once, when the watermark closes
+    them) and a file/table sink — the idiom the OOO sessionizer and
+    attribution replays above demonstrate."""
     from sressentials_spark.streaming import (
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
