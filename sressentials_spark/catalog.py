@@ -662,10 +662,17 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (max_id + 1) * 7 // 10
 
     def _build() -> D.DedupIndexTables:
+        from sressentials_spark.scratch import register_scratch
+
         app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
         tag = _re.sub(r"\W", "_", _os.path.basename(_os.path.normpath(sf_dir)))
         base = f"/tmp/sressentials_dedup_index/{app}/{tag}_{split}"
         prefix = f"ssk_dedup_idx_{app}_{tag}_{split}"
+        # Per-applicationId path: a second process never trusts this
+        # one's files, and the registration below removes them at exit
+        # (table entries are session-scoped — the in-memory catalog
+        # dies with the JVM; only the files need cleanup).
+        register_scratch(f"/tmp/sressentials_dedup_index/{app}")
         return D.build_dedup_index(
             docs.filter(F.col("doc_id") < split), base, prefix
         )
@@ -998,10 +1005,29 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
 def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors via an IVF coarse quantizer:
     hash-seeded centroids, fold-exact cell assignment, nprobe-cell
-    search. The data-adaptive complement to the hyperplane-LSH path;
-    at scale the cell id becomes the corpus partition key (scan-level
-    partition pruning per query batch)."""
-    return S.cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
+    search — served from the PERSISTED cell-partitioned index
+    (:func:`similarity.build_ivf_index`, built once per session): the
+    corpus scan is pruned to the query batch's probed cells at the
+    partition level, the steady-state cost once the index exists.
+    The data-adaptive complement to the hyperplane-LSH path."""
+    return S.cosine_topk_ivf_from_index(
+        spark, _ivf_index_path(spark, sf_dir), _TOPK_QUERY_IDS, k=10
+    )
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once handle for the persisted IVF index over a corpus
+    (disk artifact — survives ``release_persisted``, removed at
+    process exit; at scale this is a warehouse table path)."""
+    from sressentials_spark.scratch import scratch_dir
+
+    def _build() -> str:
+        return S.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"),
+            scratch_dir("sressentials_ivf_index_"),
+        )
+
+    return D.get_or_build_disk_artifact(spark, ("ivf_index", sf_dir), _build)
 
 
 @register(
@@ -1041,9 +1067,11 @@ def sim_cosine_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN — the production vector-search pattern: each query
     scores only corpus vectors sharing its ``label``, composed with the
     IVF cell pruning (the metadata predicate filters INSIDE probed
-    cells; the shared index is built on the unfiltered corpus)."""
-    return S.cosine_topk_ivf(
-        load_table(spark, sf_dir, "embeddings"),
+    cells; the shared index is built on the unfiltered corpus and
+    served from the persisted cell-partitioned store)."""
+    return S.cosine_topk_ivf_from_index(
+        spark,
+        _ivf_index_path(spark, sf_dir),
         _TOPK_QUERY_IDS,
         k=10,
         filter_col="label",

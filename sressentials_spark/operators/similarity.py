@@ -229,26 +229,103 @@ def cosine_topk_ivf(
     *inside* the probed cells; the shared IVF index is built on the
     unfiltered corpus, as a real deployment would.
     """
-    def build_annotated() -> DataFrame:
-        ids, mat = ivf_seed_centroids(emb, n_cells, id_col=id_col)
-        kern = ivf_cells_kernel(ids, mat, nprobe)
-        return emb.withColumn("_nc", kern(F.col("embedding"))).select(
-            *emb.columns,
-            F.col("_nc.norm").alias("norm"),
-            F.col("_nc.cells").alias("cells"),
-        )
-
-    extra = [filter_col] if filter_col else []
-    annotated = _cached_corpus(emb, "ivf", (n_cells, nprobe), build_annotated)
-    corpus = annotated.select(
-        F.col(id_col),
-        "embedding",
-        "norm",
-        *extra,
-        F.element_at("cells", 1).alias("cell"),
+    annotated = _cached_corpus(
+        emb, "ivf", (n_cells, nprobe), lambda: ivf_annotate(emb, n_cells, nprobe, id_col)
     )
-    queries = _collect_queries(
-        annotated, query_ids, id_col, [id_col, "embedding", "norm", *extra, "cells"]
+    return _ivf_query(
+        annotated, query_ids, k, id_col, dim, filter_col, prune_cells=False
+    )
+
+
+def ivf_annotate(
+    emb: DataFrame,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The corpus with IVF annotations attached: ``norm``, the
+    ``nprobe`` nearest ``cells``, and the home ``cell`` (first probe).
+    One Arrow-kernel pass over the corpus."""
+    ids, mat = ivf_seed_centroids(emb, n_cells, id_col=id_col)
+    kern = ivf_cells_kernel(ids, mat, nprobe)
+    return emb.withColumn("_nc", kern(F.col("embedding"))).select(
+        *emb.columns,
+        F.col("_nc.norm").alias("norm"),
+        F.col("_nc.cells").alias("cells"),
+        F.element_at("_nc.cells", 1).alias("cell"),
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    base_path: str,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+) -> str:
+    """Materialize the IVF cell assignment as a CELL-PARTITIONED
+    parquet store — the serve-side index artifact.
+
+    Each corpus vector lands in its home cell's directory, so a query
+    batch's scan is pruned to its probed cells at the PARTITION level
+    (``PartitionFilters`` — whole directories skipped before any I/O;
+    pinned by tests/test_sinks.py). This realizes IVF's "read
+    nprobe/K of the corpus" promise physically: at 100 TB the index
+    build is paid once and every query batch reads ~nprobe/n_cells of
+    the data. The assignment pass is the same Arrow kernel as the
+    in-session path, so serving from the store is bit-identical to
+    :func:`cosine_topk_ivf`."""
+    from sressentials_spark import sinks
+
+    sinks.write_partitioned(
+        ivf_annotate(emb, n_cells, nprobe, id_col), base_path, ["cell"]
+    )
+    return base_path
+
+
+def cosine_topk_ivf_from_index(
+    spark,
+    index_path: str,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    dim: int = DEFAULT_DIM,
+    filter_col: str | None = None,
+) -> DataFrame:
+    """:func:`cosine_topk_ivf`, served from a persisted cell-partitioned
+    index (:func:`build_ivf_index`) instead of a session-cached
+    annotation: the corpus side scans ONLY the union of the query
+    batch's probed cells (partition pruning), the steady-state cost a
+    vector store pays per query batch once the index exists."""
+    annotated = spark.read.parquet(index_path)
+    return _ivf_query(
+        annotated, query_ids, k, id_col, dim, filter_col, prune_cells=True
+    )
+
+
+def _ivf_query(
+    annotated: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str,
+    dim: int,
+    filter_col: str | None,
+    prune_cells: bool,
+) -> DataFrame:
+    """Shared IVF probe plan over an annotated corpus (session-cached
+    or loaded from the persisted store). ``prune_cells`` additionally
+    restricts the corpus scan to the union of the queries' probed
+    cells — semantically a no-op (the cell equi-join already restricts
+    further, per query) but it is what turns the partitioned store
+    into partition pruning at the scan."""
+    spark = annotated.sparkSession
+    extra = [filter_col] if filter_col else []
+    qcols = [id_col, "embedding", "norm", *extra, "cells"]
+    qrows = (
+        annotated.filter(F.col(id_col).isin(query_ids)).select(*qcols).collect()
+    )
+    queries = spark.createDataFrame(
+        qrows, annotated.select(*qcols).schema
     ).select(
         F.col(id_col).alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -256,6 +333,11 @@ def cosine_topk_ivf(
         *[F.col(c).alias(f"_q_{c}") for c in extra],
         F.explode("cells").alias("pcell"),
     )
+    corpus = annotated
+    if prune_cells:
+        probed = sorted({int(c) for r in qrows for c in r["cells"]})
+        corpus = corpus.filter(F.col("cell").isin(probed))
+    corpus = corpus.select(F.col(id_col), "embedding", "norm", *extra, "cell")
     join_cond = (F.col("pcell") == F.col("cell")) & (
         F.col("query_id") != F.col(id_col)
     )

@@ -16,14 +16,13 @@ the batch default afterwards.
 
 from __future__ import annotations
 
-import atexit
 import json
 import os
-import shutil
-import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+from sressentials_spark.scratch import scratch_dir
 
 #: Default state partition count for the availableNow replays in this
 #: engine: test-scale state is KBs, so a handful of stores suffices.
@@ -44,19 +43,6 @@ def state_partitions(spark: SparkSession, n: int | None):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-
-
-# Replay output/checkpoint directories created this process, removed at
-# exit so repeated sessions don't accumulate /tmp data.
-_REPLAY_DIRS: list[str] = []
-
-
-def _cleanup_replay_dirs() -> None:
-    while _REPLAY_DIRS:
-        shutil.rmtree(_REPLAY_DIRS.pop(), ignore_errors=True)
-
-
-atexit.register(_cleanup_replay_dirs)
 
 
 def replay_to_parquet(
@@ -82,8 +68,7 @@ def replay_to_parquet(
     observability (``numRowsDroppedByWatermark``) — see
     :func:`sressentials_spark.streaming.sessionize.run_sessionize_ooo_batch`.
     """
-    out = tempfile.mkdtemp(prefix=f"sressentials_replay_{name}_")
-    _REPLAY_DIRS.append(out)
+    out = scratch_dir(f"sressentials_replay_{name}_")
     data_dir = os.path.join(out, "data")
     os.makedirs(data_dir, exist_ok=True)
     q = (

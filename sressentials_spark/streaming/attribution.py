@@ -127,12 +127,12 @@ def _stage_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     sentinels' only job is to push BOTH streams' watermarks past every
     real event at the end of an availableNow replay, so the OUTER
     join's null-padded rows (emitted only once state provably expires)
-    all flush. Disk artifact — staged once per session."""
-    import tempfile
-
+    all flush. Disk artifact — staged once per session, removed at
+    process exit."""
+    from sressentials_spark.scratch import scratch_dir
     from sressentials_spark.sources.tables import load_table
 
-    d = tempfile.mkdtemp(prefix="sressentials_attr_outer_")
+    d = scratch_dir("sressentials_attr_outer_")
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )

@@ -301,8 +301,6 @@ def run_sessionize_ooo_batch(
     (``maxFilesPerTrigger=1``), so rows for one user really do arrive
     out of event-time order across state updates — the case the strict
     variant refuses loudly."""
-    import tempfile
-
     from sressentials_spark.streaming import (
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
@@ -317,9 +315,10 @@ def run_sessionize_ooo_batch(
         from sressentials_spark.operators.dedup import (
             get_or_build_disk_artifact,
         )
+        from sressentials_spark.scratch import scratch_dir
 
         def _stage() -> str:
-            d = tempfile.mkdtemp(prefix="sressentials_ooo_")
+            d = scratch_dir("sressentials_ooo_")
             stage_ooo_arrival(spark, sf_dir, d)
             return d
 
