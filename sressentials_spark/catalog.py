@@ -1131,6 +1131,39 @@ def csv_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "csv_documents_multiline_source",
+    f"""
+SELECT doc_id, lang, n_chars,
+       md5(CASE WHEN doc_id % {loggen.CSV_MULTILINE_EVERY} = 0
+                THEN replace(text, ' ', chr(10)) ELSE text END) AS text_md5
+FROM documents
+""",
+)
+def csv_documents_multiline_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quoted-embedded-newline CSV variant: every 7th doc's text is
+    rendered with REAL newlines inside its quoted field (a line-based
+    reader would shred those records) and read back through the
+    ``multiLine`` CSV path, whose documented cost is one reader task
+    per file — the selectable trade-off beside the default line-based
+    connector. Round-trip is checked field-for-field against the
+    parquet ground truth with the newline substitution restated in the
+    oracle."""
+    from sressentials_spark.sources.csv_source import (
+        read_documents_csv_multiline,
+    )
+
+    path = loggen.ensure_documents_csv_multiline(sf_dir)
+    return read_documents_csv_multiline(spark, path).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
 def _pagerank_oracle(iterations: int = 3) -> str:
     rounds = []
     prev = "r0"
@@ -2592,6 +2625,33 @@ def streaming_enriched_event_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     from sressentials_spark.streaming.enrich import run_enriched_rollup_batch
 
     return run_enriched_rollup_batch(spark, sf_dir)
+
+
+@register(
+    "streaming_enriched_rollup_multibatch",
+    None,  # same oracle as the single-batch replay — assigned below
+)
+def streaming_enriched_rollup_multibatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The enrich rollup replayed RATE-LIMITED (``maxFilesPerTrigger=1``
+    over event-time-ordered staged arrival files): the windowed
+    aggregation state must merge partial counts across genuine
+    micro-batch boundaries and the static dimension broadcast is
+    re-planned per batch — pinning batch-boundary correctness of the
+    stream-static enrich join the way the sessionize replays pin user
+    state. Same oracle as the single-batch replay: all three (batch
+    SQL, one-batch stream, rate-limited stream) must agree exactly."""
+    from sressentials_spark.streaming.enrich import (
+        run_enriched_rollup_multibatch,
+    )
+
+    return run_enriched_rollup_multibatch(spark, sf_dir)
+
+
+ORACLE_SQL["streaming_enriched_rollup_multibatch"] = ORACLE_SQL[
+    "streaming_enriched_event_rollup"
+]
 
 
 # --------------------------------------------------------------------------

@@ -345,3 +345,34 @@ FROM documents ORDER BY doc_id
         src_name="documents.parquet",
         con_factory=_docs_con,
     )
+
+
+#: Every doc whose id is divisible by this renders with its spaces
+#: replaced by REAL newlines inside the quoted text field — the
+#: deterministic embedded-newline fixture for the multiLine CSV
+#: reader path. A different prime from both corrupt fixtures.
+CSV_MULTILINE_EVERY = 7
+
+
+def ensure_documents_csv_multiline(sf_dir: str) -> str:
+    """Generate (once) and return a headerless CSV dump of
+    ``documents`` where every :data:`CSV_MULTILINE_EVERY`-th doc's
+    quoted text carries real embedded newlines (spaces → LF), so a
+    line-based reader would shred those records. No malformed rows:
+    this fixture isolates the record-spanning-lines case (the corrupt
+    channel is the single-line fixture's job)."""
+    sql = f"""
+SELECT doc_id || ',"'
+       || CASE WHEN doc_id % {CSV_MULTILINE_EVERY} = 0
+               THEN replace(replace(text, '"', '""'), ' ', chr(10))
+               ELSE replace(text, '"', '""') END
+       || '",' || lang || ',' || source || ',' || n_chars
+FROM documents ORDER BY doc_id
+"""
+    return _generate(
+        sf_dir,
+        "documents_multiline.csv",
+        sql,
+        src_name="documents.parquet",
+        con_factory=_docs_con,
+    )

@@ -13,9 +13,11 @@ freely — identical reasoning to :mod:`.jsonl`.
 Parser options pin RFC-4180 quoting (``escape='"'`` — doubled quotes
 inside quoted fields), matching the deterministic fixture rendered by
 :func:`sressentials_spark.loggen.ensure_documents_csv` (a malformed
-row every 89th doc). No multiLine: corpus CSVs must keep one record
-per line (embedded newlines would serialize the whole file through a
-single reader at scale); this corpus escapes none.
+row every 89th doc). The default reader is line-based on purpose —
+embedded newlines would serialize each file through a single reader
+at scale; corpora that genuinely need them go through the separate
+:func:`read_documents_csv_multiline` path, which makes that cost
+explicit (parallelism then comes from file count).
 """
 
 from __future__ import annotations
@@ -59,3 +61,29 @@ def split_documents_csv(
     good = raw.filter(ok).select("parsed.*").drop(CORRUPT_COL)
     bad = raw.filter(~ok).select(F.col("value").alias(CORRUPT_COL))
     return good, bad
+
+
+def read_documents_csv_multiline(spark: SparkSession, path: str) -> DataFrame:
+    """The OTHER side of the one-record-per-line trade-off: quoted
+    fields with REAL embedded newlines, read through the native CSV
+    source with ``multiLine=true``.
+
+    The cost is explicit and structural: multiLine disables newline
+    record splitting, so each FILE is parsed by a single task
+    (``spark.read.text`` + ``from_csv`` parallelizes within a file;
+    this path cannot). At 100 TB that means parallelism comes from
+    file COUNT — a corpus export that needs embedded newlines must be
+    sharded into many files upstream. The engine offers both readers
+    and documents when each applies; the default connector stays
+    line-based.
+
+    Schema is explicit (no ``inferSchema`` second scan); quoting is
+    the same RFC-4180 pinning as the line-based reader.
+    """
+    return (
+        spark.read.schema(
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        )
+        .options(multiLine="true", quote='"', escape='"', header="false")
+        .csv(path)
+    )

@@ -34,12 +34,15 @@ def enriched_event_rollup_stream(
     watermark: str = "2 hours",
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    stream_dir: str | None = None,
 ) -> DataFrame:
     """Streaming purchases per (hour, nation, event_type) with revenue.
 
     The static side (customer ⋈ nation, projected to the two columns
     the join needs) is built ONCE from the batch reader and broadcast
-    into every micro-batch's hash join.
+    into every micro-batch's hash join. ``stream_dir`` points the
+    STREAM side somewhere other than ``sf_dir`` (a staged arrival
+    sequence) while the dimensions still load from ``sf_dir``.
     """
     dim = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -52,13 +55,14 @@ def enriched_event_rollup_stream(
         )
         .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
     )
-    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    src = stream_dir if stream_dir is not None else sf_dir
+    schema = spark.read.option("pathGlobFilter", glob).parquet(src).schema
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         # Bounds each micro-batch to N files: tests use it to prove the
         # complete-mode rollup merges partial counts across batches.
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(sf_dir)
+    stream = reader.parquet(src)
     events = stream.select(
         F.col("ts").cast("timestamp").alias("ts"),
         "user_id",
@@ -89,6 +93,7 @@ def run_enriched_rollup_batch(
     window: str = "1 hour",
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    stream_dir: str | None = None,
 ) -> DataFrame:
     """Replay the stream to completion (availableNow) and return the
     settled rollup."""
@@ -97,7 +102,7 @@ def run_enriched_rollup_batch(
         state_partitions,
     )
 
-    run_key = f"{sf_dir}|{window}|{glob}|{max_files_per_trigger}"
+    run_key = f"{sf_dir}|{window}|{glob}|{max_files_per_trigger}|{stream_dir}"
     name = "enrich_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
     with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
         q = (
@@ -107,6 +112,7 @@ def run_enriched_rollup_batch(
                 window,
                 glob=glob,
                 max_files_per_trigger=max_files_per_trigger,
+                stream_dir=stream_dir,
             )
             .writeStream.format("memory")
             .queryName(name)
@@ -116,3 +122,65 @@ def run_enriched_rollup_batch(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+#: Arrival files for the rate-limited multi-batch replay.
+MULTIBATCH_FILES = 4
+
+
+def _stage_ordered_arrivals(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table as ``MULTIBATCH_FILES`` arrival files,
+    range-partitioned AND mtime-stamped in event-time order, so an
+    availableNow replay with ``maxFilesPerTrigger=1`` becomes a
+    genuine multi-batch run with in-order arrivals (no late data —
+    this twin isolates BATCH-BOUNDARY correctness of the windowed
+    aggregate's state, the way the sessionize tests do for user
+    state)."""
+    import glob as globmod
+    import os
+    import time
+
+    from sressentials_spark.scratch import scratch_dir
+    from sressentials_spark.sources.tables import load_table
+
+    d = scratch_dir("sressentials_enrich_stage_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    (
+        e.repartitionByRange(MULTIBATCH_FILES, "ts")
+        .write.mode("overwrite")
+        .parquet(f"{d}/arrivals")
+    )
+    # File-stream sources process oldest-modified first; range output
+    # part files sort in range (= event-time) order.
+    base = time.time() - 3600
+    for i, p in enumerate(sorted(globmod.glob(f"{d}/arrivals/part-*.parquet"))):
+        os.utime(p, (base + i, base + i))
+    return d
+
+
+def run_enriched_rollup_multibatch(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """The enrich rollup replayed RATE-LIMITED: one staged arrival file
+    per micro-batch (``maxFilesPerTrigger=1``), so the windowed
+    aggregation state must merge partial counts across real batch
+    boundaries — and the per-batch broadcast of the static dimension
+    side is re-planned every batch, as in production. Must agree with
+    the single-batch replay and the relational oracle exactly."""
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+
+    stage = get_or_build_disk_artifact(
+        spark,
+        ("enrich_stage", sf_dir),
+        lambda: _stage_ordered_arrivals(spark, sf_dir),
+    )
+    return run_enriched_rollup_batch(
+        spark,
+        sf_dir,
+        window,
+        glob="part-*.parquet",
+        max_files_per_trigger=1,
+        stream_dir=f"{stage}/arrivals",
+    )

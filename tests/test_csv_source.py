@@ -47,3 +47,37 @@ def test_rfc4180_quote_doubling_round_trips(spark, tmp_path):
     row = good.collect()[0]
     assert row["text"] == 'she said "hi, there" twice'
     assert row["doc_id"] == 7 and row["n_chars"] == 25
+
+
+def test_multiline_reader_round_trips_embedded_newlines(spark):
+    """The multiLine path: every 7th doc's quoted text carries real
+    newlines (the fixture has MORE physical lines than records — a
+    line-based reader would shred it) and must round-trip exactly,
+    with the newline substitution applied to the ground truth."""
+    from sressentials_spark.sources.csv_source import (
+        read_documents_csv_multiline,
+    )
+
+    path = loggen.ensure_documents_csv_multiline(SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    with open(path) as fh:
+        n_lines = sum(1 for _ in fh)
+    assert n_lines > n_docs  # records genuinely span lines
+
+    got = read_documents_csv_multiline(spark, path)
+    assert got.count() == n_docs
+    expected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % loggen.CSV_MULTILINE_EVERY == 0,
+            F.regexp_replace("text", " ", "\n"),
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    a = sorted(tuple(r) for r in got.select(cols).collect())
+    b = sorted(tuple(r) for r in expected.select(cols).collect())
+    assert a == b

@@ -68,3 +68,20 @@ def test_windowed_counts_merge_across_batches(spark, tmp_path):
         ("2024-05-01 10:00:00", "GERMANY", "view"): (1, 250),
         ("2024-05-01 11:00:00", "GERMANY", "view"): (1, 425),
     }
+
+
+def test_rate_limited_multibatch_matches_single_batch(spark):
+    """The staged one-file-per-micro-batch replay must settle to the
+    same rollup as the one-shot availableNow replay (state merges
+    across genuine batch boundaries; dimension broadcast re-planned
+    per batch)."""
+    from sressentials_spark.streaming.enrich import (
+        run_enriched_rollup_multibatch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    multi = run_enriched_rollup_multibatch(spark, sf)
+    single = run_enriched_rollup_batch(spark, sf)
+    assert multi.exceptAll(single).count() == 0
+    assert single.exceptAll(multi).count() == 0
+    assert multi.count() > 0
