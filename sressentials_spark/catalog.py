@@ -2376,6 +2376,22 @@ def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_span_exact_dedup",
+    C.span_exact_dedup_oracle_sql(span_tokens=8),
+)
+def curation_span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular exact dedup (EXACTSUBSTR-lite, Lee et al. 2021):
+    8-word non-overlapping span fingerprints, corpus-wide
+    first-occurrence ranking over the span hash (uniform 128-bit
+    shuffle key), per-document duplicated-span counts and permille —
+    the signal document-level dedup misses when boilerplate repeats
+    inside otherwise-distinct pages."""
+    return C.span_exact_dedup_stats(
+        load_table(spark, sf_dir, "documents"), span_tokens=8
+    )
+
+
 #: Benchmark set for the decontamination query: a fixed handful of
 #: document ids standing in for an eval suite.
 _DECON_BENCH_IDS = [0, 1, 2, 3, 4]
@@ -3647,6 +3663,185 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_acctbal",
             "supply_cost",
         )
+    )
+
+
+@register(
+    "tpch_q4_priority_semi",
+    """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority
+""",
+)
+def tpch_q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape (order-priority checking): orders from one
+    quarter with at least one lineitem shipped >30 days after the
+    order date, counted per priority. The EXISTS becomes a LEFT SEMI
+    join — each order emits at most once no matter how many lineitems
+    qualify, and the probe side carries only (orderkey, orderdate), so
+    the shuffle moves two longs per order. The quarter filter prunes
+    orders at the scan; the semi join keys on orderkey (uniform), with
+    the 30-day lag evaluated as a join-side predicate. (The canonical
+    q4 uses commit/receipt dates the testdata doesn't carry; the
+    late-shipment predicate keeps the identical plan shape.)"""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(ROUND(l.l_discount * 1000) AS BIGINT))) AS BIGINT)
+         AS revenue_millicents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5 shape (local supplier volume): revenue per nation for
+    one region and year where the customer and supplier share a
+    nation — the classic 6-way join-ordering benchmark. Plan shape:
+    region⋈nation⋈supplier collapses to one broadcast (tiny dims), so
+    lineitem pays a map-side hash join for its supplier/nation
+    attributes; the remaining shuffles are the two fact joins
+    (lineitem⋈orders on orderkey, ⋈customer on custkey, both uniform)
+    and the same-nation predicate filters AFTER the customer join,
+    exactly as the spec demands. Revenue in integer milli-cents."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pm = F.round(F.col("l_discount") * 1000).cast("long")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents * (F.lit(1000) - disc_pm)).alias("revenue_millicents")
+        )
+    )
+
+
+@register(
+    "tpch_q12_priority_by_returnflag",
+    """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+""",
+)
+def tpch_q12_priority_by_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H q12 shape (shipping modes / priority classes): lineitems
+    shipped in one year, classified by order priority and counted per
+    return flag. The date filter prunes lineitem at the scan, orders
+    rides the join projected to (orderkey, priority) only, and the
+    conditional counts are map-side-combinable partial sums over a
+    3-row group key. (The testdata carries no l_shipmode; l_returnflag
+    plays the low-cardinality grouping role with the identical plan.)"""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_customer_order_distribution",
+    """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+)
+def tpch_q13_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H q13 shape (customer distribution): how many customers
+    placed how many (non-urgent) orders, INCLUDING zero — the
+    double-aggregate over a left outer join that inner-join engines
+    get wrong. The outer join keys on custkey (uniform); the first
+    aggregate collapses to one row per customer before the second
+    (tiny, c_count-keyed) aggregate, so the big shuffle happens once.
+    (The spec's comment-pattern filter becomes a priority filter —
+    same not-quite-all exclusion shape — since the testdata carries no
+    order comments.)"""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
     )
 
 

@@ -698,3 +698,81 @@ WITH r AS (
   FROM {table})
 SELECT {id_col}, {group_col}, sample_rank FROM r WHERE sample_rank <= {n}
 """
+
+
+# --------------------------------------------------------------------------
+# Span-level exact dedup (EXACTSUBSTR-lite)
+# --------------------------------------------------------------------------
+
+def span_exact_dedup_stats(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span statistics: split every document
+    into consecutive non-overlapping ``span_tokens``-word spans, keep
+    the corpus-wide FIRST occurrence of each distinct span (total
+    order ``(doc_id, start_tok)``), and report per document how many
+    of its spans were already seen elsewhere.
+
+    This is the span-granular exact dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    EXACTSUBSTR) in its practical bucketed form: document-level dedup
+    (exact/MinHash, :mod:`.dedup`) misses boilerplate repeated INSIDE
+    otherwise-distinct pages; span fingerprints catch it. Trailing
+    partial spans participate like full ones (exact-match semantics
+    are length-aware by construction).
+
+    Scale shape: the chunker is pure codegen fan-out (no Python, no
+    shuffle); the first-occurrence ranking windows over the span's
+    md5 — a uniform 128-bit key, so the single shuffle is balanced at
+    any corpus size — and the per-document rollup re-keys by
+    ``doc_id``. A removal pass (reassemble text from surviving spans)
+    is ``filter + concat_ws(collect_list)`` over the same frame.
+    """
+    spans = chunk_documents(
+        docs, chunk_tokens=span_tokens, overlap=0,
+        id_col=id_col, text_col=text_col,
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy(
+        id_col, "start_tok"
+    )
+    ranked = spans.withColumn("_occ", F.row_number().over(w))
+    dup = F.when(F.col("_occ") > 1, 1).otherwise(0)
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            # Integer floor division on both engines (Spark `div`,
+            # DuckDB `//`) — a double-divide-then-cast would truncate
+            # in Spark but round in DuckDB.
+            F.expr("(1000 * n_dup_spans) div n_spans").alias("dup_permille"),
+        )
+    )
+
+
+def span_exact_dedup_oracle_sql(
+    span_tokens: int = 8, table: str = "documents"
+) -> str:
+    """DuckDB restatement of :func:`span_exact_dedup_stats`."""
+    return f"""
+WITH ch AS ({chunk_documents_oracle_sql(span_tokens, 0, table)}),
+r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, start_tok) AS occ
+      FROM ch)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST((1000 * SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS dup_permille
+FROM r GROUP BY doc_id
+"""
