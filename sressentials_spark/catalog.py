@@ -3940,6 +3940,37 @@ def streaming_view_purchase_attribution_outer(
 
 
 @register(
+    "streaming_view_purchase_attribution_full",
+    """
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
+)
+def streaming_view_purchase_attribution_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream attribution — the complete join-type
+    family: matched pairs, never-converted views (null purchase side),
+    AND organic purchases with no preceding view (null view side).
+    Both non-match directions are provable only through watermarked
+    state expiry; the emitted key coalesces the two sides' user ids.
+    Oracle is the plain relational full join."""
+    from sressentials_spark.streaming.attribution import (
+        run_attribution_full_outer_batch,
+    )
+
+    return run_attribution_full_outer_batch(spark, sf_dir)
+
+
+@register(
     "audit_referential_integrity",
     """
 SELECT 'lineitem_orphans' AS check_name,

@@ -16,8 +16,10 @@ per user) + purchases until their watermark expires — both bounded by
 (ingest rate × window), independent of stream lifetime. The join keys
 on ``user_id`` (uniform), so the stateful shuffle is well distributed.
 
-Executed with ``availableNow`` into a memory sink for oracle parity:
-the batch restatement is a plain self-join with the same predicates.
+Executed with ``availableNow`` through a parquet sink (distributed
+write + read-back — per-event output never materializes on the
+driver) for oracle parity: the batch restatement is a plain self-join
+with the same predicates.
 """
 
 from __future__ import annotations
@@ -101,10 +103,9 @@ def run_attribution_batch(
     settled attribution pairs."""
     from sressentials_spark.streaming import (
         DEFAULT_STATE_PARTITIONS,
+        replay_to_parquet,
         state_partitions,
     )
-
-    from sressentials_spark.streaming import replay_to_parquet
 
     with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
         out, _ = replay_to_parquet(
@@ -176,10 +177,9 @@ def run_attribution_outer_batch(
     from sressentials_spark.operators.dedup import get_or_build_disk_artifact
     from sressentials_spark.streaming import (
         DEFAULT_STATE_PARTITIONS,
+        replay_to_parquet,
         state_partitions,
     )
-
-    from sressentials_spark.streaming import replay_to_parquet
 
     stage = get_or_build_disk_artifact(
         spark, ("attr_outer_stage", sf_dir), lambda: _stage_with_sentinels(spark, sf_dir)
@@ -205,4 +205,52 @@ def run_attribution_outer_batch(
             F.col("p_ts").alias("purchase_ts"),
         )
         out, _ = replay_to_parquet(spark, joined, "attr_outer")
+    return out.filter(F.col("user_id") >= 0)
+
+
+def run_attribution_full_outer_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER stream-stream attribution — the last join type in the
+    family: every view emits (matched or never-converted) AND every
+    purchase emits (matched or organic, with a null view side). Both
+    directions of non-match are provable only through watermarked
+    state expiry, so state management is identical to the left-outer
+    replay; the emitted key is the COALESCE of the two sides' user
+    ids. Shares the sentinel-staged arrival artifact with the
+    left-outer replay."""
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        replay_to_parquet,
+        state_partitions,
+    )
+
+    stage = get_or_build_disk_artifact(
+        spark, ("attr_outer_stage", sf_dir), lambda: _stage_with_sentinels(spark, sf_dir)
+    )
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        views = _typed_stream(
+            spark, stage, "view", "view", glob="part-*.parquet"
+        ).withWatermark("view_ts", watermark)
+        purchases = _typed_stream(
+            spark, stage, "purchase", "p", glob="part-*.parquet"
+        ).withWatermark("p_ts", watermark)
+        joined = views.join(
+            purchases,
+            (F.col("view_user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("view_ts"))
+            & (F.col("p_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {window}")),
+            "fullOuter",
+        ).select(
+            F.coalesce(F.col("view_user_id"), F.col("p_user_id")).alias("user_id"),
+            F.col("view_event_id").alias("view_event_id"),
+            F.col("p_event_id").alias("purchase_event_id"),
+            F.col("view_ts").alias("view_ts"),
+            F.col("p_ts").alias("purchase_ts"),
+        )
+        out, _ = replay_to_parquet(spark, joined, "attr_full")
     return out.filter(F.col("user_id") >= 0)

@@ -360,6 +360,10 @@ def run_sessionize_ooo_batch(
     LAST_OOO_STATS.clear()
     LAST_OOO_STATS.update(
         dropped_late=dropped_by_watermark(progress),
+        # One distributed count over the written output (the parquet
+        # FileSink reports numOutputRows=-1 and the state operator has
+        # no output-row metric, so counting the sink files is the
+        # cheapest faithful source).
         emitted=out.count(),
     )
     return out.filter(F.col("user_id") >= 0)

@@ -74,3 +74,48 @@ def test_purchase_before_view_never_matches(spark, tmp_path):
         )
     )
     assert got == set()
+
+
+def test_full_outer_emits_both_nonmatch_directions(spark):
+    """FULL OUTER: never-converted views appear null-padded on the
+    purchase side, organic purchases null-padded on the view side, and
+    the matched pairs agree with the batch full-join restatement."""
+    from pyspark.sql import functions as F
+
+    from sressentials_spark.sources.tables import load_table
+    from sressentials_spark.streaming.attribution import (
+        run_attribution_full_outer_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_attribution_full_outer_batch(spark, sf)
+
+    e = load_table(spark, sf, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uid"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expect = v.join(
+        p,
+        (F.col("v_uid") == F.col("p_uid"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        F.coalesce("v_uid", "p_uid").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        "view_ts",
+        "purchase_ts",
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # Both non-match directions genuinely occur in the corpus.
+    assert got.filter(F.col("purchase_event_id").isNull()).count() > 0
+    assert got.filter(F.col("view_event_id").isNull()).count() > 0
