@@ -1078,6 +1078,104 @@ def sim_cosine_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Product quantization (Jégou et al. 2011) -----------------------------
+
+_PQ_DSUB = 64 // S.PQ_M
+
+
+def _pq_sqdist_sql(a: str, c: str, m_expr: str) -> str:
+    """Fold-exact squared L2 over one PQ subspace (1-based slices)."""
+    return (
+        f"list_sum([(CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) "
+        f"for i in generate_series({m_expr}*{_PQ_DSUB}+1, "
+        f"{m_expr}*{_PQ_DSUB}+{_PQ_DSUB})])"
+    )
+
+
+#: Hash-seeded PQ codebooks (ordinal k = position in (hash, id) order —
+#: must match similarity.pq_seed_codebooks exactly).
+_PQ_SEEDS_SQL = f"""
+SELECT cv, ROW_NUMBER() OVER (ORDER BY h, vid) - 1 AS k
+FROM (SELECT embedding AS cv, vec_id AS vid,
+             ('0x' || substring(md5('{S.PQ_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM embeddings ORDER BY h, vid LIMIT {S.PQ_K})
+"""
+
+_PQ_ASSIGN_SQL = f"""
+seeds AS ({_PQ_SEEDS_SQL}),
+subs AS (SELECT unnest(generate_series(0, {S.PQ_M - 1})) AS m),
+d AS (SELECT e.vec_id, subs.m, seeds.k,
+             {_pq_sqdist_sql('e.embedding', 'seeds.cv', 'subs.m')} AS dist
+      FROM embeddings e CROSS JOIN seeds CROSS JOIN subs),
+a AS (SELECT vec_id, m, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+      FROM d)
+"""
+
+
+@register(
+    "sim_pq_codes",
+    f"""
+WITH {_PQ_ASSIGN_SQL}
+SELECT vec_id,
+       {', '.join(
+           f'CAST(MAX(CASE WHEN m = {i} THEN k END) AS BIGINT) AS code_{i}'
+           for i in range(S.PQ_M)
+       )}
+FROM a WHERE rn = 1 GROUP BY vec_id
+""",
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code words: every corpus vector compressed
+    to {M} centroid indices (one per 16-dim subspace; hash-seeded
+    codebooks, fold-exact squared-L2 argmin with smallest-index
+    tie-break). At 100 TB the codes table IS the serving index — M
+    small ints per vector instead of 64 floats (~32× smaller), scanned
+    whole during ADC search while raw vectors stay cold."""
+    return S.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_pq_adc_topk",
+    f"""
+WITH {_PQ_ASSIGN_SQL},
+codes AS (SELECT vec_id, m, k AS code FROM a WHERE rn = 1),
+qd AS (SELECT q.vec_id AS query_id, subs.m, seeds.k,
+              {_pq_sqdist_sql('q.embedding', 'seeds.cv', 'subs.m')} AS dq
+       FROM embeddings q CROSS JOIN seeds CROSS JOIN subs
+       WHERE q.vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})),
+p AS (SELECT qd.query_id, c.vec_id AS neighbor_id, qd.m, qd.dq
+      FROM codes c JOIN qd ON qd.m = c.m AND qd.k = c.code
+      WHERE c.vec_id <> qd.query_id),
+g AS (SELECT query_id, neighbor_id,
+             {', '.join(
+                 f'MAX(CASE WHEN m = {i} THEN dq END) AS d{i}'
+                 for i in range(S.PQ_M)
+             )}
+      FROM p GROUP BY query_id, neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+             ((d0 + d1) + d2) + d3 AS adc_dist FROM g),
+rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       FROM r)
+SELECT query_id, neighbor_id, adc_dist, rank FROM rr WHERE rank <= 10
+""",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-10: the query stays exact,
+    neighbors are their code words, distance = sum of per-subspace
+    table lookups (per-query M×K tables computed driver-side with the
+    shared left-fold arithmetic, broadcast into an (m, code)
+    equi-join; fixed re-association order keeps the double
+    bit-reproducible). The compressed-domain complement to the
+    IVF/LSH pruning paths — at scale ADC scans only the codes table
+    and never touches a raw corpus vector."""
+    return S.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, topk=10
+    )
+
+
 @register(
     "jsonl_documents_source",
     f"""
@@ -2576,6 +2674,47 @@ def text_rare_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sressentials_spark.operators.text import rare_bigram_stats
 
     return rare_bigram_stats(load_table(spark, sf_dir, "documents"), rare_max=1)
+
+
+@register(
+    "window_trailing_28d_spend",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 28 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_28d_cents
+FROM orders
+""",
+)
+def window_trailing_28d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each order's trailing-28-day customer
+    spend — the frame is a VALUE interval over event time, not a row
+    count, so same-timestamp orders all see the same frame (no
+    tie-break needed; a ROWS frame would be order-sensitive here).
+    Spark expresses it as ``rangeBetween`` over epoch seconds —
+    exactly DuckDB's ``RANGE INTERVAL PRECEDING`` with both bounds
+    inclusive. Partitioned by ``o_custkey`` (uniform), one window
+    shuffle, frames computed in a single ordered pass per customer —
+    the rolling-feature shape every feature-store backfill runs."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # NTZ → epoch seconds via an explicit UTC timestamp hop (the
+    # session timezone is pinned UTC, so this is the naive value's own
+    # epoch — matching DuckDB's naive-timestamp interval arithmetic;
+    # 28 days = 2419200 s exactly, no DST in UTC).
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-28 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(cents).over(w).alias("trailing_28d_cents"),
+    )
 
 
 @register(

@@ -295,3 +295,40 @@ def dot(a: Column, b: Column, dim: int) -> Column:
     if dim <= UNROLL_MAX_DIM:
         return _dot(a, b, dim)
     return dot_arrow(a, b)
+
+
+def pq_encode_kernel(codebooks: np.ndarray):
+    """Factory: Arrow kernel computing product-quantization codes.
+
+    ``codebooks`` is an ``(M, K, dsub)`` float64 tensor captured in the
+    closure (task-closure bytes — a few KB). Per subspace ``m`` the
+    vector's slice is scored against all ``K`` centroids with the
+    fold-exact squared L2 distance
+    (``0.0 + (v0-c0)*(v0-c0) + ...`` — the identical association order
+    as the DuckDB oracle's ``list_sum`` comprehension) and the code is
+    the argmin, ties to the SMALLEST centroid index (``np.argmin``
+    returns the first minimum). Returns ``array<long>`` of length M.
+    """
+    C = np.asarray(codebooks, dtype=np.float64)
+    M, K, dsub = C.shape
+
+    @pandas_udf(ArrayType(LongType()))
+    def f(v: pd.Series) -> pd.Series:
+        V = _stack(v)
+        n = V.shape[0]
+        if n == 0:
+            return pd.Series(dtype=object)
+        codes = np.empty((n, M), dtype=np.int64)
+        for m in range(M):
+            sub = V[:, m * dsub : (m + 1) * dsub]
+            dist = np.empty((n, K), dtype=np.float64)
+            for k in range(K):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dsub):
+                    t = sub[:, d] - C[m, k, d]
+                    acc = acc + t * t
+                dist[:, k] = acc
+            codes[:, m] = np.argmin(dist, axis=1)
+        return pd.Series(list(codes))
+
+    return f
