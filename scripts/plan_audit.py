@@ -87,6 +87,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sim_lsh_multiprobe_recall_at_k": {
         "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
     },
+    "sim_pq_recall_at_k": {
+        "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
+    },
 }
 
 

@@ -1177,6 +1177,61 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_pq_recall_at_k",
+    None,  # composed from the exact and ADC oracles below
+)
+def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality as a first-class query: recall@10 of the
+    compressed-domain ADC top-k against the exact cosine top-k, per
+    query (integer permille). This is the tuning loop for (M, K) —
+    quantization error shows up here directly, the same in-engine
+    eval the LSH paths get."""
+    exact = S.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10
+    ).select("query_id", "neighbor_id")
+    adc = S.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, topk=10
+    ).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    hit = F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            adc,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+ORACLE_SQL["sim_pq_recall_at_k"] = f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_permille
+FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
+LEFT JOIN ({ORACLE_SQL["sim_pq_adc_topk"]}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
     "jsonl_documents_source",
     f"""
 SELECT doc_id, lang, md5(text) AS text_md5
