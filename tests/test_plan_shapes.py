@@ -169,3 +169,50 @@ def test_profiler_has_no_expand(spark):
     # Per-column aggregates unioned — N count_distincts in ONE agg
     # would compile to an Expand multiplying every row N-fold.
     assert "Expand" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: a selective filter on the build
+    side of a shuffle join injects a bloom filter into the probe
+    side's scan stage, so most non-matching lineitem rows die before
+    the shuffle. At 100 TB the default thresholds (creation side
+    <= 10 MB bloom, application side >= 10 GB scan) engage this
+    automatically; at test scale the application-side threshold is
+    lowered to 0 to pin the mechanism."""
+    from pyspark.sql import functions as F
+
+    from sressentials_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = "/root/testdata/sf0.001"
+        o = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, sf, "lineitem")
+        j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan  # built from the filtered side
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan
+        # Semantics unchanged by the runtime filter.
+        expect = (
+            load_table(spark, sf, "lineitem")
+            .join(
+                load_table(spark, sf, "orders").filter(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert j.count() == expect > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
