@@ -90,6 +90,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sim_pq_recall_at_k": {
         "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
     },
+    "tpch_q22_dormant_customer_balance": {
+        "BroadcastNestedLoopJoin": "one-row (sum, count) scalar-average fold"
+    },
 }
 
 

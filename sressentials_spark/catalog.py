@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sressentials_spark import loggen
@@ -4231,4 +4231,571 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orphans.unionByName(no_cust).unionByName(dup_keys).unionByName(null_nation)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H family completion (q7/q8/q10/q15/q17/q21/q22 shapes).
+# q11/q16/q20 are omitted: they are partsupp-centric and the testdata
+# carries no partsupp table (TESTDATA.md), so there is no faithful
+# adaptation. All money stays in integer milli-cents / cents and every
+# ratio is an integer permille so the value-hash gate never sees float
+# drift (the r5 lesson: DuckDB `//` promotes through HUGEINT — every
+# floor-division output below is CAST AS BIGINT on the oracle side).
+# --------------------------------------------------------------------------
+
+_REV_SQL = (
+    "CAST(ROUND(l.l_extendedprice*100) AS BIGINT)"
+    " * (1000 - CAST(ROUND(l.l_discount*1000) AS BIGINT))"
+)
+
+
+def _rev_col() -> Column:
+    """Integer milli-cents revenue: cents x (1000 - discount permille)."""
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(1000) - F.round(F.col("l_discount") * 1000).cast("long")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_millicents
+FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape (volume shipping): bilateral trade revenue
+    between two nations by ship year. The disjunctive two-nation
+    predicate factors into "both endpoints in {A, B} and different":
+    supplier and customer are each pre-filtered to the two nations
+    BEFORE touching a fact table (broadcast nation joins), so both
+    fact joins run against dimension slices a few percent of full
+    size, and the cross-pair filter is a cheap post-join inequality.
+    Two fact shuffles remain (lineitem x orders on orderkey, x the
+    pruned customer on custkey, both uniform keys); year extraction
+    and the revenue sum are map-side-combinable over a 4-row group."""
+    pair = ("NATION_3", "NATION_8")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    ).select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_rev_col()).alias("revenue_millicents"))
+    )
+
+
+@register(
+    "tpch_q8_national_market_share",
+    f"""
+WITH rev AS (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         n1.n_name AS supp_nation, {_REV_SQL} AS r
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region rg ON n2.n_regionkey = rg.r_regionkey AND rg.r_name = 'ASIA'
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN r ELSE 0 END) AS BIGINT)
+    AS nation_revenue_millicents,
+  CAST(SUM(r) AS BIGINT) AS total_revenue_millicents,
+  CAST((1000 * SUM(CASE WHEN supp_nation = 'NATION_3' THEN r ELSE 0 END))
+       // SUM(r) AS BIGINT) AS mkt_share_permille
+FROM rev GROUP BY o_year
+""",
+)
+def tpch_q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape (national market share): one nation's share of
+    ECONOMY-part revenue sold into the ASIA market, per order year.
+    Every dimension (part slice, supplier+nation, ASIA customers)
+    broadcasts, so lineitem shuffles only twice (x orders, x customer
+    on uniform keys). The share is exact integer arithmetic end to
+    end: conditional and total revenue are map-combinable long sums
+    per year, and the permille is a long DIV — the oracle's `//` is
+    CAST back to BIGINT because DuckDB floor-division promotes
+    through HUGEINT (the r5 red-row vector)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    n = load_table(spark, sf_dir, "nation")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(rg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", _rev_col()).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nat).alias("nation_revenue_millicents"),
+            F.sum(_rev_col()).alias("total_revenue_millicents"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue_millicents",
+            "total_revenue_millicents",
+            F.expr(
+                "(1000 * nation_revenue_millicents) div total_revenue_millicents"
+            ).alias("mkt_share_permille"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(ROUND(c.c_acctbal*100) AS BIGINT) AS acctbal_cents,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_millicents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_millicents DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter. Return-flag and date
+    filters prune both fact scans; the customer join shuffles on the
+    uniform custkey and nation broadcasts. The top-20 is a
+    TakeOrderedAndProject — per-partition top-k then a 20-row driver
+    merge, never a global sort — with c_custkey as the deterministic
+    tie-break so the LIMIT is stable across engines and partition
+    counts."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .agg(F.sum(_rev_col()).alias("revenue_millicents"))
+        .orderBy(F.desc("revenue_millicents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+WITH rev AS (
+  SELECT l.l_suppkey,
+         CAST(SUM({_REV_SQL}) AS BIGINT) AS total_revenue_millicents
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l.l_suppkey)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue_millicents
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_revenue_millicents
+      = (SELECT MAX(total_revenue_millicents) FROM rev)
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape (top supplier): supplier(s) whose one-quarter
+    revenue equals the maximum — the scalar-subquery-against-a-CTE
+    pattern, emitting ALL ties (which LIMIT 1 would lose). The
+    per-supplier rollup shuffles once on the uniform suppkey; the
+    scalar max is a one-row aggregate broadcast back as an equi-join
+    key (a BroadcastHashJoin on the revenue value, not a nested-loop
+    filter), and the surviving handful of rows broadcast into the
+    supplier dimension. Integer milli-cents, so "equals the max" is
+    exact — no float-equality hazard."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(_rev_col()).alias("total_revenue_millicents")
+    )
+    mx = rev.agg(
+        F.max("total_revenue_millicents").alias("max_revenue_millicents")
+    )
+    top = rev.join(
+        F.broadcast(mx),
+        rev["total_revenue_millicents"] == mx["max_revenue_millicents"],
+    ).select("l_suppkey", "total_revenue_millicents")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(F.broadcast(top), s["s_suppkey"] == top["l_suppkey"]).select(
+        "s_suppkey", "s_name", "total_revenue_millicents"
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+WITH pl AS (
+  SELECT l.l_partkey, CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+         CAST(ROUND(l.l_extendedprice*100) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#13'),
+pa AS (SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+       FROM pl GROUP BY l_partkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+       CAST(COALESCE(SUM(pl.cents), 0) AS BIGINT) AS small_revenue_cents
+FROM pl JOIN pa ON pl.l_partkey = pa.l_partkey
+WHERE 5 * pl.qty * pa.cnt < pa.sum_qty
+""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape (small-quantity-order revenue): revenue from
+    lineitems of one brand whose quantity is below 20% of that part's
+    average order quantity — the correlated-average decorrelated into
+    a per-part aggregate joined back to the detail rows. The brand
+    slice broadcasts into lineitem, the per-part averages over that
+    slice are small enough to broadcast back, so the fact table never
+    shuffles at all. The 20%-of-average test is exact integer math:
+    qty < 0.2 * sum/cnt  <=>  5*qty*cnt < sum (quantities are
+    integral and cnt > 0), so no float division enters the predicate
+    in either engine."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    pl = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "qty", "cents"
+    )
+    pa = pl.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    return (
+        pl.join(F.broadcast(pa), pl["l_partkey"] == pa["pa_partkey"])
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("small_revenue_cents"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderstatus = 'F'),
+late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+         FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+         WHERE l.l_shipdate > fo.o_orderdate + INTERVAL 60 DAY),
+alllf AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 2
+WHERE EXISTS (SELECT 1 FROM alllf l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+""",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (suppliers who kept orders waiting): per ASIA
+    supplier, the count of finished multi-supplier orders where THIS
+    supplier was the only late shipper. The EXISTS becomes a LEFT
+    SEMI and the NOT EXISTS a LEFT ANTI join, both keyed on the
+    uniform orderkey with the supplier-inequality as a join-side
+    predicate — no row explosion, each (order, supplier) emits at
+    most once. `late`/`alllf` are deduped (order, supplier) pairs
+    (two longs per row through the shuffles); the finished-order
+    filter prunes at the orders scan and rides a broadcast into
+    lineitem. (The canonical commit/receipt-date lateness becomes a
+    ship-60-days-after-order test — the testdata carries no
+    commitdate — preserving the identical semi/anti plan.)"""
+    fo = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lf = l.join(fo, l["l_orderkey"] == fo["o_orderkey"])
+    alllf = lf.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        lf.filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    l2 = alllf.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    l1 = (
+        late.join(F.broadcast(s), late["l_suppkey"] == s["s_suppkey"])
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return l1.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "tpch_q22_dormant_customer_balance",
+    """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+st AS (SELECT SUM(bal_cents) AS s, COUNT(*) AS n
+       FROM pos WHERE bal_cents > 0)
+SELECT CAST(pos.c_nationkey AS BIGINT) AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(pos.bal_cents) AS BIGINT) AS totacctbal_cents
+FROM pos, st
+WHERE pos.bal_cents * st.n > st.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = pos.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY pos.c_nationkey
+""",
+)
+def tpch_q22_dormant_customer_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H q22 shape (global sales opportunity): per country,
+    wealthy-but-dormant customers — balance above the cohort's
+    positive-balance average, no order since 1999. The scalar average
+    is decorrelated into a one-row (sum, count) fold cross-joined
+    back (broadcast, one row per partition — the allowlisted scalar
+    idiom), and above-average is tested as bal*n > sum in exact
+    integer cents, so the threshold is float-free in both engines.
+    Dormancy is a LEFT ANTI join against date-pruned orders projected
+    to the single custkey column. (The spec's phone-prefix country
+    code becomes the nation key — the testdata carries no phone — and
+    "no orders ever" becomes "no orders since 1999" because the
+    generator gives every customer at least one order.)"""
+    cohort = (1, 3, 5, 7, 9, 11, 13)
+    pos = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*cohort)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    st = pos.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        pos.crossJoin(F.broadcast(st))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(recent, pos["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space clustering (exact integer-quantized k-means).
+# --------------------------------------------------------------------------
+
+from sressentials_spark.operators.cluster import (  # noqa: E402
+    kmeans_oracle_ctes,
+    kmeans_quantized,
+)
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+_KMEANS_SQL = kmeans_oracle_ctes(k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+@register(
+    "emb_kmeans_clusters",
+    _KMEANS_SQL
+    + """
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(dist_sq AS BIGINT) AS dist_sq
+FROM afin
+""",
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-quantized k-means (K=8, 3 Lloyd's rounds) over the
+    embeddings table: per-vector final cluster id and squared integer
+    distance. Quantizing to a 2^20 grid up front makes every round —
+    distances, argmin tie-break, truncated-mean centroid updates —
+    exact 64-bit integer arithmetic, so the clustering is bit-identical
+    on any partition layout (float Lloyd's is not: both sums depend on
+    order) and the DuckDB oracle can restate all three rounds
+    verbatim. Per round: one codegen assignment pass (no shuffle), one
+    map-side-combinable (cluster, dim) aggregate whose shuffle is
+    O(K * dim * tasks), and one K*dim-row centroid collect — PageRank's
+    scalar-traffic-only iterative shape (operators/cluster.py)."""
+    return _kmeans_assignments(spark, sf_dir)
+
+
+@register(
+    "emb_kmeans_cluster_profile",
+    _KMEANS_SQL
+    + """
+, lab AS (SELECT a.cluster, e.label, COUNT(*) AS ln
+          FROM afin a JOIN embeddings e ON a.vec_id = e.vec_id
+          GROUP BY 1, 2),
+tot AS (SELECT cluster, CAST(SUM(ln) AS BIGINT) AS n_vecs FROM lab GROUP BY 1),
+inr AS (SELECT cluster, CAST(SUM(dist_sq) AS BIGINT) AS inertia
+        FROM afin GROUP BY 1),
+top AS (SELECT cluster, CAST(label AS BIGINT) AS top_label,
+               CAST(ln AS BIGINT) AS top_label_n,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY ln DESC, label) AS rn
+        FROM lab)
+SELECT tot.cluster, tot.n_vecs, inr.inertia, top.top_label, top.top_label_n
+FROM tot JOIN inr ON tot.cluster = inr.cluster
+JOIN top ON tot.cluster = top.cluster
+WHERE top.rn = 1
+""",
+)
+def emb_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality profile of the k-means run: per cluster, member
+    count, total integer inertia, and the dominant ground-truth label
+    with its count (ties to the lowest label) — the purity diagnostic
+    that says whether embedding clusters track the labeled structure.
+    One uniform vec_id join to fetch labels, then two small aggregates
+    over at most K*|labels| rows; the window runs on a K-row frame."""
+    asg = _kmeans_assignments(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    lab = (
+        asg.join(emb, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("ln"))
+    )
+    tot = lab.groupBy("cluster").agg(F.sum("ln").alias("n_vecs"))
+    inr = asg.groupBy("cluster").agg(F.sum("dist_sq").alias("inertia"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("ln"), F.asc("label"))
+    top = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("top_label"),
+            F.col("ln").alias("top_label_n"),
+        )
+    )
+    return (
+        tot.join(inr, "cluster")
+        .join(top, "cluster")
+        .select("cluster", "n_vecs", "inertia", "top_label", "top_label_n")
     )

@@ -216,3 +216,43 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q10_topk_is_takeordered(spark):
+    from sressentials_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["tpch_q10_returned_items"](spark, SF))
+    # Top-20 must be per-partition top-k + driver merge, never a
+    # global Sort; nation rides a broadcast.
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_scalar_max_is_hash_join_not_nested_loop(spark):
+    from sressentials_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["tpch_q15_top_supplier"](spark, SF))
+    # "= (SELECT MAX(..))" compiles to a BroadcastHashJoin ON THE
+    # VALUE (all ties emit); a nested-loop filter would scan every
+    # supplier row against the scalar.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_fact_table_never_shuffles(spark):
+    from sressentials_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["tpch_q17_small_quantity_revenue"](spark, SF))
+    # Brand slice and per-part aggregate both broadcast; the only
+    # hash Exchanges allowed are the per-part aggregate's own and the
+    # final one-row fold — the detail rows must not repartition.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_exists_lowers_to_semi_and_anti(spark):
+    from sressentials_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["tpch_q21_waiting_supplier"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
