@@ -4717,8 +4717,18 @@ _KMEANS_SQL = kmeans_oracle_ctes(k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
 def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session-cached through the shared artifact registry: the cluster
+    # and profile queries (and repeat calls) share ONE run of the
+    # 3-round iteration instead of re-collecting centroids each time —
+    # the "fit once, serve many" shape; released by release_persisted.
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_quantized(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    return D.get_or_build_artifact(
+        spark,
+        ("kmeans", sf_dir, _KMEANS_K, _KMEANS_ITERS),
+        lambda: D.tracked_persist(
+            kmeans_quantized(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+        ),
+    )
 
 
 @register(
@@ -4799,3 +4809,445 @@ def emb_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(top, "cluster")
         .select("cluster", "n_vecs", "inertia", "top_label", "top_label_n")
     )
+
+
+@register(
+    "streaming_latest_state_by_user",
+    """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type
+FROM (SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+""",
+)
+def streaming_latest_state_by_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC current-state table: the latest event per user,
+    maintained as a streaming aggregation over the changelog replay —
+    the materialized-view shape behind feature stores. The winner is a
+    total-ordered max(struct(ts, event_id, ...)) (no max_by tie
+    nondeterminism), one struct of state per key, stateful shuffle on
+    the uniform user_id; the oracle restates it as the equivalent
+    ROW_NUMBER window. Complete-mode memory sink is the documented
+    harness-only choice for this small-aggregate output class
+    (streaming/cdc.py)."""
+    from sressentials_spark.streaming.cdc import run_latest_state_batch
+
+    return run_latest_state_batch(spark, sf_dir)
+
+
+@register(
+    "tpch_q16_supplier_part_breadth",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+excl AS (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 36)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q16_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape (parts/supplier relationship): how many distinct
+    non-excluded suppliers can ship each qualifying (brand, type, size)
+    — ADAPTED: the testdata has no partsupp table, so the supplier-part
+    catalog is derived as the DISTINCT (partkey, suppkey) pairs
+    actually observed in lineitem (one extra map-side-combinable
+    dedup over the fact scan; the rest of the plan is canonical). The
+    NOT IN exclusion list (name-pattern suppliers — the spec's
+    complaints-comment analog) is tiny and becomes a broadcast LEFT
+    ANTI join; the part slice broadcasts into the pair set; the final
+    COUNT(DISTINCT suppkey) shuffles once on the low-cardinality
+    (brand, type, size) key with suppkey-level partial dedup."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    excl = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 36)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        l.join(F.broadcast(excl), l["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+new_users AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM first_day GROUP BY d),
+daily AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1)
+SELECT daily.d,
+       daily.n_events,
+       COALESCE(new_users.n_new, 0) AS n_new_users,
+       CAST(SUM(COALESCE(new_users.n_new, 0))
+            OVER (ORDER BY daily.d) AS BIGINT) AS cum_distinct_users
+FROM daily LEFT JOIN new_users ON daily.d = new_users.d
+""",
+)
+def events_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience-growth curve: per day, event volume, first-seen users,
+    and the CUMULATIVE distinct-user count — computed exactly without
+    any running set-union: a running COUNT DISTINCT is just the
+    running sum of first-occurrence days (each user counts on exactly
+    one day, their MIN date). Two uniform shuffles (per-user min, then
+    per-day rollups); the only window runs over the |days| frame —
+    thousands of rows at any corpus scale, explicitly NOT the
+    per-event table (which never meets a window here)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_day = e.groupBy("user_id").agg(F.min("d").alias("d"))
+    new_users = first_day.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    daily = e.groupBy("d").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_users, "d", "left")
+        .select(
+            "d",
+            "n_events",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new_users"),
+        )
+        .withColumn("cum_distinct_users", F.sum("n_new_users").over(w))
+    )
+
+
+def _emb_decon_oracle(threshold: float) -> str:
+    """Asymmetric (corpus x benchmark) restatement of
+    ``dedup.embedding_decontaminate`` — same unrolled plane
+    projections as ``_emb_lsh_oracle``, with the benchmark flag
+    ``vec_id % 20 = 0`` and a per-corpus-vector hit rollup."""
+    bands, bits = D.EMB_LSH_BANDS, D.EMB_LSH_BAND_BITS
+    weights = S.lsh_plane_weights(bands * bits)
+
+    def proj(p: int) -> str:
+        row = weights[p]
+        terms = "".join(
+            f" {'+' if w > 0 else '-'} CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, w in enumerate(row)
+        )
+        return f"(0.0{terms})"
+
+    bv_defs = []
+    for b in range(bands):
+        terms = [
+            f"CASE WHEN {proj(b * bits + j)} > 0 THEN CAST({1 << j} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for j in range(bits)
+        ]
+        bv_defs.append("(" + " + ".join(terms) + f") AS bv{b}")
+    case_val = (
+        "CASE i "
+        + " ".join(f"WHEN {b} THEN bv{b}" for b in range(bands))
+        + " END"
+    )
+    return f"""
+WITH nb AS (SELECT vec_id, (vec_id % 20 = 0) AS is_bench,
+                   {', '.join(bv_defs)} FROM embeddings),
+bands AS (SELECT vec_id, is_bench, i, {case_val} AS val
+          FROM nb, generate_series(0, {bands - 1}) AS gs(i)),
+cand AS (SELECT DISTINCT c.vec_id AS corpus_id, b.vec_id AS bench_id
+         FROM bands c JOIN bands b
+           ON c.i = b.i AND c.val = b.val
+          AND NOT c.is_bench AND b.is_bench),
+hits AS (SELECT corpus_id, bench_id,
+                {_cos_sql('x.embedding', 'y.embedding')} AS cosine
+         FROM cand JOIN embeddings x ON corpus_id = x.vec_id
+                   JOIN embeddings y ON bench_id = y.vec_id)
+SELECT corpus_id AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_benchmark_hits,
+       MAX(cosine) AS max_cosine
+FROM hits WHERE cosine >= {threshold}
+GROUP BY corpus_id
+"""
+
+
+@register("curation_embedding_decontaminate", _emb_decon_oracle(0.35))
+def curation_embedding_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors whose cosine to
+    any held-out benchmark vector (here the deterministic vec_id%20
+    slice) reaches 0.35 — the paraphrase-leakage gate the n-gram
+    decontaminator can't see. Banded-LSH candidates with the SMALL
+    benchmark side broadcast (corpus band rows never shuffle), exact
+    fold-cosine verification, per-vector hit rollup; precision 1,
+    recall bounded by the shared LSH band constants
+    (operators/dedup.py::embedding_decontaminate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_decontaminate(
+        emb, (F.col("vec_id") % 20) == 0, threshold=0.35
+    )
+
+
+# Synthetic partsupp: the testdata ships no partsupp table, so the
+# supplier-part catalog is derived as the DISTINCT (partkey, suppkey)
+# pairs observed in lineitem (same adaptation as tpch_q16), and the two
+# VALUE columns q11/q20 need are synthesized with pure int64 arithmetic
+# that both engines evaluate identically:
+#   ps_availqty         = (partkey*7 + suppkey*3) % 9999 + 1     (1..9999)
+#   ps_supplycost_cents = (partkey*13 + suppkey*5) % 100000      (fixed-point)
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         (l_partkey * 7 + l_suppkey * 3) % 9999 + 1 AS ps_availqty,
+         (l_partkey * 13 + l_suppkey * 5) % 100000 AS ps_supplycost_cents
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+"""
+
+
+def _synthetic_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return pairs.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        (F.col("l_partkey") * 7 + F.col("l_suppkey") * 3) % 9999 + 1,
+        ((F.col("l_partkey") * 13 + F.col("l_suppkey") * 5) % 100000),
+    ).toDF("ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost_cents")
+
+
+@register(
+    "tpch_q11_part_value_concentration",
+    f"""
+WITH {_PARTSUPP_CTE.strip()},
+sup AS (SELECT s_suppkey FROM supplier JOIN nation
+          ON s_nationkey = n_nationkey WHERE n_name LIKE '%0'),
+pv AS (SELECT ps_partkey,
+              SUM(ps_supplycost_cents * ps_availqty) AS value_cents
+       FROM partsupp JOIN sup ON ps_suppkey = s_suppkey
+       GROUP BY ps_partkey),
+tot AS (SELECT SUM(value_cents) AS total_cents FROM pv)
+SELECT ps_partkey,
+       CAST(value_cents AS BIGINT) AS value_cents,
+       CAST(value_cents AS BIGINT) / 100.0 AS part_value
+FROM pv, tot
+WHERE value_cents * 1000 > total_cents
+""",
+)
+def tpch_q11_part_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H q11 shape (important-stock identification): parts whose
+    inventory value held by one nation group's suppliers exceeds 0.1%
+    of that group's total — ADAPTED: partsupp is synthesized from the
+    observed lineitem pairs with deterministic int64 value columns
+    (see _PARTSUPP_CTE; the testdata has no partsupp). The nation
+    slice is the '%0' name group so the filter survives the tiny
+    supplier table at small SF. The supplier slice broadcasts into
+    the pair set; per-part value sums shuffle once on partkey; the
+    grand total is ONE scalar row cross-joined (broadcast) back —
+    the correlated scalar subquery decorrelated — and the threshold
+    test is exact integer math (value*1000 > total), no float
+    division in the predicate in either engine."""
+    ps = _synthetic_partsupp(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("%0")
+    ).select("n_nationkey")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    pv = (
+        ps.join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+    tot = pv.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            "value_cents",
+            (F.col("value_cents") / 100.0).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_excess_inventory_supplier",
+    f"""
+WITH {_PARTSUPP_CTE.strip()},
+qty AS (SELECT l_partkey, l_suppkey,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2),
+cand AS (SELECT DISTINCT ps_suppkey
+         FROM partsupp
+         JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'large%'
+         JOIN qty ON qty.l_partkey = ps_partkey
+                 AND qty.l_suppkey = ps_suppkey
+         WHERE ps_availqty * 200 > qty_cents)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT ps_suppkey FROM cand)
+""",
+)
+def tpch_q20_excess_inventory_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H q20 shape (excess-inventory suppliers): suppliers holding
+    more than half a year's shipped quantity of any 'large%' part —
+    ADAPTED: partsupp synthesized as in q11/q16; the final nation
+    predicate is dropped because the tiny supplier table would make
+    it vacuous at small SF (it would be one more broadcast filter,
+    nothing structural). The name-sliced part dimension broadcasts
+    into the pair set; the shipped-quantity rollup shuffles lineitem
+    once on the (partkey, suppkey) key it is already grouped by; the
+    half-of-shipped test is exact fixed-point integer math
+    (availqty*200 > qty_cents); survivors collapse to DISTINCT
+    suppkeys that drive a broadcast LEFT SEMI into supplier, so the
+    supplier table is never shuffled."""
+    ps = _synthetic_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("large%")
+    ).select("p_partkey")
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+                "qty_cents"
+            )
+        )
+    )
+    cand = (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(
+            qty,
+            (qty["l_partkey"] == ps["ps_partkey"])
+            & (qty["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") * 200 > F.col("qty_cents"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(
+            F.broadcast(cand), s["s_suppkey"] == cand["ps_suppkey"], "left_semi"
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "streaming_cdc_upsert_foreachbatch",
+    """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type
+FROM (SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+""",
+)
+def streaming_cdc_upsert_foreachbatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CDC current-state table maintained the PRODUCTION way: a
+    genuinely multi-batch replay (staged event-time-ordered arrivals,
+    one file per trigger) where each micro-batch is folded into an
+    on-disk keyed state table by a ``foreachBatch`` latest-wins MERGE
+    — per-batch work O(batch + |keys|), never O(event history) — the
+    upsert a Delta/Iceberg MERGE runs with snapshot isolation at
+    scale. Same oracle as the complete-mode streaming aggregate twin
+    (`streaming_latest_state_by_user`): the two implementations and
+    the relational restatement must agree exactly
+    (streaming/cdc.py::run_latest_state_foreachbatch)."""
+    from sressentials_spark.streaming.cdc import run_latest_state_foreachbatch
+
+    return run_latest_state_foreachbatch(spark, sf_dir)
+
+
+@register(
+    "orc_documents_source",
+    """
+SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+FROM documents
+""",
+)
+def orc_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC corpus round-trip (columnar format breadth beside the
+    parquet/CSV/JSONL connectors): the corpus rendered once through
+    Spark's other built-in columnar format and scanned back — ORC
+    ships its own min/max stripe indexes and filter pushdown, so the
+    engine's scan story is format-agnostic (PushedFilters on the ORC
+    scan pinned by tests/test_columnar_layout.py). Round-trip checked
+    field-for-field via md5 against the parquet ground truth
+    (sources/columnar.py::ensure_documents_orc)."""
+    from sressentials_spark.sources.columnar import ensure_documents_orc
+
+    path = ensure_documents_orc(spark, sf_dir)
+    return spark.read.orc(path).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+@register(
+    "partitioned_events_pruned_week",
+    """
+SELECT CAST(ts AS DATE) AS d, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY 1, 2
+""",
+)
+def partitioned_events_pruned_week(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-pruned fact scan: events rendered once into the
+    canonical 100 TB time-series layout (``d=YYYY-MM-DD/`` parquet
+    directories, one file per day — `repartition("d")` before the
+    partitioned write so the layout doesn't self-inflict the
+    small-files problem), then a one-week rollup whose date predicate
+    is a PARTITION filter — the 23 non-matching day directories are
+    pruned at planning time, never listed into tasks (PartitionFilters
+    pinned by tests/test_columnar_layout.py). At cluster scale this
+    layout (plus the hourly variant) is what turns "scan 3 years" into
+    "scan 7 days" (sources/columnar.py::pruned_week_rollup)."""
+    from sressentials_spark.sources.columnar import pruned_week_rollup
+
+    return pruned_week_rollup(spark, sf_dir)

@@ -850,6 +850,92 @@ def embedding_near_dup_lsh(
     )
 
 
+def embedding_decontaminate(
+    emb: DataFrame,
+    is_benchmark: Column,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    dim: int = DEFAULT_DIM,
+    bands: int = EMB_LSH_BANDS,
+    band_bits: int = EMB_LSH_BAND_BITS,
+) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors too close to a
+    held-out benchmark set.
+
+    The n-gram decontaminator (curation.decontaminate) misses
+    paraphrased leakage; this is its embedding-space complement — the
+    second gate a training corpus passes before a benchmark score can
+    be trusted. Same asymmetric shape as the incremental-ingest triage:
+    the big side is the corpus, the small side the benchmark, and
+    all-pairs never materializes:
+
+    1. one Arrow pass signs the banded hyperplane signatures for ALL
+       vectors (corpus + benchmark share the projection planes);
+    2. candidates come from a (band, val) equi-join where the
+       BENCHMARK side broadcasts — benchmark suites are thousands of
+       rows, so the corpus band rows never shuffle;
+    3. candidates are exactly re-scored with the fold cosine; hits
+       aggregate per corpus vector.
+
+    Returns ``(id_col, n_benchmark_hits, max_cosine)`` for flagged
+    corpus vectors only — the drop list (or audit queue). Recall is
+    bounded by LSH band collision (same constants and caveat as
+    :func:`embedding_near_dup_lsh`); precision is 1 (exact verify).
+    """
+    from sressentials_spark.operators import linalg
+
+    flagged = emb.withColumn("_bench", is_benchmark)
+    sig = flagged.withColumn(
+        "_nb", linalg.norm_bands_kernel(bands, band_bits)(F.col("embedding"))
+    ).select(id_col, "_bench", F.col("_nb.bands").alias("bands"))
+    exploded = _tracked_persist(
+        sig.select(
+            id_col, "_bench", F.posexplode("bands").alias("band", "val")
+        )
+    )
+    corp = exploded.filter(~F.col("_bench")).select(
+        F.col(id_col).alias("corpus_id"), "band", "val"
+    )
+    bench = exploded.filter(F.col("_bench")).select(
+        F.col(id_col).alias("bench_id"), "band", "val"
+    )
+    cand = (
+        corp.join(F.broadcast(bench), ["band", "val"])
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    n = _tracked_persist(
+        with_norm(flagged, dim=dim).select(
+            F.col(id_col), F.col("_bench"), F.col("embedding"), F.col("norm")
+        )
+    )
+    cos = linalg.dot(F.col("x.embedding"), F.col("y.embedding"), dim) / (
+        F.col("x.norm") * F.col("y.norm")
+    )
+    hits = (
+        cand.join(
+            n.filter(~F.col("_bench")).alias("x"),
+            F.col("corpus_id") == F.col(f"x.{id_col}"),
+        )
+        .join(
+            F.broadcast(n.filter(F.col("_bench")).alias("y")),
+            F.col("bench_id") == F.col(f"y.{id_col}"),
+        )
+        .select("corpus_id", "bench_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return (
+        hits.groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_benchmark_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .select(
+            F.col("corpus_id").alias(id_col), "n_benchmark_hits", "max_cosine"
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Persisted dedup index (the 100 TB ingest shape, materialized)
 # --------------------------------------------------------------------------

@@ -1,0 +1,132 @@
+"""Columnar-layout tier: ORC round-trip/pushdown, date-partition
+pruning, and the foreachBatch CDC merge (sources/columnar.py,
+streaming/cdc.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sressentials_spark.sources import columnar
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_orc_roundtrip_exact(spark):
+    """Every field survives the parquet -> ORC -> scan round-trip."""
+    from sressentials_spark.sources.tables import load_table
+
+    path = columnar.ensure_documents_orc(spark, SF)
+    orc = spark.read.orc(path)
+    pq = load_table(spark, SF, "documents")
+    assert orc.count() == pq.count()
+    assert sorted(orc.columns) == sorted(pq.columns)
+    assert (
+        orc.unionByName(pq).distinct().count() == pq.count()
+    ), "ORC rows diverge from parquet ground truth"
+
+
+def test_orc_scan_pushes_filters(spark):
+    """Predicates reach the ORC scan (PushedFilters), same as parquet."""
+    path = columnar.ensure_documents_orc(spark, SF)
+    df = spark.read.orc(path).filter(F.col("lang") == "en").select("doc_id")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "lang" in pushed
+
+
+def test_partitioned_events_prunes_to_week(spark):
+    """The week predicate prunes to exactly 7 day-directories at
+    planning time: PartitionFilters carries the bounds and the scan's
+    selected-partition count is 7 of 30."""
+    df = columnar.pruned_week_rollup(spark, SF)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "d#" in pf, f"date bounds missing from partition filters: {pf}"
+    # Directory-level ground truth: the layout has 30 day partitions,
+    # the matching file listing exactly 7.
+    root = columnar.ensure_events_partitioned(spark, SF)
+    days = sorted(p for p in os.listdir(root) if p.startswith("d="))
+    assert len(days) == 30
+    matching = [
+        p for p in days if "d=2024-01-08" <= p <= "d=2024-01-14"
+    ]
+    assert len(matching) == 7
+    # And the pruned scan returns exactly the rows of those directories.
+    direct = sum(
+        spark.read.parquet(os.path.join(root, p)).count() for p in matching
+    )
+    assert df.agg(F.sum("n_events")).collect()[0][0] == direct
+
+
+def test_partitioned_layout_one_file_per_day(spark):
+    """repartition('d') before the partitioned write keeps one data
+    file per day directory — no self-inflicted small-files problem."""
+    root = columnar.ensure_events_partitioned(spark, SF)
+    for p in sorted(os.listdir(root)):
+        if not p.startswith("d="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(root, p))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{p} has {len(files)} files"
+
+
+def test_cdc_foreachbatch_matches_aggregate_twin(spark):
+    """The multi-batch foreachBatch MERGE state equals the single-pass
+    streaming aggregate — batch-boundary correctness of the upsert."""
+    from sressentials_spark.streaming.cdc import (
+        run_latest_state_batch,
+        run_latest_state_foreachbatch,
+    )
+
+    merged = run_latest_state_foreachbatch(spark, SF).toPandas()
+    agg = run_latest_state_batch(spark, SF).toPandas()
+    key = lambda df: df.sort_values("user_id").reset_index(drop=True)  # noqa: E731
+    assert key(merged).equals(key(agg[merged.columns]))
+
+
+def test_cdc_foreachbatch_is_genuinely_multibatch(spark):
+    """The replay consumes the staged arrivals one file per trigger:
+    the checkpoint must record as many committed batches as there are
+    arrival files (anything less means the rate limit silently
+    collapsed the replay into one batch and the merge was never
+    exercised across a boundary)."""
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.streaming.cdc import run_latest_state_foreachbatch
+    from sressentials_spark.streaming.enrich import (
+        MULTIBATCH_FILES,
+        _stage_ordered_arrivals,
+    )
+
+    run_latest_state_foreachbatch(spark, SF)  # ensure artifacts exist
+    state = get_or_build_disk_artifact(
+        spark, ("cdc_foreachbatch", SF), lambda: (_ for _ in ()).throw(
+            AssertionError("artifact should already be cached")
+        )
+    )
+    commits = os.path.join(os.path.dirname(state), "ckpt", "commits")
+    done = [f for f in os.listdir(commits) if not f.startswith(".")]
+    assert len(done) == MULTIBATCH_FILES, (
+        f"expected {MULTIBATCH_FILES} committed micro-batches, saw {done}"
+    )
+    stage = get_or_build_disk_artifact(
+        spark, ("enrich_stage", SF), lambda: _stage_ordered_arrivals(spark, SF)
+    )
+    n_files = len(
+        [
+            f
+            for f in os.listdir(os.path.join(stage, "arrivals"))
+            if f.endswith(".parquet")
+        ]
+    )
+    assert n_files == MULTIBATCH_FILES
