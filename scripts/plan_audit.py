@@ -29,6 +29,15 @@ ALLOWED: dict[str, dict[str, str]] = {
     "events_funnel_view_click_purchase": {
         "BroadcastNestedLoopJoin": "one-row scalar totals fold"
     },
+    "tpch_q11_part_value_concentration": {
+        "BroadcastNestedLoopJoin": "one-row grand-total fold (q11 HAVING threshold)"
+    },
+    "sketch_hll_set_algebra": {
+        "BroadcastNestedLoopJoin": "one-row register-estimate folds crossed"
+    },
+    "sketch_quantile_error_eval": {
+        "BroadcastNestedLoopJoin": "3 quantile probes vs bounded cum rows"
+    },
     "sketch_hll_distinct_users": {
         "BroadcastNestedLoopJoin": "one-row register fold vs scalar"
     },

@@ -5251,3 +5251,123 @@ def partitioned_events_pruned_week(
     from sressentials_spark.sources.columnar import pruned_week_rollup
 
     return pruned_week_rollup(spark, sf_dir)
+
+
+_STREAM_INGEST_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+split AS (SELECT (max(doc_id) + 1) * 7 // 10 AS s FROM documents),
+j AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+),
+newd AS (SELECT doc_id FROM documents, split WHERE doc_id >= s),
+agg AS (
+  SELECT doc_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS nh
+  FROM j, split
+  WHERE doc_b >= s AND doc_a < s
+  GROUP BY doc_b
+)
+SELECT newd.doc_id,
+       CAST(COALESCE(nh, 0) AS BIGINT) AS n_hist_matches,
+       CASE WHEN COALESCE(nh, 0) > 0 THEN 'dup_of_history'
+            ELSE 'kept' END AS status
+FROM newd LEFT JOIN agg ON newd.doc_id = agg.doc_id
+"""
+
+
+@register("streaming_dedup_ingest_foreachbatch", _STREAM_INGEST_ORACLE)
+def streaming_dedup_ingest_foreachbatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming near-dup triage AT INGEST: document arrivals replay
+    one file per micro-batch and each batch is MinHash-triaged against
+    the persisted bucketed dedup index inside ``foreachBatch``
+    (history-only verdicts — batching-invariant, so the union over
+    micro-batches shares the one-shot exact-Jaccard oracle), verdicts
+    appended to a parquet sink. Per-batch cost is O(batch), never
+    O(corpus): the batch pays its own shingles/signatures and one
+    bucket-aligned band join whose index side never shuffles — the
+    shape that runs synchronously in a 100 TB/day ingest path, with
+    new-vs-new dups left to the nightly compaction
+    (`dedup_incremental_ingest`)
+    (streaming/dedup.py::run_minhash_ingest_stream)."""
+    from sressentials_spark.streaming.dedup import run_minhash_ingest_stream
+
+    return run_minhash_ingest_stream(spark, sf_dir)
+
+
+@register(
+    "clustered_lineitem_month_scan",
+    """
+SELECT CAST(l_shipdate AS DATE) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY 1
+""",
+)
+def clustered_lineitem_month_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Statistics-skipping fact scan: lineitem rendered once
+    RANGE-CLUSTERED on l_shipdate (repartitionByRange +
+    sortWithinPartitions, so data files carry disjoint shipdate
+    ranges in their parquet footers), then a one-month rollup whose
+    pushed-down time predicate lets the reader skip every row group
+    whose min/max miss the month — file-level skipping WITHOUT
+    partition directories, the complement of
+    `partitioned_events_pruned_week` and what Delta/Iceberg
+    data-skipping / Z-ordering generalize (disjointness + pushdown
+    pinned by tests/test_columnar_layout.py;
+    sources/columnar.py::clustered_month_rollup)."""
+    from sressentials_spark.sources.columnar import clustered_month_rollup
+
+    return clustered_month_rollup(spark, sf_dir)
+
+
+@register(
+    "sketch_quantile_error_eval",
+    K.quantile_error_eval_oracle_sql("events", "value"),
+)
+def sketch_quantile_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality eval for the histogram quantile sketch (the
+    sketch-tier sibling of `sim_*_recall_at_k`): per percentile, the
+    sketch's bin vs the EXACT percentile, with `in_bin` (provably 1 —
+    the exact value must land in the chosen bin, pinned by
+    tests/test_sketch.py) and the measured `err_cents` against the
+    bin-resolution bound. The exact side is itself scale-shaped:
+    cent-quantized counts are map-side combinable and the cumulative
+    window sees at most 100·bins bounded rows
+    (operators/sketch.py::quantile_error_eval)."""
+    return K.quantile_error_eval(load_table(spark, sf_dir, "events"), "value")
+
+
+@register(
+    "sketch_hll_set_algebra",
+    K.hll_set_algebra_oracle_sql(
+        "events",
+        "user_id",
+        "event_type = 'view'",
+        "event_type = 'purchase'",
+    ),
+)
+def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: |viewers|, |purchasers|, |either| and — by
+    inclusion-exclusion over the registers alone — |both|, beside the
+    exact intersection for in-engine error measurement. Union is the
+    HLL's native exact merge (elementwise register max); intersection
+    is the standard derived estimate whose error compounds from all
+    three sketches — exactly why audience-overlap pipelines persist
+    REGISTERS per segment (≤ m rows each, any input size) and answer
+    overlap questions by register folds, never by re-scanning events
+    (operators/sketch.py::hll_set_algebra)."""
+    return K.hll_set_algebra(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    )

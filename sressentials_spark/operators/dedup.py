@@ -1163,3 +1163,101 @@ def minhash_incremental_from_index(
         .otherwise(F.lit("kept"))
         .alias("status"),
     )
+
+
+def minhash_history_triage(
+    spark,
+    batch_docs: DataFrame,
+    index: DedupIndexTables,
+    split_id: int,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """History-only triage of an arriving batch against the persisted
+    index: ``dup_of_history`` / ``kept`` per new document, with NO
+    batch-internal quadrant.
+
+    This is the synchronous-at-ingest half of the production dedup
+    story (the streaming ``foreachBatch`` consumer calls this per
+    micro-batch): each document's verdict depends only on (document,
+    index), so it is BATCHING-INVARIANT — the union of verdicts over
+    any partitioning of the arrivals equals the one-shot triage of the
+    whole split, which is what lets the streaming twin share the
+    one-shot's exact-Jaccard oracle. New-vs-new duplicates within the
+    arrival window are deliberately out of scope here; they belong to
+    the periodic batch compaction (:func:`minhash_incremental_from_index`
+    covers that quadrant).
+
+    Same banding and exact-Jaccard verification as the one-shot; the
+    bucket cap sees history ∪ current batch, and because smaller
+    batches only make buckets colder, per-micro-batch capping never
+    drops a candidate the one-shot would keep (precision is exact
+    either way).
+    """
+    from sressentials_spark import sinks
+
+    hist_ex = sinks.read_bucketed(spark, index.shingles)
+    hist_sig = sinks.read_bucketed(spark, index.signatures)
+    hist_bands = sinks.read_bucketed(spark, index.bands)
+
+    batch_ex = _tracked_persist(shingle_rows(batch_docs, n, id_col))
+    batch_sig = _tracked_persist(
+        signatures_from_shingles(
+            batch_ex, id_col, extra_aggs=[F.count(F.lit(1)).alias("n_sh")]
+        )
+    )
+    batch_bands = band_rows_flat(batch_sig, id_col)
+
+    keys = ["band"] + [f"r{r}" for r in range(MINHASH_ROWS)]
+    if max_bucket is not None:
+        over = (
+            hist_bands.select(*keys)
+            .unionByName(batch_bands.select(*keys))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select(*keys)
+        )
+        hist_bands = hist_bands.join(F.broadcast(over), keys, "left_anti")
+        batch_bands = batch_bands.join(F.broadcast(over), keys, "left_anti")
+
+    ha = hist_bands.select(*keys, F.col(id_col).alias("doc_a"))
+    bb = batch_bands.select(*keys, F.col(id_col).alias("doc_b"))
+    cand = ha.join(bb, keys).select("doc_a", "doc_b").distinct()
+
+    inter = (
+        cand.join(hist_ex.select(F.col(id_col).alias("doc_a"), "g"), "doc_a")
+        .join(batch_ex.select(F.col(id_col).alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        inter.join(
+            hist_sig.select(F.col(id_col).alias("doc_a"), "n_sh"), "doc_a"
+        )
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            batch_sig.select(F.col(id_col).alias("doc_b"), "n_sh"), "doc_b"
+        )
+        .withColumnRenamed("n_sh", "n_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+    per_doc = verified.groupBy(F.col("doc_b").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hist_matches")
+    )
+    return batch_docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hist_matches", F.lit(0)).cast("long").alias(
+            "n_hist_matches"
+        ),
+        F.when(F.coalesce("n_hist_matches", F.lit(0)) > 0, "dup_of_history")
+        .otherwise("kept")
+        .alias("status"),
+    )

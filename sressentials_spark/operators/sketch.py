@@ -567,3 +567,251 @@ SELECT m, n_nonempty_buckets, harmonic_sum,
        {exact_col}
 FROM folded
 """
+
+
+def quantile_error_eval(
+    df: DataFrame,
+    col: str,
+    quantiles: list[int] = (50, 90, 99),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """In-engine quality eval for the histogram quantile sketch: the
+    sketch's per-percentile bin vs the EXACT percentile of the same
+    column, with the absolute error in cents.
+
+    The same idea as the ANN recall evals (`sim_*_recall_at_k`): the
+    engine measures its own approximation instead of asserting it. The
+    exact side is computed scale-shaped too — values quantize to
+    cents (``floor(value*100)``, exact in both engines), counts per
+    cent are map-side combinable, and the cumulative window runs over
+    at most ``100·bins`` distinct cent rows, bounded regardless of
+    corpus size. Because ``floor(v*100) // 100 == floor(v)`` for
+    ``v >= 0`` and both sides use the identical integer crossing rule
+    (``cum*100 >= q*total``), the exact percentile PROVABLY lands
+    inside the sketch's chosen bin — ``in_bin`` is an invariant
+    (pinned by test), and ``err_cents`` ≤ 99 is the bin-resolution
+    bound made measurable.
+
+    Output: ``(quantile, bin, exact_cents, in_bin, err_cents)`` where
+    ``err_cents`` is the distance from the bin midpoint.
+    """
+    sketch = histogram_quantiles(df, col, quantiles, bins)
+    src = df.filter(F.col(col).isNotNull()).select(
+        F.floor(F.col(col) * 100).cast("long").alias("cents")
+    )
+    counts = src.groupBy("cents").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "cents",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    qs = df.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles], "quantile long"
+    )
+    exact = (
+        qs.crossJoin(cum)
+        .filter(F.col("cum") * 100 >= F.col("quantile") * F.col("total"))
+        .groupBy("quantile")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return (
+        sketch.select("quantile", "bin")
+        .join(exact, "quantile")
+        .select(
+            "quantile",
+            "bin",
+            "exact_cents",
+            (
+                (F.col("exact_cents") >= F.col("bin") * 100)
+                & (F.col("exact_cents") < (F.col("bin") + 1) * 100)
+            )
+            .cast("long")
+            .alias("in_bin"),
+            F.abs(F.col("exact_cents") - (F.col("bin") * 100 + 50)).alias(
+                "err_cents"
+            ),
+        )
+    )
+
+
+def quantile_error_eval_oracle_sql(
+    table: str,
+    col: str,
+    quantiles: list[int] = (50, 90, 99),
+    bins: int = HIST_BINS,
+) -> str:
+    """DuckDB restatement of :func:`quantile_error_eval`."""
+    qvals = ", ".join(f"({int(q)})" for q in quantiles)
+    return f"""
+WITH binned AS (
+  SELECT least({bins - 1}, CAST(floor({col}) AS BIGINT)) AS bin
+  FROM {table} WHERE {col} IS NOT NULL
+),
+bcounts AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+bcum AS (
+  SELECT bin,
+         SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER () AS total
+  FROM bcounts
+),
+qs AS (SELECT CAST(q AS BIGINT) AS quantile FROM (VALUES {qvals}) v(q)),
+sk AS (
+  SELECT quantile, MIN(bin) AS bin
+  FROM qs JOIN bcum ON cum * 100 >= quantile * total
+  GROUP BY quantile
+),
+cents_t AS (
+  SELECT CAST(floor({col} * 100) AS BIGINT) AS cents
+  FROM {table} WHERE {col} IS NOT NULL
+),
+ccounts AS (SELECT cents, COUNT(*) AS n FROM cents_t GROUP BY cents),
+ccum AS (
+  SELECT cents,
+         SUM(n) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER () AS total
+  FROM ccounts
+),
+ex AS (
+  SELECT quantile, MIN(cents) AS exact_cents
+  FROM qs JOIN ccum ON cum * 100 >= quantile * total
+  GROUP BY quantile
+)
+SELECT sk.quantile,
+       CAST(sk.bin AS BIGINT) AS bin,
+       CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+       CAST(CASE WHEN ex.exact_cents >= sk.bin * 100
+                  AND ex.exact_cents < (sk.bin + 1) * 100
+                 THEN 1 ELSE 0 END AS BIGINT) AS in_bin,
+       CAST(abs(ex.exact_cents - (sk.bin * 100 + 50)) AS BIGINT)
+         AS err_cents
+FROM sk JOIN ex ON sk.quantile = ex.quantile
+"""
+
+
+def hll_set_algebra(
+    df: DataFrame,
+    col: str,
+    cond_a: Column,
+    cond_b: Column,
+    seed: str = HLL_SEED,
+) -> DataFrame:
+    """HLL set algebra: estimate |A|, |B|, |A ∪ B| and — by
+    inclusion-exclusion — |A ∩ B| from REGISTERS ONLY, plus the exact
+    intersection for in-engine error measurement.
+
+    Union is the sketch's native exact operation (elementwise register
+    max); intersection is NOT — inclusion-exclusion is the standard
+    derived estimate, with error compounding from all three estimates
+    (why the exact column rides along: the engine measures its own
+    approximation, as in the recall and quantile evals). At 100 TB the
+    three register tables are ≤ m rows each however large the inputs;
+    only the exact-check column touches a real distinct, and a
+    production run would drop it.
+    """
+    a = df.filter(cond_a)
+    b = df.filter(cond_b)
+    regs_a = hll_registers(a, col, seed)
+    regs_b = hll_registers(b, col, seed)
+    regs_u = (
+        regs_a.unionByName(regs_b)
+        .groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+    def est(regs: DataFrame, name: str) -> DataFrame:
+        return finish_estimate(regs).select(
+            F.col("hll_estimate").alias(name)
+        )
+
+    exact = (
+        a.select(F.col(col).alias("k"))
+        .intersect(b.select(F.col(col).alias("k")))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    out = (
+        est(regs_a, "est_a")
+        .crossJoin(est(regs_b, "est_b"))
+        .crossJoin(est(regs_u, "est_union"))
+        .crossJoin(exact)
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+        "exact_intersection",
+    )
+
+
+def hll_set_algebra_oracle_sql(
+    table: str,
+    col: str,
+    where_a: str,
+    where_b: str,
+    seed: str = HLL_SEED,
+) -> str:
+    """DuckDB restatement of :func:`hll_set_algebra`."""
+    h = (
+        f"(('0x' || substring(md5('{seed}:' || CAST({col} AS VARCHAR)), 1, 15))"
+        "::BIGINT)"
+    )
+
+    def hashed(name: str, where: str) -> str:
+        return f"""
+{name} AS (
+  SELECT {h} % {HLL_M} AS bucket,
+         CASE WHEN strpos(lpad(bin({h} // {HLL_M}), {HLL_W_BITS}, '0'), '1') = 0
+              THEN {HLL_W_BITS + 1}
+              ELSE strpos(lpad(bin({h} // {HLL_M}), {HLL_W_BITS}, '0'), '1')
+         END AS rho
+  FROM {table} WHERE {col} IS NOT NULL AND ({where})
+),
+regs_{name} AS (SELECT bucket, MAX(rho) AS m_j FROM {name} GROUP BY bucket)"""
+
+    def folded(src: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT list_sum([pow(2.0, -CAST(x AS DOUBLE))
+                   for x in list(m_j ORDER BY bucket)])
+           + CAST({HLL_M} - COUNT(*) AS DOUBLE) AS hs
+  FROM {src}
+)"""
+
+    est = (
+        f"CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M * HLL_M)!r}"
+        " AS DOUBLE)"
+    )
+    return f"""
+WITH {hashed('ha', where_a)},
+{hashed('hb', where_b)},
+regs_u AS (
+  SELECT bucket, MAX(m_j) AS m_j
+  FROM (SELECT * FROM regs_ha UNION ALL SELECT * FROM regs_hb)
+  GROUP BY bucket
+),
+{folded('regs_ha', 'fa')},
+{folded('regs_hb', 'fb')},
+{folded('regs_u', 'fu')},
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM (SELECT DISTINCT {col} FROM {table}
+        WHERE {col} IS NOT NULL AND ({where_a})
+        INTERSECT
+        SELECT DISTINCT {col} FROM {table}
+        WHERE {col} IS NOT NULL AND ({where_b}))
+)
+SELECT {est} / fa.hs AS est_a,
+       {est} / fb.hs AS est_b,
+       {est} / fu.hs AS est_union,
+       ({est} / fa.hs + {est} / fb.hs - {est} / fu.hs) AS est_intersection,
+       exact_intersection
+FROM fa, fb, fu, ex
+"""

@@ -100,3 +100,67 @@ def pruned_week_rollup(
             ).alias("sum_value"),
         )
     )
+
+
+def _render_lineitem_clustered(spark: SparkSession, sf_dir: str) -> str:
+    d = scratch_dir("sressentials_lineitem_clust_")
+    out = os.path.join(d, "lineitem_by_shipdate")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        # Range-cluster on the hot predicate column: files end up with
+        # DISJOINT l_shipdate ranges (pinned via parquet footer stats
+        # in tests), so a time filter skips whole files/row groups via
+        # min/max statistics — the unpartitioned complement of
+        # directory pruning (what Delta/Iceberg data-skipping and
+        # Z-ordering generalize to several columns).
+        .repartitionByRange(2 * LAYOUT_FILES, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def ensure_lineitem_clustered(spark: SparkSession, sf_dir: str) -> str:
+    """Render (once per session/sf_dir) ``lineitem`` range-clustered
+    on ``l_shipdate``."""
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+
+    return get_or_build_disk_artifact(
+        spark,
+        ("lineitem_clustered", sf_dir),
+        lambda: _render_lineitem_clustered(spark, sf_dir),
+    )
+
+
+def clustered_month_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    start: str = "1997-06-01",
+    end: str = "1997-07-01",
+) -> DataFrame:
+    """Per-day line count + revenue for ONE month of the
+    shipdate-clustered lineitem layout. The pushed-down time filter
+    meets row groups whose footer min/max are disjoint from the month
+    for all but ~1-2 of the files, so the scan READS only those —
+    statistics-level skipping with no partition directories at all
+    (tests/test_columnar_layout.py pins the disjointness and the
+    pushdown)."""
+    path = ensure_lineitem_clustered(spark, sf_dir)
+    li = spark.read.parquet(path)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                )
+                / 100.0
+            ).alias("revenue"),
+        )
+    )

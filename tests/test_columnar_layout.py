@@ -130,3 +130,78 @@ def test_cdc_foreachbatch_is_genuinely_multibatch(spark):
         ]
     )
     assert n_files == MULTIBATCH_FILES
+
+
+def test_clustered_lineitem_files_are_range_disjoint(spark):
+    """Range-clustering really produces disjoint per-file shipdate
+    ranges (parquet footer stats), and the June-1997 month overlaps
+    at most 2 of them — the skipping the layout exists to enable."""
+    import glob
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    path = columnar.ensure_lineitem_clustered(spark, SF)
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = names.index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max, (
+                "shipdate column must carry min/max footer stats"
+            )
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 2 * columnar.LAYOUT_FILES
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, f"overlapping file ranges: {hi_a} !< {lo_b}"
+    start, end = datetime(1997, 6, 1), datetime(1997, 7, 1)
+    hit = [r for r in ranges if r[0] < end and r[1] >= start]
+    assert 1 <= len(hit) <= 2, f"month should hit <=2 files, hit {len(hit)}"
+
+
+def test_clustered_scan_pushes_shipdate_filter(spark):
+    """The month predicate reaches the parquet scan (PushedFilters),
+    which is what activates the footer-stats skipping at read time."""
+    df = columnar.clustered_month_rollup(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed
+
+
+def test_streaming_dedup_ingest_matches_oneshot_triage(spark):
+    """Union of per-micro-batch history-only verdicts == the one-shot
+    history-only triage of the whole split (batching invariance)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sressentials_spark.operators import dedup as D
+    from sressentials_spark.sources.tables import load_table
+    from sressentials_spark.streaming.dedup import run_minhash_ingest_stream
+
+    streamed = run_minhash_ingest_stream(spark, SF).toPandas()
+
+    docs = load_table(spark, SF, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    index = D.get_or_build_disk_artifact(
+        spark,
+        ("dedup_index", SF, split),
+        lambda: (_ for _ in ()).throw(
+            AssertionError("index should have been built by the stream run")
+        ),
+    )
+    oneshot = D.minhash_history_triage(
+        spark, docs.filter(F.col("doc_id") >= split), index, split
+    ).toPandas()
+    D.release_persisted()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)  # noqa: E731
+    assert key(streamed)[["doc_id", "n_hist_matches", "status"]].equals(
+        key(oneshot)[["doc_id", "n_hist_matches", "status"]]
+    )
+    assert (streamed["status"] == "dup_of_history").sum() > 0

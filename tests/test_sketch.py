@@ -296,3 +296,37 @@ class TestEmptyInputs:
         probes = spark.createDataFrame([("x",), ("y",)], "fp string")
         out = bloom_probe(bloom_bits(empty, "fp"), probes, "fp").collect()
         assert {r["bloom_maybe"] for r in out} == {0}
+
+
+def test_quantile_error_eval_invariants(spark):
+    """The exact percentile always lands inside the sketch's chosen
+    bin (in_bin == 1 is an invariant, not an observation), and the
+    measured error respects the bin-resolution bound (< 100 cents,
+    and <= 50 from the midpoint means err_cents <= 99 worst case)."""
+    from sressentials_spark.operators.sketch import quantile_error_eval
+    from sressentials_spark.sources.tables import load_table
+
+    out = quantile_error_eval(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "value"
+    ).toPandas()
+    assert len(out) == 3
+    assert (out["in_bin"] == 1).all()
+    assert (out["err_cents"] < 100).all()
+
+
+def test_hll_set_algebra_invariants(spark):
+    """Union estimate dominates both inputs (registers only grow under
+    merge) and the exact intersection is a real non-trivial overlap."""
+    from sressentials_spark.operators.sketch import hll_set_algebra
+    from sressentials_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    row = hll_set_algebra(
+        load_table(spark, "/root/testdata/sf0.001", "events"),
+        "user_id",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    ).collect()[0]
+    assert row.est_union >= max(row.est_a, row.est_b) - 1e-9
+    assert row.exact_intersection > 0
+    assert row.est_intersection == row.est_a + row.est_b - row.est_union
