@@ -69,9 +69,14 @@ def strict_values_equal(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
 def main() -> int:
     argv = list(sys.argv[1:])
     out_path = None
+    only: set[str] | None = None
     if "--out" in argv:
         i = argv.index("--out")
         out_path = argv[i + 1]
+        del argv[i : i + 2]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
@@ -88,6 +93,10 @@ def main() -> int:
     qs, oracles = ent.queries(), ent.oracle_sql()
     print(f"queries={len(qs)} oracles={len(oracles)} "
           f"missing_oracles={sorted(set(qs) - set(oracles))}")
+    if only is not None:
+        unknown = only - set(qs)
+        assert not unknown, f"--only names not registered: {sorted(unknown)}"
+        qs = {k: v for k, v in qs.items() if k in only}
 
     con = duckdb.connect()
     for t in TABLES:

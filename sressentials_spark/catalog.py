@@ -5371,3 +5371,121 @@ def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "view",
         F.col("event_type") == "purchase",
     )
+
+
+@register(
+    "zorder_lineitem_part_band_scan",
+    """
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
+FROM lineitem
+WHERE l_partkey BETWEEN 10 AND 19
+GROUP BY 1
+""",
+)
+def zorder_lineitem_part_band_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-column data skipping from ONE sort order: lineitem rendered
+    once Z-ORDER-clustered on (l_partkey, l_shipdate) — both
+    dimensions normalized onto a common grid, Morton bit-interleaved
+    with pure shift/add codegen, range-partitioned and sorted on the
+    z-value — then a narrow partkey-band rollup whose pushed-down
+    predicate meets per-file footer ranges covering only ~half the
+    partkey domain EACH, while the SAME files also localize shipdate
+    (a time predicate skips too). Single-column clustering gives its
+    column perfect skipping and the other column none; Z-order trades
+    a little of one for usable skipping on both — the hand-built form
+    of Delta/Iceberg Z-ordering (both-dimension locality pinned by
+    tests/test_columnar_layout.py;
+    sources/columnar.py::zorder_part_band_rollup)."""
+    from sressentials_spark.sources.columnar import zorder_part_band_rollup
+
+    return zorder_part_band_rollup(spark, sf_dir)
+
+
+@register(
+    "asof_cogrouped_purchase_error",
+    """
+SELECT e.event_id, e.user_id, e.ts AS error_ts,
+       (SELECT max(p.ts) FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts <= e.ts) AS last_purchase_ts
+FROM events e WHERE e.event_type = 'error'
+""",
+)
+def asof_cogrouped_purchase_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The as-of association through Spark's COGROUPED Arrow path:
+    errors and purchases shuffle once on a BUCKETED user key (64
+    buckets, not one Python call per user — per-group interpreter
+    overhead is the cogroup tax, so groups are sized to amortize it)
+    and each bucket runs one vectorized ``pd.merge_asof(...,
+    by="user_id")`` inside ``cogroup(...).applyInPandas``. Same
+    oracle and result as the window composition
+    (`asof_last_purchase_before_error`), which remains the PREFERRED
+    plan (no Python in the path). This twin exists for the per-key
+    logic SQL can't express — as-of with tolerance bands, custom
+    tie-breaking, per-key model scoring — and pins the shape it
+    should take: bucketed keys, one Arrow batch per bucket,
+    vectorized group-aware kernels, never a collect, never a
+    row-at-a-time UDF. A bucket with errors but no purchases arrives
+    as a COLUMNLESS empty frame (guarded — all-null matches)."""
+    import pandas as pd
+
+    buckets = 64
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.pmod("user_id", F.lit(buckets)).alias("b"),
+        "user_id",
+        "event_id",
+        "ts",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.pmod("user_id", F.lit(buckets)).alias("b"), "user_id", "ts"
+    )
+    cols = ["event_id", "user_id", "error_ts", "last_purchase_ts"]
+
+    def asof(err_pdf: pd.DataFrame, pur_pdf: pd.DataFrame) -> pd.DataFrame:
+        if err_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "error_ts": pd.Series(dtype="datetime64[us]"),
+                    "last_purchase_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        err = err_pdf.sort_values("ts", kind="mergesort")
+        if pur_pdf.empty or "ts" not in pur_pdf.columns:
+            out = err.rename(columns={"ts": "error_ts"})
+            out["last_purchase_ts"] = pd.Series(
+                pd.NaT, dtype="datetime64[us]", index=out.index
+            )
+            return out[cols]
+        pur = pur_pdf.sort_values("ts", kind="mergesort").assign(
+            last_purchase_ts=lambda d: d["ts"]
+        )[["ts", "user_id", "last_purchase_ts"]]
+        merged = pd.merge_asof(
+            err,
+            pur,
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged.rename(columns={"ts": "error_ts"})[cols]
+
+    return (
+        errors.groupBy("b")
+        .cogroup(purchases.groupBy("b"))
+        .applyInPandas(
+            asof,
+            "event_id long, user_id long, error_ts timestamp, "
+            "last_purchase_ts timestamp",
+        )
+        .select("event_id", "user_id", "error_ts", "last_purchase_ts")
+    )

@@ -1,7 +1,7 @@
-"""Columnar-layout fixtures: ORC rendering and partitioned parquet.
+"""Columnar-layout fixtures: ORC, partitioned, clustered, Z-ordered.
 
-Two disk-backed layout artifacts behind the format/layout-breadth
-queries (built once per (session, sf_dir) through
+Disk-backed layout artifacts behind the format/layout-breadth queries
+(built once per (session, sf_dir) through
 ``get_or_build_disk_artifact``, removed at exit via ``scratch_dir``):
 
 * an ORC copy of ``documents`` — same corpus through Spark's other
@@ -11,8 +11,15 @@ queries (built once per (session, sf_dir) through
 * a date-partitioned parquet copy of ``events`` (``d=YYYY-MM-DD/``
   directories) — THE canonical 100 TB fact-table layout: a time-range
   predicate becomes partition PRUNING (directories never opened, not
-  just row groups skipped), which is the difference between scanning
-  a week and scanning three years.
+  just row groups skipped), the difference between scanning a week
+  and scanning three years;
+* a shipdate-RANGE-CLUSTERED copy of ``lineitem`` — the unpartitioned
+  complement: disjoint per-file footer ranges let pushed-down time
+  predicates skip whole files through min/max statistics;
+* a Z-ORDERED copy of ``lineitem`` — the two-column generalization:
+  normalized Morton interleave of (partkey, shipdate) so one sort
+  order yields usable skipping on EITHER column (what Delta/Iceberg
+  Z-ordering automates).
 """
 
 from __future__ import annotations
@@ -154,6 +161,117 @@ def clustered_month_rollup(
             & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
         )
         .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                )
+                / 100.0
+            ).alias("revenue"),
+        )
+    )
+
+
+#: Bit width per dimension of the Z-order interleave (each dimension
+#: is normalized onto this grid; two 10-bit dims -> one 20-bit
+#: z-value, 1024 cells per side — plenty for file-level skipping).
+ZORDER_BITS = 10
+
+
+def zvalue(x, y, bits: int = ZORDER_BITS):
+    """Morton/Z-order interleave of two non-negative integer columns:
+    bit i of ``x`` lands at position 2i, bit i of ``y`` at 2i+1. Pure
+    shift/mask codegen — no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # Disjoint bit positions, so arithmetic + IS the bitwise OR
+        # (and stays a plain codegen'd sum).
+        z = (
+            z
+            + F.shiftleft(
+                F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i
+            )
+            + F.shiftleft(
+                F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1
+            )
+        )
+    return z
+
+
+def _render_lineitem_zordered(spark: SparkSession, sf_dir: str) -> str:
+    d = scratch_dir("sressentials_lineitem_zorder_")
+    out = os.path.join(d, "lineitem_zorder")
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-01")).cast("long")
+    # Normalize BOTH dimensions onto the same 2^bits grid before
+    # interleaving — with raw values, the wider dimension's high bits
+    # monopolize the top z bits and the narrower dimension gets no
+    # locality at all. One scalar (min, max) collect at build time.
+    lo_pk, hi_pk, lo_d, hi_d = (
+        li.agg(
+            F.min("l_partkey"),
+            F.max("l_partkey"),
+            F.min(day),
+            F.max(day),
+        ).first()
+    )
+    grid = 1 << ZORDER_BITS
+
+    def norm(c, lo: int, hi: int):
+        span = max(int(hi) - int(lo) + 1, 1)
+        return F.least(
+            F.lit(grid - 1),
+            ((c - F.lit(int(lo))) * grid / F.lit(span)).cast("long"),
+        )
+
+    (
+        li.withColumn(
+            "z",
+            zvalue(
+                norm(F.col("l_partkey").cast("long"), lo_pk, hi_pk),
+                norm(day, lo_d, hi_d),
+            ),
+        )
+        # Contiguous z-ranges per file: each file then covers a SMALL
+        # rectangle-union in (partkey, shipdate) space, so footer
+        # min/max stats give non-trivial skipping on EITHER column —
+        # what single-column range clustering cannot do for the other
+        # column (its files span that column's whole domain).
+        .repartitionByRange(2 * LAYOUT_FILES, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def ensure_lineitem_zordered(spark: SparkSession, sf_dir: str) -> str:
+    """Render (once per session/sf_dir) ``lineitem`` Z-order-clustered
+    on (l_partkey, l_shipdate)."""
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+
+    return get_or_build_disk_artifact(
+        spark,
+        ("lineitem_zordered", sf_dir),
+        lambda: _render_lineitem_zordered(spark, sf_dir),
+    )
+
+
+def zorder_part_band_rollup(
+    spark: SparkSession, sf_dir: str, lo: int = 10, hi: int = 19
+) -> DataFrame:
+    """Per-part revenue for a narrow partkey band over the Z-ordered
+    layout. The pushed-down partkey predicate meets per-file footer
+    ranges that each cover only a fraction of the partkey domain —
+    even though the SAME layout also localizes shipdate (two-column
+    skipping from one sort order; both pinned by
+    tests/test_columnar_layout.py)."""
+    path = ensure_lineitem_zordered(spark, sf_dir)
+    li = spark.read.parquet(path)
+    return (
+        li.filter((F.col("l_partkey") >= lo) & (F.col("l_partkey") <= hi))
+        .groupBy("l_partkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             (

@@ -205,3 +205,55 @@ def test_streaming_dedup_ingest_matches_oneshot_triage(spark):
         key(oneshot)[["doc_id", "n_hist_matches", "status"]]
     )
     assert (streamed["status"] == "dup_of_history").sum() > 0
+
+
+def _file_ranges(path, colname):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = names.index(colname)
+        st = [
+            md.row_group(rg).column(idx).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        out.append((min(s.min for s in st), max(s.max for s in st)))
+    return out
+
+
+def test_zorder_localizes_both_dimensions(spark):
+    """The Z-ordered layout gives non-trivial footer-stats skipping on
+    BOTH clustered columns: a narrow partkey band and a one-year
+    shipdate band each overlap at most ~half the files — while the
+    single-column shipdate clustering (the comparison layout) gives
+    the partkey band NO skipping at all."""
+    from datetime import datetime
+
+    zpath = columnar.ensure_lineitem_zordered(spark, SF)
+    pk = _file_ranges(zpath, "l_partkey")
+    dt = _file_ranges(zpath, "l_shipdate")
+    n = len(pk)
+    assert n == 2 * columnar.LAYOUT_FILES
+    pk_hits = [r for r in pk if r[0] <= 19 and r[1] >= 10]
+    assert len(pk_hits) <= n * 5 // 8, f"partkey band hits {len(pk_hits)}/{n}"
+    y0, y1 = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    dt_hits = [r for r in dt if r[0] < y1 and r[1] >= y0]
+    assert len(dt_hits) <= n * 5 // 8, f"shipdate band hits {len(dt_hits)}/{n}"
+    # Contrast: the shipdate-only clustered layout cannot skip on
+    # partkey — every file spans (essentially) the whole key domain.
+    cpath = columnar.ensure_lineitem_clustered(spark, SF)
+    cpk = _file_ranges(cpath, "l_partkey")
+    c_hits = [r for r in cpk if r[0] <= 19 and r[1] >= 10]
+    assert len(c_hits) == len(cpk)
+
+
+def test_zorder_scan_pushes_partkey_filter(spark):
+    df = columnar.zorder_part_band_rollup(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_partkey" in pushed
