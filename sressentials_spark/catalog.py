@@ -1232,6 +1232,56 @@ GROUP BY e.query_id
 
 
 @register(
+    "sim_ivf_recall_at_k",
+    None,  # composed from the exact and IVF oracles below
+)
+def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality as a first-class query: recall@10 of the
+    nprobe-cell IVF search against the exact cosine top-k, per query
+    (integer permille) — the missing member of the ANN-eval family
+    (LSH, multi-probe LSH and PQ already have one). This is the knob
+    loop for (cells, nprobe): recall lost to cell pruning shows up
+    here directly, measured against the same persisted
+    cell-partitioned index the serving query scans."""
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        QUERIES["sim_cosine_topk_ivf"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+ORACLE_SQL["sim_ivf_recall_at_k"] = f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_permille
+FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
+LEFT JOIN ({ORACLE_SQL["sim_cosine_topk_ivf"]}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
     "jsonl_documents_source",
     f"""
 SELECT doc_id, lang, md5(text) AS text_md5
@@ -4809,6 +4859,60 @@ def emb_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(top, "cluster")
         .select("cluster", "n_vecs", "inertia", "top_label", "top_label_n")
     )
+
+
+_SEMDEDUP_SQL_SUFFIX = """
+, sq AS (SELECT e.vec_id, a.cluster,
+                list_transform(e.embedding,
+                  x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+         FROM embeddings e JOIN afin a USING (vec_id)),
+sn AS (SELECT vec_id, cluster, q,
+              list_sum([q[i] * q[i] for i in generate_series(1, len(q))]) AS n2
+       FROM sq),
+prs AS (SELECT b.vec_id AS vec_id, a.vec_id AS prior_id,
+               list_sum([a.q[i] * b.q[i]
+                         for i in generate_series(1, len(a.q))]) AS dot,
+               a.n2 AS an2, b.n2 AS bn2
+        FROM sn a JOIN sn b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE a.n2 > 0 AND b.n2 > 0),
+hit AS (SELECT vec_id, prior_id FROM prs
+        WHERE dot > 0 AND {q2} * dot * dot >= {p2} * an2 * bn2),
+ag AS (SELECT vec_id, MIN(prior_id) AS dup_of, COUNT(*) AS n
+       FROM hit GROUP BY 1)
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+       CASE WHEN ag.vec_id IS NULL THEN 'kept'
+            ELSE 'semantic_dup' END AS status,
+       CAST(COALESCE(ag.dup_of, -1) AS BIGINT) AS dup_of,
+       CAST(COALESCE(ag.n, 0) AS BIGINT) AS n_prior_matches
+FROM sn s LEFT JOIN ag ON s.vec_id = ag.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    _KMEANS_SQL
+    + _SEMDEDUP_SQL_SUFFIX.format(
+        scale=D.SEMDEDUP_SCALE,
+        p2=D.SEMDEDUP_COS[0] ** 2,
+        q2=D.SEMDEDUP_COS[1] ** 2,
+    ),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup with the k-means
+    clustering as the candidate generator — pairwise cosine runs only
+    WITHIN clusters, so with K scaled to corpus size the total pair
+    work is linear, not quadratic. Reuses the session-cached exact
+    integer k-means fit (same artifact as `emb_kmeans_clusters`: fit
+    once, serve many); the duplicate test is exact integer
+    cross-multiplication on a 2^10 grid, so the keep/drop verdicts —
+    lowest-id representative per near-dup neighborhood — are
+    bit-identical in both engines. Completes the dedup-strategy
+    family: exact hash, MinHash-LSH, SimHash, banded embedding LSH,
+    connected components, and now cluster-bounded semantic
+    (operators/dedup.py::semantic_dedup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(emb, _kmeans_assignments(spark, sf_dir))
 
 
 @register(

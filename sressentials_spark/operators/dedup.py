@@ -936,6 +936,126 @@ def embedding_decontaminate(
     )
 
 
+#: SemDeDup quantization grid. Coarser than the k-means grid (2^20) on
+#: purpose: the duplicate test squares the dot product, so the grid
+#: must keep ``q^2 * dot^2`` inside int64 — at 2^10, components are
+#: <= ~512, ``dot <= dim * 512^2 ~ 2^24``, and the cross-multiplied
+#: comparison peaks near 2^53. Quantization error (~1e-3 per
+#: component) is noise against a 0.4 cosine threshold, and both
+#: engines quantize identically so the DECISION is bit-reproducible.
+SEMDEDUP_SCALE = 1 << 10
+
+#: Cosine threshold as a rational p/q so the >= test is exact integer
+#: cross-multiplication (no float compare to drift between engines).
+#: 2/5 = 0.4 — same operating point as embedding_near_dup_lsh.
+SEMDEDUP_COS = (2, 5)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    assignments: DataFrame,
+    threshold: tuple[int, int] = SEMDEDUP_COS,
+    scale: int = SEMDEDUP_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: cluster-bounded semantic deduplication (Abbas et al.
+    2023, arXiv:2303.09540) — the third embedding-dedup strategy next
+    to banded LSH (probabilistic candidates) and connected components
+    (transitive groups).
+
+    Pairwise cosine over a web-scale corpus is quadratic; SemDeDup's
+    observation is that near-duplicates land in the same k-means
+    cluster, so it suffices to compare WITHIN clusters. With K scaled
+    proportionally to corpus size (the paper runs ~110k clusters over
+    LAION-440M) expected cluster size — and therefore per-cluster pair
+    work — stays CONSTANT, making total work O(N * avg_cluster_size):
+    the clustering is the candidate generator. Each vector is kept iff
+    no LOWER-id member of its cluster sits within the cosine
+    threshold (lowest-id representative — a total order, so the
+    keep/drop decision is unique and hash-gate stable).
+
+    Exactness: vectors are quantized to the ``scale`` grid once, and
+    the threshold test is integer cross-multiplication —
+    ``dot > 0 AND q^2*dot^2 >= p^2*|a|^2*|b|^2`` for cosine >= p/q —
+    so engine and DuckDB oracle agree bit-for-bit (zero-norm vectors
+    are never duplicates). Dots run through the exact int64 Arrow
+    kernel (linalg.int_dot_arrow), one batch per join partition.
+
+    Scale shape: one Arrow pass for (q, |q|^2); the self-join
+    shuffles each side ONCE on the uniform cluster key and never
+    leaves its cluster; output aggregates per vector. Skew guard at
+    100 TB: an oversized cluster is sub-split by re-clustering its
+    members (the paper's K keeps clusters ~4k vectors) — pair work is
+    bounded by design, not by hope.
+
+    Returns ``(id_col, cluster, status 'kept'|'semantic_dup',
+    dup_of, n_prior_matches)``; ``dup_of`` is -1 for kept rows (not
+    NULL — keeps the column int64 through both engines' pandas
+    bridges).
+    """
+    from sressentials_spark.operators import linalg
+    from sressentials_spark.operators.cluster import quantize_vec
+
+    p, q = threshold
+    qv = emb.select(
+        F.col(id_col), quantize_vec(vec_col, scale).alias("qv")
+    ).withColumn("n2", linalg.int_dot_arrow(F.col("qv"), F.col("qv")))
+    members = _tracked_persist(
+        assignments.select(id_col, "cluster").join(qv, id_col)
+    )
+    a = members.select(
+        F.col(id_col).alias("prior_id"),
+        F.col("cluster").alias("a_cluster"),
+        F.col("qv").alias("aq"),
+        F.col("n2").alias("an2"),
+    )
+    b = members.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("cluster").alias("b_cluster"),
+        F.col("qv").alias("bq"),
+        F.col("n2").alias("bn2"),
+    )
+    hits = (
+        a.join(
+            b,
+            (F.col("a_cluster") == F.col("b_cluster"))
+            & (F.col("prior_id") < F.col("cand_id")),
+        )
+        .withColumn("dot", linalg.int_dot_arrow(F.col("aq"), F.col("bq")))
+        .filter(
+            (F.col("an2") > 0)
+            & (F.col("bn2") > 0)
+            & (F.col("dot") > 0)
+            & (
+                F.lit(q * q) * F.col("dot") * F.col("dot")
+                >= F.lit(p * p) * F.col("an2") * F.col("bn2")
+            )
+        )
+    )
+    agg = hits.groupBy(F.col("cand_id").alias(id_col)).agg(
+        F.min("prior_id").alias("dup_of_raw"),
+        F.count(F.lit(1)).alias("n_matches_raw"),
+    )
+    return (
+        members.select(id_col, "cluster")
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.when(F.col("dup_of_raw").isNull(), F.lit("kept"))
+            .otherwise(F.lit("semantic_dup"))
+            .alias("status"),
+            F.coalesce(F.col("dup_of_raw"), F.lit(-1))
+            .cast("long")
+            .alias("dup_of"),
+            F.coalesce(F.col("n_matches_raw"), F.lit(0))
+            .cast("long")
+            .alias("n_prior_matches"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Persisted dedup index (the 100 TB ingest shape, materialized)
 # --------------------------------------------------------------------------

@@ -96,6 +96,21 @@ def dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(_fold_dot(A, B))
 
 
+@pandas_udf(LongType())
+def int_dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow kernel: EXACT int64 dot product of two ``array<long>``
+    columns. Integer addition commutes, so unlike the float kernels no
+    fold-order pinning is needed — any evaluation order is the same
+    number; callers are responsible for keeping magnitudes inside
+    int64 (the SemDeDup grid in operators/dedup.py bounds
+    ``dot <= dim * (scale/2)^2 ~ 2^24``, far under overflow)."""
+    if len(a) == 0:
+        return pd.Series(np.empty(0, dtype=np.int64))
+    A = np.stack(a.to_numpy()).astype(np.int64)
+    B = np.stack(b.to_numpy()).astype(np.int64)
+    return pd.Series((A * B).sum(axis=1, dtype=np.int64))
+
+
 @pandas_udf(DoubleType())
 def norm_arrow(v: pd.Series) -> pd.Series:
     """Arrow kernel: fold-exact L2 norm ``sqrt(0.0 + v0*v0 + ...)``."""

@@ -144,3 +144,40 @@ class TestMinhashArtifactCache:
         # Release drops both the blocks and the cache.
         D.release_persisted()
         assert len(D._PERSISTED) == 0 and len(D._ARTIFACTS) == 0
+
+
+def test_semantic_dedup_verdicts(spark):
+    """SemDeDup verdict semantics on a hand-built corpus: lowest-id
+    representative kept, negative-dot and zero-norm never duplicates,
+    and comparisons stay INSIDE clusters (an identical vector in a
+    different cluster is kept — the candidate generator is the
+    clustering, by design)."""
+    emb = spark.createDataFrame(
+        [
+            (1, [0.5, 0.0, 0.0, 0.0]),
+            (2, [0.5, 0.001, 0.0, 0.0]),   # ~cos 1 with v1 -> dup_of 1
+            (3, [0.0, 0.5, 0.0, 0.0]),     # orthogonal -> kept
+            (4, [-0.5, 0.0, 0.0, 0.0]),    # negative dot -> kept
+            (5, [0.0, 0.0, 0.0, 0.0]),     # zero norm -> kept (guard)
+            (6, [0.5, 0.0, 0.0, 0.0]),     # == v1 but other cluster -> kept
+            (7, [0.4, 0.003, 0.0, 0.0]),   # dup of BOTH 1 and 2 -> min id
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    asg = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 1), (7, 0)],
+        "vec_id long, cluster long",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in D.semantic_dedup(emb, asg).collect()
+    }
+    D.release_persisted()
+    assert out[1]["status"] == "kept" and out[1]["dup_of"] == -1
+    assert out[2]["status"] == "semantic_dup" and out[2]["dup_of"] == 1
+    assert out[3]["status"] == "kept"
+    assert out[4]["status"] == "kept"
+    assert out[5]["status"] == "kept" and out[5]["n_prior_matches"] == 0
+    assert out[6]["status"] == "kept" and out[6]["cluster"] == 1
+    assert out[7]["status"] == "semantic_dup" and out[7]["dup_of"] == 1
+    assert out[7]["n_prior_matches"] == 2
