@@ -65,6 +65,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "profile_events_key_skew": {
         "BroadcastNestedLoopJoin": "one-row totals x one-row top-key fold"
     },
+    "curation_domain_mixture": {
+        "BroadcastNestedLoopJoin": "O(domains) rows vs one-row totals fold"
+    },
     "window_customer_spend_quartiles": {
         "BroadcastNestedLoopJoin": "one-row quantile-boundary fold (with_global_rank)"
     },
@@ -97,6 +100,9 @@ ALLOWED: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
     },
     "sim_pq_recall_at_k": {
+        "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
+    },
+    "sim_ivf_recall_at_k": {
         "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
     },
     "tpch_q22_dormant_customer_balance": {

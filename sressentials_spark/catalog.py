@@ -2303,6 +2303,26 @@ def streaming_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFram
     return run_session_window_batch(spark, sf_dir)
 
 
+@register("streaming_session_window_append", _SESSION_WINDOW_ORACLE)
+def streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in its PRODUCTION mode: ``append``
+    behind a watermark over the staged out-of-order arrival (one file
+    per micro-batch), landing on a parquet sink. Each session emits
+    exactly once — when the watermark passes its end — and its state is
+    evicted immediately, so state size tracks OPEN sessions only; the
+    far-future sentinel drains the bounded replay. The complete-mode
+    twin (`streaming_session_window_stats`) retains all state for the
+    query's lifetime — harness-only; THIS is the shape that survives an
+    unbounded stream. Same oracle as the batch and complete-mode
+    queries: all three must agree on every session boundary
+    (streaming/sessionize.py::run_session_window_append)."""
+    from sressentials_spark.streaming.sessionize import (
+        run_session_window_append,
+    )
+
+    return run_session_window_append(spark, sf_dir)
+
+
 @register("streaming_sessionize_events_ooo", _SESSIONIZE_ORACLE)
 def streaming_sessionize_events_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization over an OUT-OF-ORDER arrival: the events table is
@@ -2460,6 +2480,29 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sressentials_spark.streaming.dedup import run_exact_dedup_batch
 
     return run_exact_dedup_batch(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_reingest_watermark",
+    "SELECT event_id, user_id, ts, event_type, value FROM events",
+)
+def streaming_dedup_reingest_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingest dedup with BOUNDED state: the events table
+    staged as two ts-ranged arrival files plus a re-delivery file
+    duplicating the trailing 2-day window, replayed one file per
+    micro-batch through Spark's native ``dropDuplicatesWithinWatermark``
+    — each event emits on first delivery, re-deliveries are suppressed
+    by per-key state the watermark then EVICTS (state tracks the TTL
+    window, not the stream's full key history — the property the
+    unbounded-state ``streaming_exact_dedup`` replay lacks and the one
+    that matters on an endless 100 TB ingest). Output must equal the
+    events table exactly; a late-filtered row raises instead of
+    silently vanishing (streaming/dedup.py)."""
+    from sressentials_spark.streaming.dedup import (
+        run_dedup_within_watermark_batch,
+    )
+
+    return run_dedup_within_watermark_batch(spark, sf_dir)
 
 
 @register(
@@ -5324,6 +5367,171 @@ def orc_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+@register(
+    "maintenance_compact_small_files",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a first-class maintenance operator: the
+    corpus staged as 64 tiny parquet files (the streaming-sink /
+    over-parallel-write pathology), rewritten to manifest-sized target
+    files by a SHUFFLE-FREE plan (``coalesce`` concatenates input
+    partitions; no exchange — pinned by tests/test_maintenance.py),
+    then scanned back. Content must round-trip exactly — compaction
+    changes layout, never data. At 100 TB this is the nightly job that
+    keeps per-file scan overhead and listing pressure bounded
+    (operators/maintenance.py::compact_small_files)."""
+    import os
+
+    from sressentials_spark.operators import maintenance as MT
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.scratch import scratch_dir
+
+    def _build() -> str:
+        d = scratch_dir("sressentials_compact_")
+        small = os.path.join(d, "small")
+        compacted = os.path.join(d, "compacted")
+        load_table(spark, sf_dir, "documents").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(small)
+        total = sum(b for _, b in MT.file_manifest(small))
+        stats = MT.compact_small_files(
+            spark, small, compacted, target_bytes=-(-total // 4)
+        )
+        assert stats["files_after"] < stats["files_before"] // 8, stats
+        return compacted
+
+    path = get_or_build_disk_artifact(spark, ("compact_docs", sf_dir), _build)
+    return spark.read.parquet(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "maintenance_partition_overwrite_rebuild",
+    """
+SELECT event_id, user_id, ts, event_type, value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-20'
+""",
+)
+def maintenance_partition_overwrite_rebuild(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-partition repair on the day-partitioned fact layout:
+    deliberately clobber one day (half its rows, values zeroed — a
+    botched backfill), then rebuild it from the source of truth under
+    ``partitionOverwriteMode=dynamic`` — ``overwrite`` replaces ONLY
+    the partitions present in the written data, so the other 29 days'
+    files are never listed, read, or rewritten (pinned by file mtimes
+    in tests/test_maintenance.py; STATIC mode would truncate the whole
+    table). Returns the repaired day re-read from the layout; the
+    oracle asserts it equals the source exactly. This idempotent
+    day-swap is the backfill/repair verb on a date-partitioned 100 TB
+    table (operators/maintenance.py::corrupt_then_rebuild_day)."""
+    from sressentials_spark.operators.maintenance import (
+        corrupt_then_rebuild_day,
+    )
+    from sressentials_spark.sources.columnar import ensure_events_partitioned
+
+    path = ensure_events_partitioned(spark, sf_dir)
+    return corrupt_then_rebuild_day(spark, sf_dir, path, "2024-01-20")
+
+
+@register(
+    "schema_evolution_documents_source",
+    """
+SELECT doc_id, lang, n_chars,
+       CASE WHEN doc_id >= (SELECT (MAX(doc_id) + 1) * 7 // 10
+                            FROM documents)
+            THEN CASE WHEN n_chars >= 500 THEN 'long' ELSE 'short' END
+       END AS quality_tier
+FROM documents
+""",
+)
+def schema_evolution_documents_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive schema evolution across file generations: the older
+    70% of the corpus is parquet WITHOUT ``quality_tier``, the newer
+    30% carries it (long-lived tables accrete enrichment columns;
+    history is never rewritten). ``mergeSchema=true`` unions the
+    footers at planning time and NULL-fills the column for
+    pre-evolution files — no rewrite, no migration job; the reader
+    owns compatibility. The oracle restates the generation split
+    relationally: NULL tier below the split id, computed tier above
+    (sources/columnar.py::ensure_documents_generations)."""
+    from sressentials_spark.sources.columnar import (
+        ensure_documents_generations,
+    )
+
+    path = ensure_documents_generations(spark, sf_dir)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("doc_id", "lang", "n_chars", "quality_tier")
+    )
+
+
+@register(
+    "curation_domain_mixture",
+    """
+WITH per AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source, lang
+),
+s AS (
+  SELECT *, CAST(ROUND(SQRT(n_docs) * 1000) AS BIGINT) AS sm FROM per
+)
+SELECT source, lang, n_docs, sum_chars,
+       CAST((1000 * n_docs) // (SELECT SUM(n_docs) FROM per) AS BIGINT)
+         AS share_permille,
+       CAST((1000 * sm) // (SELECT SUM(sm) FROM s) AS BIGINT)
+         AS mix_permille
+FROM s
+""",
+)
+def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture design: temperature-reweighted domain sampling
+    weights per (source, lang). Proportional sampling (tau=1) lets
+    head domains drown rare ones; tau=0.5 — weight proportional to
+    sqrt(share), the exponent family used for multilingual mixture
+    balancing in public LM training recipes (mT5/XLM-R temperature
+    sampling) — compresses the range so tail domains surface. Exact
+    integer outputs by construction: IEEE-754 sqrt is correctly
+    rounded (bit-identical across engines), scaled to integer milli-
+    units before the permille floor-division, so the oracle compare is
+    exact, not epsilon. One tiny grouped aggregate plus a broadcast
+    scalar fold — the output is O(domains), never O(corpus)."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn(
+            "sm", F.round(F.sqrt(F.col("n_docs")) * 1000).cast("long")
+        )
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("_tot_docs"), F.sum("sm").alias("_tot_sm")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "sum_chars",
+            F.expr("(1000 * n_docs) div _tot_docs").alias("share_permille"),
+            F.expr("(1000 * sm) div _tot_sm").alias("mix_permille"),
+        )
     )
 
 

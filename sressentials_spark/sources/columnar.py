@@ -58,6 +58,49 @@ def ensure_documents_orc(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _render_documents_generations(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet 'generations' of the corpus in one directory: the
+    older 70% written WITHOUT ``quality_tier``, the newer 30% WITH it —
+    the additive-schema-evolution shape every long-lived 100 TB table
+    accretes (new enrichment columns appear mid-stream; history is
+    never rewritten)."""
+    d = scratch_dir("sressentials_docs_gen_")
+    out = os.path.join(d, "documents_gen")
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    (
+        docs.filter(F.col("doc_id") < split)
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    (
+        docs.filter(F.col("doc_id") >= split)
+        .withColumn(
+            "quality_tier",
+            F.when(F.col("n_chars") >= 500, F.lit("long")).otherwise(
+                F.lit("short")
+            ),
+        )
+        .repartition(2)
+        .write.mode("append")
+        .parquet(out)
+    )
+    return out
+
+
+def ensure_documents_generations(spark: SparkSession, sf_dir: str) -> str:
+    """Render (once per session/sf_dir) the two-generation corpus."""
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+
+    return get_or_build_disk_artifact(
+        spark,
+        ("docs_generations", sf_dir),
+        lambda: _render_documents_generations(spark, sf_dir),
+    )
+
+
 def _render_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     d = scratch_dir("sressentials_events_part_")
     out = os.path.join(d, "events_by_day")

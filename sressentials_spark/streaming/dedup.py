@@ -52,6 +52,115 @@ def run_exact_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: State TTL for the native watermark-scoped dedup: an event's id stays
+#: in the state store until the watermark passes ``ts + DUP_DELAY``, so
+#: re-deliveries within this window are suppressed and older state ages
+#: out. The production contract this models: "at-least-once upstream
+#: re-delivers within 48 h" — the window bounds STATE, which is what
+#: makes the operator viable on an unbounded 100 TB stream (the custom
+#: ``dropDuplicates`` replay above keeps state forever; fine for a
+#: bounded corpus, fatal for an endless one).
+DUP_DELAY = "2 days"
+_DUP_DELAY_US = 2 * 24 * 3600 * 1_000_000
+
+_EVENT_COLS = ["event_id", "user_id", "ts", "event_type", "value"]
+
+
+def stage_duplicate_arrivals(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """Stage the events table as an at-least-once delivery sequence:
+    two ts-ranged, mtime-ordered arrival files, then a RE-DELIVERY file
+    duplicating every event from the trailing ``DUP_DELAY`` window —
+    the rows whose first delivery is still inside the dedup state's TTL
+    when the re-delivery batch arrives (``ts >= max_ts - delay`` also
+    keeps them ahead of the watermark, so they reach the state store
+    and are suppressed there, not silently late-filtered). Returns the
+    number of staged files."""
+    import glob as globmod
+    import os
+    import time
+
+    from sressentials_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    (
+        e.repartitionByRange(2, "ts")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/arrivals")
+    )
+    parts = sorted(globmod.glob(f"{out_dir}/arrivals/part-*.parquet"))
+    base = time.time() - 3600
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    max_ts = e.agg(F.max("ts")).first()[0]
+    (
+        e.filter(
+            F.col("ts")
+            >= F.lit(max_ts) - F.expr(f"INTERVAL {DUP_DELAY}")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/redelivery")
+    )
+    redel = sorted(globmod.glob(f"{out_dir}/redelivery/part-*.parquet"))
+    for i, p in enumerate(redel):
+        os.utime(p, (base + 900 + i, base + 900 + i))
+    return len(parts) + len(redel)
+
+
+def run_dedup_within_watermark_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's NATIVE ``dropDuplicatesWithinWatermark`` over the staged
+    at-least-once arrival (one file per micro-batch): each event emits
+    on first delivery, the re-delivered tail is suppressed by state
+    that the watermark then evicts. The declarative twin of
+    :func:`exact_dedup_stream` with the state-bound the 100 TB shape
+    needs; output lands on a parquet sink (executors write, the driver
+    tracks only the commit log) and must equal the events table
+    exactly."""
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.scratch import scratch_dir
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        dropped_by_watermark,
+        replay_to_parquet,
+        state_partitions,
+    )
+
+    def _stage() -> str:
+        d = scratch_dir("sressentials_dup_arrivals_")
+        stage_duplicate_arrivals(spark, sf_dir, d)
+        return d
+
+    stage_dir = get_or_build_disk_artifact(
+        spark, ("dup_arrivals", sf_dir), _stage
+    )
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        schema = (
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "part-*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage_dir)
+        )
+        deduped = stream.withWatermark("ts", DUP_DELAY).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        out, progress = replay_to_parquet(spark, deduped, "dedup_within_wm")
+    dropped = dropped_by_watermark(progress)
+    if dropped:
+        raise ValueError(
+            f"watermark-scoped dedup replay late-dropped {dropped} rows: "
+            "a re-delivery arrived outside the state TTL window"
+        )
+    return out
+
+
 def _stage_document_arrivals(
     spark: SparkSession, sf_dir: str, split: int, n_files: int = 4
 ) -> str:

@@ -387,7 +387,9 @@ def run_session_window_batch(
     deployment of the same aggregation uses ``append`` with
     ``withWatermark`` (sessions emit once, when the watermark closes
     them) and a file/table sink — the idiom the OOO sessionizer and
-    attribution replays above demonstrate."""
+    attribution replays above demonstrate, and which
+    :func:`run_session_window_append` below runs for this exact
+    aggregation."""
     from sressentials_spark.streaming import (
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
@@ -425,3 +427,75 @@ def run_session_window_batch(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def run_session_window_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native ``session_window`` aggregation in its PRODUCTION shape:
+    ``append`` output mode behind a watermark, replayed over the staged
+    out-of-order arrival sequence (one file per micro-batch) and landed
+    on a parquet sink.
+
+    Unlike the complete-mode harness above, a session emits EXACTLY
+    ONCE — when the watermark passes its end — and its state is evicted
+    immediately after, so state size tracks OPEN sessions, not history:
+    the only shape that survives an unbounded stream. The staged
+    arrival's far-future sentinel (user_id = -1, +3 h) pushes the final
+    watermark past every real session's end so the bounded replay
+    drains completely; the sentinel's own session never closes (the
+    watermark never passes it), so it simply never emits — no output
+    filtering needed, though we filter defensively.
+
+    Exactness under disorder: staged jitter (≤ 10 min) stays under the
+    watermark delay (15 min), so no row arrives behind the watermark
+    (``dropped_by_watermark`` = 0, asserted in tests) and every session
+    closes with all its members merged — emission requires watermark >
+    session end = last + 30 min, which a mergeable future row (ts ≤
+    last + 30 min) always precedes. Output matches the batch and
+    complete-mode queries row for row."""
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.scratch import scratch_dir
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        dropped_by_watermark,
+        replay_to_parquet,
+        state_partitions,
+    )
+
+    def _stage() -> str:
+        d = scratch_dir("sressentials_ooo_")
+        stage_ooo_arrival(spark, sf_dir, d)
+        return d
+
+    stage_dir = get_or_build_disk_artifact(
+        spark, ("ooo_stage", sf_dir), _stage
+    )
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        schema = "event_id long, user_id long, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "part-*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", OOO_DELAY)
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        out, progress = replay_to_parquet(spark, agg, "session_window_append")
+    dropped = dropped_by_watermark(progress)
+    if dropped:
+        raise ValueError(
+            f"session_window append replay dropped {dropped} late rows: "
+            "staged disorder exceeded the watermark delay"
+        )
+    return out.filter(F.col("user_id") >= 0)

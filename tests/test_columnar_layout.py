@@ -257,3 +257,31 @@ def test_zorder_scan_pushes_partkey_filter(spark):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1].split("]")[0]
     assert "l_partkey" in pushed
+
+
+def test_schema_evolution_generations(spark):
+    """Two-generation corpus: pre-evolution files physically LACK the
+    evolved column (not null-stored — absent from the footer), and the
+    mergeSchema read null-fills exactly the old generation."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = columnar.ensure_documents_generations(spark, SF)
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    cols_per_file = [set(pq.read_schema(p).names) for p in files]
+    with_tier = [c for c in cols_per_file if "quality_tier" in c]
+    without = [c for c in cols_per_file if "quality_tier" not in c]
+    assert with_tier and without, cols_per_file
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    assert merged.filter(
+        (F.col("doc_id") < split) & F.col("quality_tier").isNotNull()
+    ).isEmpty()
+    assert merged.filter(
+        (F.col("doc_id") >= split) & F.col("quality_tier").isNull()
+    ).isEmpty()
+    assert merged.count() == docs.count()
