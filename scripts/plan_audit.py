@@ -105,6 +105,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sim_ivf_recall_at_k": {
         "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
     },
+    "sim_ivfpq_recall_at_k": {
+        "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
+    },
     "tpch_q22_dormant_customer_balance": {
         "BroadcastNestedLoopJoin": "one-row (sum, count) scalar-average fold"
     },

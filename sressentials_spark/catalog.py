@@ -1282,6 +1282,144 @@ GROUP BY e.query_id
 
 
 @register(
+    "sim_pq_adc_topk_ivf",
+    f"""
+WITH {_PQ_ASSIGN_SQL},
+codes AS (SELECT vec_id, m, k AS code FROM a WHERE rn = 1),
+iseeds AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings
+  ORDER BY ('0x' || substring(md5('{S.IVF_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           vec_id
+  LIMIT {S.IVF_CELLS}
+),
+iassign AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM (SELECT e.vec_id, s.cid,
+               {_cos_sql('e.embedding', 's.cv')} AS ccos
+        FROM embeddings e CROSS JOIN iseeds s)
+),
+icells AS (SELECT vec_id, cid AS cell FROM iassign WHERE rn = 1),
+iprobes AS (SELECT vec_id AS query_id, cid AS pcell FROM iassign
+            WHERE vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})
+              AND rn <= {S.IVF_NPROBE}),
+cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+         FROM iprobes p JOIN icells c
+           ON c.cell = p.pcell AND c.vec_id <> p.query_id),
+qd AS (SELECT q.vec_id AS query_id, subs.m, seeds_k.k,
+              {_pq_sqdist_sql('q.embedding', 'seeds_k.cv', 'subs.m')} AS dq
+       FROM embeddings q
+       CROSS JOIN (SELECT cv, k FROM seeds) seeds_k
+       CROSS JOIN subs
+       WHERE q.vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})),
+p2 AS (SELECT cand.query_id, cand.neighbor_id, qd.m, qd.dq
+       FROM cand
+       JOIN codes c ON c.vec_id = cand.neighbor_id
+       JOIN qd ON qd.query_id = cand.query_id
+              AND qd.m = c.m AND qd.k = c.code),
+g AS (SELECT query_id, neighbor_id,
+             {', '.join(
+                 f'MAX(CASE WHEN m = {i} THEN dq END) AS d{i}'
+                 for i in range(S.PQ_M)
+             )}
+      FROM p2 GROUP BY query_id, neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+             ((d0 + d1) + d2) + d3 AS adc_dist FROM g),
+rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       FROM r)
+SELECT query_id, neighbor_id, adc_dist, rank FROM rr WHERE rank <= 10
+""",
+)
+def sim_pq_adc_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (IVFADC — Jégou et al. 2011 §IV, the FAISS
+    billion-scale layout): coarse cell pruning composed with
+    compressed-domain ADC. Each query ranks only the PQ code words in
+    its nprobe probed cells, by per-subspace distance-table lookup —
+    served from TWO persisted artifacts (the cell-partitioned IVF
+    index for probes, the cell-partitioned inverted-list codes table
+    for candidates; the scan reads nprobe/n_cells of an
+    already-~32×-compressed table, and no raw corpus vector is ever
+    touched). Distances are bit-identical to flat ADC restricted to
+    the same candidates (fixed re-association order); recall vs flat
+    PQ is bounded by the IVF cell pruning, measured by
+    ``sim_ivfpq_recall_at_k``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk_ivf_from_index(
+        spark,
+        emb,
+        _ivf_index_path(spark, sf_dir),
+        _ivfpq_index_path(spark, sf_dir),
+        _TOPK_QUERY_IDS,
+        topk=10,
+    )
+
+
+def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once handle for the persisted IVF-PQ inverted lists."""
+    from sressentials_spark.scratch import scratch_dir
+
+    def _build() -> str:
+        return S.build_ivfpq_index(
+            load_table(spark, sf_dir, "embeddings"),
+            scratch_dir("sressentials_ivfpq_index_"),
+        )
+
+    return D.get_or_build_disk_artifact(spark, ("ivfpq_index", sf_dir), _build)
+
+
+@register(
+    "sim_ivfpq_recall_at_k",
+    None,  # composed from the exact and IVF-PQ oracles below
+)
+def sim_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ quality as a first-class query: recall@10 of the
+    cell-pruned compressed-domain search against the exact cosine
+    top-k, per query (integer permille). The combined path loses
+    recall to BOTH knob sets — cell pruning (cells, nprobe) and
+    quantization error (M, K) — so this eval sits alongside the pure
+    IVF and pure PQ evals to attribute the loss: ivfpq ≤ min(ivf, pq)
+    is the expected envelope at matched settings."""
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        QUERIES["sim_pq_adc_topk_ivf"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+ORACLE_SQL["sim_ivfpq_recall_at_k"] = f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_permille
+FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
+LEFT JOIN ({ORACLE_SQL["sim_pq_adc_topk_ivf"]}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
     "jsonl_documents_source",
     f"""
 SELECT doc_id, lang, md5(text) AS text_md5
@@ -2232,6 +2370,17 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sressentials_spark.streaming.sessionize import run_sessionize_batch
 
     return run_sessionize_batch(spark, sf_dir)
+
+
+# A transformWithStateInPandas twin of the sessionizer ships in
+# streaming/sessionize.py::SessionAssignProcessor (Spark 4's successor
+# arbitrary-state API: named state handles, RocksDB backend). It is NOT
+# a registered query because the API's Python<->JVM state protocol
+# requires the `protobuf` package, absent from this sandbox — the
+# operator is complete and its test skips honestly when protobuf is
+# missing (the same documented-boundary treatment as the multimodal
+# codec). On a cluster with protobuf installed it registers cleanly
+# against _SESSIONIZE_ORACLE.
 
 
 #: Session-LEVEL rollup oracle for Spark's native ``session_window``.

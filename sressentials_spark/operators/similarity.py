@@ -601,29 +601,8 @@ def pq_adc_topk(
     re-associates in a FIXED order (``((d0+d1)+d2)+d3``) so the result
     is bit-reproducible. One shuffle (the per-query rank window) —
     the corpus side never moves a float."""
-    books = pq_seed_codebooks(emb, m, k, id_col)
-    dsub = books.shape[2]
     coded = pq_codes(emb, m, k, id_col)
-
-    spark = emb.sparkSession
-    qrows = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(id_col, "embedding")
-        .collect()
-    )
-    table_rows = []
-    for r in qrows:
-        qv = [float(x) for x in r["embedding"]]
-        for mi in range(m):
-            for ki in range(k):
-                acc = 0.0
-                for d in range(dsub):
-                    t = qv[mi * dsub + d] - float(books[mi, ki, d])
-                    acc = acc + t * t
-                table_rows.append((int(r[id_col]), mi, ki, float(acc)))
-    dtable = spark.createDataFrame(
-        table_rows, "query_id long, m int, k int, d double"
-    )
+    dtable = _pq_dtable(emb, query_ids, m, k, id_col)
 
     unpivot = coded.select(
         F.col(id_col).alias("neighbor_id"),
@@ -644,6 +623,174 @@ def pq_adc_topk(
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
+        .agg(*[
+            F.sum(F.when(unpivot["m"] == i, F.col("d"))).alias(f"_d{i}")
+            for i in range(m)
+        ])
+    )
+    total = F.col("_d0")
+    for i in range(1, m):
+        total = total + F.col(f"_d{i}")
+    scored = parts.select(
+        "query_id", "neighbor_id", total.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def _pq_dtable(
+    emb: DataFrame,
+    query_ids: list[int],
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query ADC distance tables — ``(query_id, m, k, d)`` with
+    ``d = ||query_sub - centroid[m][k]||²`` computed driver-side with
+    the shared left-fold arithmetic (M·K doubles per query; broadcast
+    into the (m, code) lookup join by callers)."""
+    books = pq_seed_codebooks(emb, m, k, id_col)
+    dsub = books.shape[2]
+    spark = emb.sparkSession
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, "embedding")
+        .collect()
+    )
+    table_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        for mi in range(m):
+            for ki in range(k):
+                acc = 0.0
+                for d in range(dsub):
+                    t = qv[mi * dsub + d] - float(books[mi, ki, d])
+                    acc = acc + t * t
+                table_rows.append((int(r[id_col]), mi, ki, float(acc)))
+    return spark.createDataFrame(
+        table_rows, "query_id long, m int, k int, d double"
+    )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    base_path: str,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+) -> str:
+    """Materialize the IVF-PQ inverted lists (Jégou et al., TPAMI 2011
+    §IV — the FAISS ``IVFPQ`` layout): every corpus vector's PQ code
+    word stored under its home IVF cell's partition directory.
+
+    This is THE billion-scale serving artifact: the per-vector payload
+    is M small ints (~32× smaller than the raw floats, which stay in
+    cold storage), and a query batch's scan is pruned to its probed
+    cells at the PARTITION level — nprobe/n_cells of an already-32×-
+    compressed table is what makes exhaustive-within-cell search
+    affordable at 100 TB. Cell assignment and codes come from the same
+    Arrow kernels as the standalone IVF / PQ paths, so results compose
+    bit-identically."""
+    from sressentials_spark import sinks
+    from sressentials_spark.operators.linalg import pq_encode_kernel
+
+    kern = pq_encode_kernel(pq_seed_codebooks(emb, m, k, id_col))
+    lists = (
+        ivf_annotate(emb, n_cells, nprobe, id_col)
+        .withColumn("_codes", kern(F.col("embedding")))
+        .select(
+            F.col(id_col),
+            "cell",
+            *[
+                F.element_at("_codes", i + 1).alias(f"code_{i}")
+                for i in range(m)
+            ],
+        )
+    )
+    sinks.write_partitioned(lists, base_path, ["cell"])
+    return base_path
+
+
+def pq_adc_topk_ivf_from_index(
+    spark,
+    emb: DataFrame,
+    ivf_index_path: str,
+    ivfpq_path: str,
+    query_ids: list[int],
+    topk: int = 10,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search (IVFADC): coarse cell pruning composed with
+    compressed-domain asymmetric-distance scoring — each query ranks
+    only the PQ code words living in its ``nprobe`` probed cells, by
+    per-subspace table lookup; no raw corpus vector is ever touched.
+
+    Execution shape: the query batch's probed cells come from the
+    persisted IVF index (id-filtered row fetch), the candidate scan
+    reads ONLY those cells' partitions of the persisted inverted-list
+    table (``PartitionFilters`` — whole directories skipped), codes
+    unpivot to ``(m, code)`` and a broadcast per-query distance-table
+    join resolves every lookup. Distances re-associate in the fixed
+    ``((d0+d1)+d2)+d3`` order, so the doubles are bit-identical to the
+    flat-ADC path restricted to the same candidates. One shuffle (the
+    per-query rank window)."""
+    dtable = _pq_dtable(emb, query_ids, m, k, id_col)
+
+    qrows = (
+        spark.read.parquet(ivf_index_path)
+        .filter(F.col(id_col).isin(query_ids))
+        .select(id_col, "cells")
+        .collect()
+    )
+    probes = spark.createDataFrame(
+        [(int(r[id_col]), int(c)) for r in qrows for c in r["cells"]],
+        "query_id long, pcell int",
+    )
+    probed = sorted({int(c) for r in qrows for c in r["cells"]})
+
+    lists = spark.read.parquet(ivfpq_path).filter(F.col("cell").isin(probed))
+    cand = (
+        F.broadcast(probes)
+        .join(lists, F.col("pcell") == F.col("cell"))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            *[F.col(f"code_{i}") for i in range(m)],
+        )
+    )
+    unpivot = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("m"), F.col(f"code_{i}").alias("code")
+                )
+                for i in range(m)
+            ])
+        ).alias("mc"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("mc.m").alias("m"),
+        F.col("mc.code").alias("code"),
+    )
+    parts = (
+        unpivot.join(
+            F.broadcast(dtable),
+            (unpivot["query_id"] == dtable["query_id"])
+            & (unpivot["m"] == dtable["m"])
+            & (F.col("code") == F.col("k")),
+        )
+        .groupBy(unpivot["query_id"], "neighbor_id")
         .agg(*[
             F.sum(F.when(unpivot["m"] == i, F.col("d"))).alias(f"_d{i}")
             for i in range(m)

@@ -45,6 +45,31 @@ def state_partitions(spark: SparkSession, n: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+#: State-store backend required by ``transformWithStateInPandas``
+#: (Spark 4's arbitrary-state API is RocksDB-only). Bundled with the
+#: Spark distribution; also the production choice at scale — state
+#: lives off-heap on local disk with incremental checkpointing to the
+#: checkpoint location, instead of fully in executor memory.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def state_store_provider(spark: SparkSession, provider: str):
+    """Temporarily pin the streaming state-store backend (read at
+    query start; restored afterwards so other replays keep the
+    default HDFS-backed store)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(key, provider)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def replay_to_parquet(
     spark: SparkSession, stream_df: DataFrame, name: str
 ) -> tuple[DataFrame, list[dict]]:

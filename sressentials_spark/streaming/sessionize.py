@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 #: Inactivity gap that closes a session (must match catalog's
 #: ``_SESSION_GAP_US`` so the oracle restates both queries).
@@ -137,6 +138,126 @@ def run_sessionize_batch(
             spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
         )
         out, _ = replay_to_parquet(spark, src, "sessionize")
+    return out
+
+
+# --------------------------------------------------------------------------
+# transformWithState twin (Spark 4 arbitrary-state API)
+# --------------------------------------------------------------------------
+
+
+class SessionAssignProcessor(StatefulProcessor):
+    """The sessionizer re-expressed on ``transformWithStateInPandas`` —
+    Spark 4's successor to ``applyInPandasWithState``: state is a NAMED
+    value handle acquired in ``init`` (composable with list/map state
+    and timers) instead of one positional tuple, and the backend is
+    RocksDB (off-heap, incrementally checkpointed — the store a
+    production deployment runs anyway). Assignment logic, ordering
+    contract and output are identical to :func:`_assign_sessions`; the
+    shared oracle pins all the twins to the same session numbering."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._state = handle.getValueState("sess", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterable[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        us = _ts_us(pdf["ts"])
+        stored = self._state.get()
+        if stored is not None:
+            last_us, sid = stored
+            if len(us) and int(us.iloc[0]) < last_us:
+                raise ValueError(
+                    f"sessionize ordering contract violated for key {key}: "
+                    f"batch min event time {int(us.iloc[0])}us precedes "
+                    f"stored last-seen {last_us}us"
+                )
+        else:
+            last_us, sid = None, 0
+        session_ids = []
+        for t in us:
+            if last_us is None or t - last_us > SESSION_GAP_US:
+                sid += 1
+            last_us = t
+            session_ids.append(sid)
+        self._state.update((int(last_us), int(sid)))
+        out = pdf[["event_id", "user_id", "ts"]].copy()
+        out["session_id"] = pd.Series(session_ids, dtype="int64")
+        yield out
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_stream_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """:func:`sessionize_stream` on the ``transformWithState`` API."""
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(sf_dir)
+    events = stream.select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionAssignProcessor(),
+        outputStructType=_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def run_sessionize_tws_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay the transformWithState sessionizer to completion over a
+    RocksDB state store (the API requires it; also the store that
+    holds multi-TB state at production scale).
+
+    Environment boundary: the transformWithState Python<->JVM state
+    protocol is protobuf-based; without the ``protobuf`` package the
+    driver-side state server crashes opaquely, so we fail fast with a
+    clear error instead (the operator itself is complete — this is the
+    same documented sandbox boundary as the multimodal codec)."""
+    try:
+        from google.protobuf import descriptor as _  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the `protobuf` package "
+            "(Python<->JVM state protocol); install protobuf to run the "
+            "transformWithState sessionizer"
+        ) from exc
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        ROCKSDB_PROVIDER,
+        replay_to_parquet,
+        state_partitions,
+        state_store_provider,
+    )
+
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        with state_store_provider(spark, ROCKSDB_PROVIDER):
+            src = sessionize_stream_tws(
+                spark,
+                sf_dir,
+                glob=glob,
+                max_files_per_trigger=max_files_per_trigger,
+            )
+            out, _ = replay_to_parquet(spark, src, "sessionize_tws")
     return out
 
 

@@ -196,3 +196,69 @@ def test_cached_corpus_keyed_by_corpus_plan(spark):
     # read 0 if the first corpus' cached annotation leaked.
     assert all(abs(r["cosine"] - 1.0) < 1e-12 for r in got_b)
     release_persisted()
+
+
+class TestIvfPq:
+    def test_index_serves_pruned_and_matches_flat_adc_on_candidates(
+        self, spark, tmp_path
+    ):
+        """IVF-PQ contract: (a) the candidate scan is pruned to the
+        probed cells at the PARTITION level, and (b) every returned
+        pair's ADC distance is bit-identical to flat ADC, with the
+        ranking equal to flat ADC re-ranked within the IVF candidate
+        set (cell pruning changes WHICH pairs are scored, never a
+        score)."""
+        from sressentials_spark.operators.dedup import release_persisted
+        from sressentials_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        ivf_path = S.build_ivf_index(emb, str(tmp_path / "ivf"))
+        pq_path = S.build_ivfpq_index(emb, str(tmp_path / "ivfpq"))
+        qids = [0, 1, 2]
+
+        got = S.pq_adc_topk_ivf_from_index(
+            spark, emb, ivf_path, pq_path, qids, topk=10
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert any(
+            "cell" in seg.split("]")[0]
+            for seg in plan.split("PartitionFilters")[1:]
+        )
+        got_pdf = got.toPandas()
+
+        # Independent reference: flat ADC over ALL pairs, filtered to
+        # the IVF candidate set (home cell in the query's probed
+        # cells), re-ranked per query.
+        n = emb.count()
+        flat = S.pq_adc_topk(emb, qids, topk=n).toPandas()
+        idx = spark.read.parquet(ivf_path).select("vec_id", "cell", "cells")
+        home = {r["vec_id"]: r["cell"] for r in idx.collect()}
+        probed = {
+            r["vec_id"]: {int(c) for c in r["cells"]}
+            for r in idx.filter(F.col("vec_id").isin(qids)).collect()
+        }
+        release_persisted()
+        keep = flat[
+            flat.apply(
+                lambda r: home[r["neighbor_id"]] in probed[r["query_id"]],
+                axis=1,
+            )
+        ].copy()
+        keep = keep.sort_values(
+            ["query_id", "adc_dist", "neighbor_id"], kind="mergesort"
+        )
+        keep["rank"] = keep.groupby("query_id").cumcount() + 1
+        exp = keep[keep["rank"] <= 10].reset_index(drop=True)
+
+        got_pdf = got_pdf.sort_values(
+            ["query_id", "rank"], kind="mergesort"
+        ).reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got_pdf[["query_id", "neighbor_id", "adc_dist", "rank"]],
+            exp[["query_id", "neighbor_id", "adc_dist", "rank"]].astype(
+                got_pdf[["query_id", "neighbor_id", "adc_dist", "rank"]].dtypes
+            ),
+        )
+        assert len(got_pdf) > 0
