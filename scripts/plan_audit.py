@@ -86,6 +86,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "events_hourly_gapfill": {
         "BroadcastNestedLoopJoin": "one-row bounds x tiny type set spine"
     },
+    "events_hourly_locf": {
+        "BroadcastNestedLoopJoin": "one-row bounds x tiny type set spine"
+    },
     # Inherent grouping-sets expansion.
     "rollup_orders_status_priority": {"Expand": "ROLLUP grouping sets"},
     "cube_events_type_day": {"Expand": "CUBE grouping sets (chosen marginals)"},

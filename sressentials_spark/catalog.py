@@ -3201,6 +3201,76 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_locf",
+    """
+WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS mn,
+                  date_trunc('hour', MAX(ts)) AS mx FROM events),
+sp AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_start FROM b),
+ty AS (SELECT DISTINCT event_type FROM events),
+hc AS (SELECT date_trunc('hour', ts) AS h, event_type,
+              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM events GROUP BY 1, 2)
+SELECT hour_start, event_type, observed_cents,
+       last_value(observed_cents IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS cents_locf
+FROM (SELECT sp.hour_start, ty.event_type, hc.cents AS observed_cents
+      FROM sp CROSS JOIN ty
+      LEFT JOIN hc ON hc.h = sp.hour_start AND hc.event_type = ty.event_type) g
+""",
+)
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly metric with LAST-OBSERVATION-CARRIED-FORWARD
+    interpolation — the resampling verb behind feature backfills and
+    monitoring dashboards: silent hours inherit the previous observed
+    value (NULL until a type's first observation; integer cents so the
+    carry is hash-exact). Same spine shape as ``events_hourly_gapfill``
+    (the only full-data pass is the hourly sum; everything after is
+    O(types x hours), data-volume-independent). The LOCF window
+    partitions by event_type ordered by hour — its size is the
+    CALENDAR's length, not the corpus's, so the unbounded-preceding
+    frame (state = one value) never meets event-scale data."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    types = e.select("event_type").distinct()
+    spine = bounds.crossJoin(F.broadcast(types)).select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias(
+            "hour_start"
+        ),
+        "event_type",
+    )
+    grid = spine.join(
+        F.broadcast(hourly),
+        (F.col("h") == F.col("hour_start"))
+        & (spine["event_type"] == hourly["event_type"]),
+        "left",
+    ).select(
+        "hour_start",
+        spine["event_type"].alias("event_type"),
+        F.col("cents").alias("observed_cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.withColumn(
+        "cents_locf", F.last("observed_cents", ignorenulls=True).over(w)
+    )
+
+
+@register(
     "curation_group_sample_topn",
     C.group_sample_topn_oracle_sql("lang", 50),
 )
@@ -4473,6 +4543,123 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orphans.unionByName(no_cust).unionByName(dup_keys).unionByName(null_nation)
+    )
+
+
+@register(
+    "audit_value_constraints",
+    """
+WITH li AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+         CAST(SUM(CASE WHEN l_extendedprice <= 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+         CAST(SUM(CASE WHEN l_discount >= 0.05
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_disc
+  FROM lineitem
+),
+o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS bad_total,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_cust
+  FROM orders
+)
+SELECT 'lineitem_quantity_in_1_50' AS constraint_name,
+       li.n AS n_checked, li.bad_qty AS n_violations FROM li
+UNION ALL
+SELECT 'lineitem_discount_in_0_10pct', li.n, li.bad_disc FROM li
+UNION ALL
+SELECT 'lineitem_extendedprice_positive', li.n, li.bad_price FROM li
+UNION ALL
+SELECT 'lineitem_high_discount_warn', li.n, li.high_disc FROM li
+UNION ALL
+SELECT 'orders_totalprice_positive', o.n, o.bad_total FROM o
+UNION ALL
+SELECT 'orders_custkey_not_null', o.n, o.null_cust FROM o
+""",
+)
+def audit_value_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level expectations suite — the complement of the
+    referential audit: range, ordering and nullability constraints
+    with (n_checked, n_violations) per constraint, the gate an ingest
+    pipeline evaluates before promoting a snapshot. All constraints
+    over one table fold in a SINGLE conditional-aggregation scan
+    (map-side partials; one row crosses the shuffle per constraint),
+    so auditing k constraints costs one pass, not k. The
+    ``high_discount_warn`` check is deliberately a WARN-tier
+    threshold expectation with real hits in TPC-H-shaped data
+    (discounts are uniform 0-0.10), so the suite demonstrably
+    reports rather than asserts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).cast("long").alias("bad_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        ).cast("long").alias("bad_disc"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)
+        ).cast("long").alias("bad_price"),
+        F.sum(
+            F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
+        ).cast("long").alias("high_disc"),
+    )
+    o_agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_total"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_cust"),
+    )
+
+    def unpivot(src: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+        # Explode the ONE-ROW aggregate into one row per constraint —
+        # a union of per-constraint selects would re-run the scan per
+        # branch; this keeps it one pass per table.
+        return src.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(nm).alias("constraint_name"),
+                        F.col("n").alias("n_checked"),
+                        F.col(c).alias("n_violations"),
+                    )
+                    for nm, c in pairs
+                ])
+            ).alias("r")
+        ).select("r.*")
+
+    return unpivot(
+        li_agg,
+        [
+            ("lineitem_quantity_in_1_50", "bad_qty"),
+            ("lineitem_discount_in_0_10pct", "bad_disc"),
+            ("lineitem_extendedprice_positive", "bad_price"),
+            ("lineitem_high_discount_warn", "high_disc"),
+        ],
+    ).unionByName(
+        unpivot(
+            o_agg,
+            [
+                ("orders_totalprice_positive", "bad_total"),
+                ("orders_custkey_not_null", "null_cust"),
+            ],
+        )
     )
 
 
