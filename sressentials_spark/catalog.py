@@ -5680,6 +5680,38 @@ def streaming_cdc_upsert_foreachbatch(
 
 
 @register(
+    "streaming_rollup_mv_foreachbatch",
+    """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+)
+def streaming_rollup_mv_foreachbatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily x type
+    rollup kept warm by folding each micro-batch's PARTIAL aggregate
+    into an on-disk MV (read, union, re-sum per key, rewrite) — the
+    additive complement of the latest-wins CDC merge, and the shape
+    that makes a 100 TB/day serving rollup affordable: per-batch work
+    is O(batch + |MV keys|), never O(event history). Additive merges
+    have the retry hazard latest-wins doesn't (a re-run batch
+    double-counts), so the MV commit carries a committed-batch
+    high-water mark making retries no-ops — pinned by a hand-replayed
+    duplicate batch in tests/test_streaming_mv.py. Genuinely
+    multi-batch (staged ordered arrivals, one file per trigger); must
+    equal the one-shot relational rollup exactly
+    (streaming/rollup_mv.py)."""
+    from sressentials_spark.streaming.rollup_mv import (
+        run_rollup_mv_foreachbatch,
+    )
+
+    return run_rollup_mv_foreachbatch(spark, sf_dir)
+
+
+@register(
     "orc_documents_source",
     """
 SELECT doc_id, lang, n_chars, md5(text) AS text_md5
