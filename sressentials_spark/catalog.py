@@ -6010,6 +6010,59 @@ def clustered_lineitem_month_scan(
 
 
 @register(
+    "maintenance_compact_clustered",
+    ORACLE_SQL["clustered_lineitem_month_scan"],
+)
+def maintenance_compact_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-preserving compaction, end to end: the
+    shipdate-range-clustered lineitem layout compacted to half its
+    file count through CONTIGUOUS listing-order bins
+    (operators/maintenance.py::compact_clustered_files — plain
+    coalesce compaction interleaves ranges and kills footer skipping;
+    the test that caught that is why this variant exists), then the
+    same one-month rollup as `clustered_lineitem_month_scan` run
+    against the COMPACTED layout. Same oracle: compaction changes
+    layout, never data — and the disjoint per-file ranges that make
+    the month scan skip files survive it (pinned by
+    tests/test_maintenance.py)."""
+    import os
+
+    from sressentials_spark.operators import maintenance as MT
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.scratch import scratch_dir
+    from sressentials_spark.sources.columnar import ensure_lineitem_clustered
+
+    def _build() -> str:
+        src = ensure_lineitem_clustered(spark, sf_dir)
+        total = sum(b for _, b in MT.file_manifest(src))
+        out = os.path.join(scratch_dir("sressentials_compact_clust_"), "out")
+        stats = MT.compact_clustered_files(
+            spark, src, out, target_bytes=-(-total // 2)
+        )
+        assert stats["files_after"] < stats["files_before"], stats
+        return out
+
+    path = get_or_build_disk_artifact(
+        spark, ("compact_clustered", sf_dir), _build
+    )
+    li = spark.read.parquet(path)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
     "sketch_quantile_error_eval",
     K.quantile_error_eval_oracle_sql("events", "value"),
 )

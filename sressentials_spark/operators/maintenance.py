@@ -17,13 +17,17 @@ target regardless of how skewed the input files are. (Object-store
 deployments read the same numbers from the listing API; a lakehouse
 table format — Delta/Iceberg — from its manifest.)
 
-Caveat, documented not hidden: ``coalesce`` concatenates partitions in
-index order, so a directory whose files are range-clustered (the
-Z-order / range layouts in ``sources.columnar``) keeps its clustering
-only if input listing order matches cluster order — true for the
-sorted part-file naming Spark emits. Min/max pruning survives
-compaction in that case; a clustering-destroying compaction would need
-the range-repartition write path instead.
+Clustering caveat — MEASURED, not assumed: plain ``coalesce`` does NOT
+preserve a range-clustered layout. Its partition coalescer groups
+input partitions by locality, not listing order, so ranges from
+opposite ends of the sort interleave into the same output file and
+footer-stats skipping dies (the first version of this module claimed
+otherwise; tests/test_maintenance.py caught it). Compacting a
+clustered layout therefore goes through
+:func:`compact_clustered_files`, which bins CONTIGUOUS files (listing
+order = cluster order for the range/Z-order layouts) and concatenates
+each bin into one output file — per-file min/max stay disjoint, still
+zero shuffles, at the price of one small read job per output file.
 """
 
 from __future__ import annotations
@@ -74,6 +78,69 @@ def compact_small_files(
         "bytes_before": total,
         "bytes_after": sum(b for _, b in out_manifest),
         "target_files": n_out,
+    }
+
+
+def compact_clustered_files(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> dict:
+    """Clustering-PRESERVING compaction: bin contiguous files from the
+    sorted listing (= cluster order for the range/Z-order layouts in
+    ``sources.columnar``) and concatenate each bin into one output
+    file, so per-file min/max footer stats stay disjoint and data
+    skipping survives the nightly compaction. Plain
+    :func:`compact_small_files` cannot guarantee this — coalesce's
+    partition coalescer groups by locality and interleaves ranges —
+    so the choice between the two is the clustered-vs-unclustered
+    layout question, made explicit instead of silently wrong. One
+    narrow read job per output file, zero shuffles; row-group stats
+    inside an output file may widen (rows of a bin can interleave),
+    but file-level pruning — the granularity object-store listing
+    cares about — is preserved (pinned by tests)."""
+    import shutil
+
+    manifest = file_manifest(src_dir)
+    if not manifest:
+        raise ValueError(f"no parquet part files under {src_dir}")
+    total = sum(b for _, b in manifest)
+
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f, b in manifest:
+        if cur and cur_bytes + b > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += b
+    if cur:
+        bins.append(cur)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, bin_files in enumerate(bins):
+        tmp = os.path.join(out_dir, f"_bin{i}")
+        (
+            spark.read.parquet(*bin_files)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = globmod.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(
+            part, os.path.join(out_dir, f"part-{i:05d}-compacted.parquet")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out_manifest = file_manifest(out_dir)
+    return {
+        "files_before": len(manifest),
+        "files_after": len(out_manifest),
+        "bytes_before": total,
+        "bytes_after": sum(b for _, b in out_manifest),
+        "target_files": len(bins),
     }
 
 

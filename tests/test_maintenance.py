@@ -3,6 +3,8 @@ and — the operator's whole point — a shuffle-free physical plan."""
 
 from __future__ import annotations
 
+import tempfile
+
 from sressentials_spark.operators import maintenance as MT
 
 SF = "/root/testdata/sf0.001"
@@ -94,3 +96,37 @@ def test_partition_overwrite_touches_only_target_day(spark, tmp_path):
     )
     assert back.count() == events.count()
     assert back.exceptAll(events).isEmpty()
+
+
+def test_compaction_preserves_range_clustering(spark):
+    """Compacting the shipdate-range-clustered layout through
+    compact_clustered_files (contiguous listing-order bins) keeps
+    per-file shipdate ranges DISJOINT, so footer-stats skipping
+    survives the nightly compaction. Plain coalesce compaction does
+    NOT have this property — its partition coalescer groups by
+    locality and interleaves ranges (this test originally pinned the
+    opposite claim against compact_small_files and FAILED, which is
+    why the clustered variant exists)."""
+    from datetime import datetime
+
+    from sressentials_spark.operators import maintenance as MT
+    from sressentials_spark.sources import columnar
+    from tests.test_columnar_layout import _file_ranges
+
+    src = columnar.ensure_lineitem_clustered(spark, "/root/testdata/sf0.001")
+    total = sum(b for _, b in MT.file_manifest(src))
+    out = tempfile.mkdtemp(prefix="sressentials_compact_clust_")
+    stats = MT.compact_clustered_files(
+        spark, src, out, target_bytes=-(-total // 2)
+    )
+    assert stats["files_after"] < stats["files_before"]
+    assert (
+        spark.read.parquet(out).count() == spark.read.parquet(src).count()
+    )
+
+    ranges = sorted(_file_ranges(out, "l_shipdate"))
+    for (_lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, f"compaction destroyed clustering: {hi_a} !< {lo_b}"
+    start, end = datetime(1997, 6, 1), datetime(1997, 7, 1)
+    hit = [r for r in ranges if r[0] < end and r[1] >= start]
+    assert len(hit) <= 1, f"month should hit <=1 compacted file, hit {len(hit)}"
