@@ -2372,6 +2372,35 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_batch(spark, sf_dir)
 
 
+@register(
+    "streaming_silent_users",
+    # Gap literal must match streaming/absence.py::SILENCE_GAP_US.
+    """
+SELECT user_id, ts AS last_ts
+FROM (SELECT user_id, ts,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events)
+WHERE nxt IS NULL OR nxt > ts + INTERVAL 7 DAY
+""",
+)
+def streaming_silent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence detection — TIMER-DRIVEN emission, the one streaming
+    capability data-driven operators can't express: a user silent for
+    more than 7 days emits an alert row carrying their last-seen event
+    time, produced by an ``EventTimeTimeout`` firing when the
+    WATERMARK passes ``last + gap`` with no new data (in-batch and
+    timer-latency gaps are detected input-side; a fired timer clears
+    state so no silence ever emits twice). One long of state per
+    active user on the uniform user_id key; alerts are O(silence
+    periods), never O(events). The oracle restates every maximal
+    silence with a single LEAD window, including each user's trailing
+    silence (streaming/absence.py::run_absence_batch)."""
+    from sressentials_spark.streaming.absence import run_absence_batch
+
+    return run_absence_batch(spark, sf_dir)
+
+
 # A transformWithStateInPandas twin of the sessionizer ships in
 # streaming/sessionize.py::SessionAssignProcessor (Spark 4's successor
 # arbitrary-state API: named state handles, RocksDB backend). It is NOT
