@@ -91,6 +91,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     },
     # Inherent grouping-sets expansion.
     "rollup_orders_status_priority": {"Expand": "ROLLUP grouping sets"},
+    "events_sliding_2h_rollup": {
+        "Expand": "hopping-window assignment (bounded window/slide = 2x)"
+    },
     "cube_events_type_day": {"Expand": "CUBE grouping sets (chosen marginals)"},
     # Deliberate exact baseline: tiny broadcast query set x corpus.
     "sim_cosine_topk": {

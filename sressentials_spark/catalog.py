@@ -3230,6 +3230,60 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_2h_rollup",
+    """
+WITH x AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         date_trunc('hour', ts) AS h
+  FROM events
+),
+w AS (
+  SELECT event_type, cents, h AS win_start FROM x
+  UNION ALL
+  SELECT event_type, cents, h - INTERVAL 1 HOUR FROM x
+)
+SELECT win_start,
+       win_start + INTERVAL 2 HOUR AS win_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM w GROUP BY 1, 2, 3
+""",
+)
+def events_sliding_2h_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) windows — the one window-assignment semantics
+    the tumbling/gap-fill/session families don't cover: 2-hour windows
+    every 1 hour, so each event lands in exactly TWO overlapping
+    windows (Spark's ``window(ts, '2 hours', '1 hour')`` expands the
+    assignment; the oracle restates it as a two-offset UNION ALL).
+    The smoothing rollup behind moving dashboards and rate alerting;
+    the expansion factor is window/slide — bounded and explicit — and
+    the aggregate stays map-side-combinable on (window, type). Same
+    integer-cents discipline as the tumbling twin, so the overlap is
+    hash-exact."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
     "events_hourly_locf",
     """
 WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS mn,
