@@ -741,6 +741,63 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
 
 
+@register(
+    "dedup_simhash_recall_eval",
+    None,  # composed from the exact-Jaccard and SimHash oracles below
+)
+def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-strategy quality eval, completing the symmetry the ANN
+    tier already has: of the ground-truth duplicate pairs (exact
+    Jaccard >= 0.8 — the verified MinHash-LSH output), what fraction
+    does the cheaper SimHash route surface? MinHash-LSH is
+    recall~1 at its design point by construction (its oracle IS the
+    exact join), but SimHash compresses each document to ONE 48-bit
+    word — lossy by design — so its recall against set-similarity
+    ground truth is a real, informative number: the knob loop for
+    (bits, bands, max_hamming), measured in-engine the way the
+    LSH/PQ/IVF recall evals are."""
+    exact = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    sim = (
+        QUERIES["dedup_simhash_pairs"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(sim, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "n_exact",
+            "n_hits",
+            F.when(
+                F.col("n_exact") > 0,
+                F.expr("(1000 * n_hits) div n_exact"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )
+
+
+ORACLE_SQL["dedup_simhash_recall_eval"] = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                 ELSE (1000 * SUM(CASE WHEN s.doc_a IS NOT NULL
+                                       THEN 1 ELSE 0 END)) // COUNT(*)
+            END AS BIGINT) AS recall_permille
+FROM ({ORACLE_SQL["dedup_minhash_lsh"]}) e
+LEFT JOIN ({ORACLE_SQL["dedup_simhash_pairs"]}) s
+  ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b
+"""
+
+
 def _dot_sql(a: str, b: str) -> str:
     return (
         f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
