@@ -26,13 +26,11 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 #: Queries whose oracle/engine just changed and must be re-rowed this
 #: round regardless of ledger freshness (cleared once their fresh green
-#: row lands). r6: the three r5 red rows fixed by CASTing the DuckDB
-#: ``//`` output columns to BIGINT.
-_FORCE_FIRST = (
-    "tpch_q14_promo_revenue",
-    "sim_lsh_recall_at_k",
-    "sim_lsh_multiprobe_recall_at_k",
-)
+#: row lands). r7: empty — the three r5-fixed queries got fresh green
+#: rows in CORRECTNESS_r06.json, so every rotation slot goes to the
+#: least-recently-rowed queries (the 6 never-rowed r6 additions first,
+#: then the r3/r4 backlog including all 8 core mongo_*/mysql_* rows).
+_FORCE_FIRST: tuple[str, ...] = ()
 
 
 def _last_rowed_round() -> dict[str, int]:

@@ -122,18 +122,34 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
-    print(json.dumps(payload))
-    # Also mirror the artifact in-repo: the driver's BENCH_r{N} capture
-    # truncates long stdout lines, losing the per-query map — a
-    # committed bench_r{N}.json is the durable record. Round number via
-    # SPARK_GRAFT_ROUND; skipped for partial (SPARK_GRAFT_ONLY) runs.
+    # The full per-query map goes to a FILE, never stdout: at 160
+    # queries the single-line payload outgrew the driver's captured
+    # stdout tail two rounds running (BENCH_r05/r06 "parsed": null).
+    # The driver parses the LAST stdout line, so print a compact summary
+    # (a handful of headline queries only) as the final line.
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_full.json")
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd and not only:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            f"bench_r{rnd}.json")
+    if not only:
         with open(out, "w") as fh:
             json.dump(payload, fh, indent=2, sort_keys=True)
-        print(f"[bench] wrote {out}", file=sys.stderr)
+        print(f"[bench] per-query map written to {out}", file=sys.stderr)
+    headline = (
+        "mongo_query_stats", "mysql_aggregate", "tpch_q1_pricing_summary",
+        "dedup_minhash_lsh", "sim_cosine_topk_ivf", "emb_kmeans_clusters",
+    )
+    summary = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: times[n] for n in headline if n in times},
+        "n_queries": len(times),
+        "sf": sf,
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -5909,7 +5909,11 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
         stats = MT.compact_small_files(
             spark, small, compacted, target_bytes=-(-total // 4)
         )
-        assert stats["files_after"] < stats["files_before"] // 8, stats
+        # Explicit raise, not assert: under `python -O` an assert is a
+        # no-op and a silently non-compacting rewrite would be cached
+        # and served as the query result.
+        if stats["files_after"] >= stats["files_before"] // 8:
+            raise ValueError(f"compaction did not reduce file count: {stats}")
         return compacted
 
     path = get_or_build_disk_artifact(spark, ("compact_docs", sf_dir), _build)
@@ -5939,13 +5943,19 @@ def maintenance_partition_overwrite_rebuild(
     table). Returns the repaired day re-read from the layout; the
     oracle asserts it equals the source exactly. This idempotent
     day-swap is the backfill/repair verb on a date-partitioned 100 TB
-    table (operators/maintenance.py::corrupt_then_rebuild_day)."""
+    table (operators/maintenance.py::corrupt_then_rebuild_day). The
+    drill runs against its OWN layout copy
+    (ensure_events_partitioned_repair), never the shared pruned-week
+    artifact — a run dying between corrupt and rebuild must not poison
+    other readers of the session-cached layout."""
     from sressentials_spark.operators.maintenance import (
         corrupt_then_rebuild_day,
     )
-    from sressentials_spark.sources.columnar import ensure_events_partitioned
+    from sressentials_spark.sources.columnar import (
+        ensure_events_partitioned_repair,
+    )
 
-    path = ensure_events_partitioned(spark, sf_dir)
+    path = ensure_events_partitioned_repair(spark, sf_dir)
     return corrupt_then_rebuild_day(spark, sf_dir, path, "2024-01-20")
 
 
@@ -6179,7 +6189,9 @@ def maintenance_compact_clustered(spark: SparkSession, sf_dir: str) -> DataFrame
         stats = MT.compact_clustered_files(
             spark, src, out, target_bytes=-(-total // 2)
         )
-        assert stats["files_after"] < stats["files_before"], stats
+        # Explicit raise (assert is stripped under `python -O`).
+        if stats["files_after"] >= stats["files_before"]:
+            raise ValueError(f"compaction did not reduce file count: {stats}")
         return out
 
     path = get_or_build_disk_artifact(

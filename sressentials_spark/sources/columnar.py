@@ -129,6 +129,24 @@ def ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def ensure_events_partitioned_repair(spark: SparkSession, sf_dir: str) -> str:
+    """A PRIVATE day-partitioned layout for the corrupt-then-rebuild
+    repair drill. The drill deliberately clobbers a partition before
+    rebuilding it; running it against the shared
+    ``ensure_events_partitioned`` artifact would leave that layout
+    half-corrupted for the rest of the session if the run died between
+    the corrupting overwrite and the rebuild, silently poisoning every
+    later reader (e.g. ``partitioned_events_pruned_week``). A dedicated
+    artifact key gives the drill its own copy to break and fix."""
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+
+    return get_or_build_disk_artifact(
+        spark,
+        ("events_partitioned_repair", sf_dir),
+        lambda: _render_events_partitioned(spark, sf_dir),
+    )
+
+
 def pruned_week_rollup(
     spark: SparkSession, sf_dir: str, start: str = "2024-01-08", end: str = "2024-01-14"
 ) -> DataFrame:

@@ -76,6 +76,19 @@ def _detect_silence(
     us = pdf["ts"].astype("datetime64[us]").astype("int64")
 
     last = int(state.get[0]) if state.exists else None
+    if last is not None and len(us) and int(us.iloc[0]) < last:
+        # Ordering-contract violation (same guard as the sessionizer's
+        # strict variant): this operator requires per-user cross-batch
+        # event-time order — a batch opening BEFORE the stored
+        # last-seen time would otherwise move `last` backwards and
+        # silently corrupt every subsequent gap. The staged replay
+        # guarantees order by construction; anything else must fail
+        # loudly, not degrade.
+        raise ValueError(
+            f"absence detector: user {key[0]} batch opens at "
+            f"{int(us.iloc[0])}us, before stored last-seen {last}us — "
+            "cross-batch arrival disorder violates the ordering contract"
+        )
     alerts: list[int] = []
     for t in (int(x) for x in us):
         # In-batch gaps AND the stored-last -> first-new-row gap (a
@@ -146,9 +159,24 @@ def _stage_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-def run_absence_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Watermark observability from the most recent absence replay
+#: (mirrors ``sessionize.LAST_OOO_STATS``): ``dropped_late`` counts
+#: rows Spark's late-data filter silently discarded. A production
+#: deployment alerts on it; the staged replay keeps it 0 by
+#: construction, and tests/test_streaming_late_data.py pins that a
+#: beyond-delay row is COUNTED here instead of vanishing.
+LAST_ABSENCE_STATS: dict[str, int] = {}
+
+
+def run_absence_batch(
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+) -> DataFrame:
     """Replay the staged arrival through the absence detector and
-    return every silence alert (sentinel excluded)."""
+    return every silence alert (sentinel excluded).
+
+    ``stage_dir`` (tests only) replays pre-staged arrival files
+    instead of the canonical staging — used to pin late-data
+    accounting with an adversarial beyond-delay row."""
     from sressentials_spark.operators.dedup import get_or_build_disk_artifact
     from sressentials_spark.streaming import (
         DEFAULT_STATE_PARTITIONS,
@@ -157,9 +185,13 @@ def run_absence_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions,
     )
 
-    stage_dir = get_or_build_disk_artifact(
-        spark, ("absence_stage", sf_dir), lambda: _stage_with_sentinel(spark, sf_dir)
-    )
+    prestaged = stage_dir is not None
+    if stage_dir is None:
+        stage_dir = get_or_build_disk_artifact(
+            spark,
+            ("absence_stage", sf_dir),
+            lambda: _stage_with_sentinel(spark, sf_dir),
+        )
     with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
         stream = (
             spark.readStream.schema("event_id long, user_id long, ts timestamp")
@@ -181,7 +213,13 @@ def run_absence_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out, progress = replay_to_parquet(spark, alerts, "absence")
     dropped = dropped_by_watermark(progress)
-    if dropped:
+    LAST_ABSENCE_STATS.clear()
+    LAST_ABSENCE_STATS.update(dropped_late=dropped)
+    if dropped and not prestaged:
+        # The canonical staging is event-time ordered, so a drop there
+        # means missing alerts — fail the registered query loudly. A
+        # prestaged adversarial replay instead OBSERVES the drop via
+        # the counter (the production alerting surface).
         raise ValueError(
             f"absence replay late-dropped {dropped} rows: staged arrival "
             "disorder exceeded the watermark delay"

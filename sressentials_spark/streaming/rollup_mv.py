@@ -73,10 +73,14 @@ class RollupMvWriter:
         self._marker = os.path.join(base_dir, "_committed_batch")
 
     def committed_batch(self) -> int:
+        # ValueError too: a truncated/garbled marker (crash mid-write)
+        # must read as "nothing committed" — the batch re-merges, which
+        # the double-count window below already documents — rather than
+        # kill the stream with an unhandled parse error.
         try:
             with open(self._marker) as fh:
                 return int(fh.read().strip())
-        except OSError:
+        except (OSError, ValueError):
             return -1
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
