@@ -134,8 +134,13 @@ def _stage_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts"
     )
+    # 2 ordered arrival files + sentinel = 3 micro-batches: the minimum
+    # that exercises cross-batch state (stored-last -> first-new-row
+    # gaps), watermark advance, and the timer-drain round. More files
+    # only multiply fixed per-batch state-store latency (r6 plan
+    # audit: 7.2 s at 5 batches, dominated by harness overhead).
     (
-        e.repartitionByRange(4, "ts")
+        e.repartitionByRange(2, "ts")
         .write.mode("overwrite")
         .parquet(f"{d}/arrivals")
     )

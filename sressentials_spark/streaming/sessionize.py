@@ -351,7 +351,14 @@ def _assign_sessions_ooo(
 #: so no row ever arrives behind the watermark (zero late drops, exact
 #: batch parity).
 _JITTER_US = 10 * 60 * 1_000_000
-_OOO_FILES = 4
+#: 3 arrival files + sentinel = 4 micro-batches. The pinned semantics
+#: (cross-batch reorder-buffer state, watermark lag, timer drain) need
+#: at least 3 batches — two arrival boundaries with REAL disorder plus
+#: the sentinel flush; each extra forced batch only re-pays fixed
+#: per-micro-batch harness latency (state snapshot/commit), which at
+#: replay scale dominates wall-clock (r6 plan audit: 8.1 s, ~6% of the
+#: whole suite, almost all of it batch overhead).
+_OOO_FILES = 3
 
 #: Watermark observability from the most recent OOO replay:
 #: ``dropped_late`` (rows Spark's late-data filter discarded — disorder
