@@ -1339,6 +1339,128 @@ GROUP BY e.query_id
 
 
 @register(
+    "sim_ivf_index_ingest",
+    None,  # composed oracle appended below
+)
+def sim_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the ANN twin of
+    ``dedup_incremental_ingest``: the first 70% of the corpus (by
+    vec_id) builds the persisted cell-partitioned index, the newest
+    30% arrives as an ingest batch and is APPENDED into the inverted
+    lists using the centroids FROZEN at build time
+    (:func:`similarity.ingest_ivf_index` — assign the batch, append
+    its cell partitions; existing list files are never read or
+    rewritten, enforced here by a size+mtime snapshot and pinned
+    independently in tests/test_similarity_ivf.py). Serving then reads
+    the merged lists exactly like the rebuild-only path. Returns
+    recall@10 of the post-ingest search against the exact top-k over
+    the FULL corpus — the number that tells an operator when centroid
+    drift has accumulated enough to warrant the periodic re-seed
+    rebuild. Per-ingest cost at 100 TB: O(batch), never O(index)."""
+    import glob as _glob
+    import os as _os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+
+    def _build() -> str:
+        from sressentials_spark.scratch import scratch_dir
+
+        base = S.build_ivf_index(
+            emb.filter(F.col("vec_id") < split),
+            scratch_dir("sressentials_ivf_ingest_"),
+        )
+        pre = {
+            p: (_os.path.getsize(p), _os.path.getmtime(p))
+            for p in _glob.glob(f"{base}/cell=*/*.parquet")
+        }
+        S.ingest_ivf_index(emb.filter(F.col("vec_id") >= split), base)
+        post = {
+            p: (_os.path.getsize(p), _os.path.getmtime(p))
+            for p in _glob.glob(f"{base}/cell=*/*.parquet")
+        }
+        changed = [p for p in pre if post.get(p) != pre[p]]
+        if changed or len(post) <= len(pre):
+            raise ValueError(
+                f"ingest must only append new list files: changed="
+                f"{changed[:3]} pre={len(pre)} post={len(post)}"
+            )
+        return base
+
+    path = D.get_or_build_disk_artifact(
+        spark, ("ivf_ingest_index", sf_dir, split), _build
+    )
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        S.cosine_topk_ivf_from_index(spark, path, _TOPK_QUERY_IDS, k=10)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+# Restatement: centroids seeded from the HISTORY side only (the frozen
+# build-time seeds), every vector — history and ingested batch alike —
+# assigned to those centroids, probes/scoring as in the plain IVF
+# oracle, recall joined against the exact top-k over the full corpus.
+ORACLE_SQL["sim_ivf_index_ingest"] = f"""
+WITH split AS (SELECT (max(vec_id) + 1) * 7 // 10 AS s FROM embeddings),
+seeds AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings
+  WHERE vec_id < (SELECT s FROM split)
+  ORDER BY ('0x' || substring(md5('{S.IVF_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           vec_id
+  LIMIT {S.IVF_CELLS}
+),
+assign AS (
+  SELECT vec_id, embedding, cid, ccos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM (SELECT e.vec_id, e.embedding, s.cid,
+               {_cos_sql('e.embedding', 's.cv')} AS ccos
+        FROM embeddings e CROSS JOIN seeds s)
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qv, cid AS pcell FROM assign
+           WHERE vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})
+             AND rn <= {S.IVF_NPROBE}),
+scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                  {_cos_sql('p.qv', 'c.embedding')} AS cosine
+           FROM probes p JOIN cells c ON c.cell = p.pcell AND c.vec_id <> p.query_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored),
+approx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_permille
+FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
     "sim_pq_adc_topk_ivf",
     f"""
 WITH {_PQ_ASSIGN_SQL},

@@ -247,7 +247,21 @@ def ivf_annotate(
     ``nprobe`` nearest ``cells``, and the home ``cell`` (first probe).
     One Arrow-kernel pass over the corpus."""
     ids, mat = ivf_seed_centroids(emb, n_cells, id_col=id_col)
-    kern = ivf_cells_kernel(ids, mat, nprobe)
+    return ivf_annotate_frozen(emb, ids, mat, nprobe)
+
+
+def ivf_annotate_frozen(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    centroid_mat,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """:func:`ivf_annotate` against FROZEN centroids, the assignment
+    pass index INGEST needs: new batches are placed by the centroids
+    captured at build time (persisted beside the lists), never
+    re-seeded — re-seeding would reshuffle every existing vector's
+    cell and turn an append into a rebuild."""
+    kern = ivf_cells_kernel(centroid_ids, centroid_mat, nprobe)
     return emb.withColumn("_nc", kern(F.col("embedding"))).select(
         *emb.columns,
         F.col("_nc.norm").alias("norm"),
@@ -274,11 +288,66 @@ def build_ivf_index(
     build is paid once and every query batch reads ~nprobe/n_cells of
     the data. The assignment pass is the same Arrow kernel as the
     in-session path, so serving from the store is bit-identical to
-    :func:`cosine_topk_ivf`."""
+    :func:`cosine_topk_ivf`.
+
+    The seed centroids are persisted beside the lists (under
+    ``_centroids`` — the underscore prefix keeps the directory
+    invisible to Spark's file index and partition discovery, like
+    ``_spark_metadata``) so :func:`ingest_ivf_index` can assign later
+    batches with the build-time centroids instead of re-seeding."""
     from sressentials_spark import sinks
 
+    ids, mat = ivf_seed_centroids(emb, n_cells, id_col=id_col)
     sinks.write_partitioned(
-        ivf_annotate(emb, n_cells, nprobe, id_col), base_path, ["cell"]
+        ivf_annotate_frozen(emb, ids, mat, nprobe), base_path, ["cell"]
+    )
+    emb.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)],
+        "cid long, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_centroids")
+    return base_path
+
+
+def load_ivf_centroids(spark, base_path: str):
+    """The frozen centroids persisted by :func:`build_ivf_index`, as
+    the same ``(ids, (K, dim) float64 matrix)`` shape
+    :func:`ivf_seed_centroids` returns."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{base_path}/_centroids").orderBy("cid").collect()
+    ids = [int(r["cid"]) for r in rows]
+    mat = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    return ids, mat
+
+
+def ingest_ivf_index(
+    emb_batch: DataFrame,
+    base_path: str,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """Append a new vector batch into a persisted cell-partitioned IVF
+    index WITHOUT a rebuild: assign the batch with the FROZEN
+    build-time centroids (one Arrow pass over the batch only), then an
+    append-mode partitioned write — new part files land under the
+    batch's cell directories; no existing list file is ever read,
+    listed into tasks, or rewritten (pinned by
+    tests/test_similarity_ivf.py via file sizes + mtimes).
+
+    This is the ANN twin of the dedup index's incremental ingest
+    (operators/dedup.py::minhash_incremental_from_index): at 100 TB
+    per-batch cost is O(batch), never O(index). The trade is the
+    standard IVF one — frozen centroids drift from the data
+    distribution over time, degrading recall (measured by the
+    ``sim_ivf_index_ingest`` recall eval); a periodic re-seed rebuild
+    remains the maintenance verb, amortized across many ingests."""
+    from sressentials_spark import sinks
+
+    ids, mat = load_ivf_centroids(emb_batch.sparkSession, base_path)
+    sinks.write_partitioned(
+        ivf_annotate_frozen(emb_batch, ids, mat, nprobe),
+        base_path,
+        ["cell"],
+        mode="append",
     )
     return base_path
 

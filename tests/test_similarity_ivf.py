@@ -262,3 +262,70 @@ class TestIvfPq:
             ),
         )
         assert len(got_pdf) > 0
+
+
+class TestIncrementalIngest:
+    def test_append_only_and_annotation_parity(self, spark, emb, tmp_path):
+        """Ingest contract (sim_ivf_index_ingest): appending a batch
+        into the persisted lists (a) never touches an existing list
+        file — sizes and mtimes survive byte-identically and every new
+        file lands under a cell directory — and (b) produces exactly
+        the table a fresh frozen-centroid assignment over the merged
+        corpus would, so serving from the ingested index is
+        bit-identical to serving from a one-shot build with the same
+        seeds."""
+        import glob
+        import os
+
+        hist = emb.filter(F.col("vec_id") < 40)
+        batch = emb.filter(F.col("vec_id") >= 40)
+        base = S.build_ivf_index(hist, str(tmp_path / "idx"), n_cells=4)
+
+        pre = {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{base}/cell=*/*.parquet")
+        }
+        assert pre, "build produced no list files"
+        S.ingest_ivf_index(batch, base)
+        post = {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{base}/cell=*/*.parquet")
+        }
+        # (a) strict append: every pre-existing file intact, new files
+        # only under cell=*/ directories.
+        assert {p: pre[p] for p in pre} == {p: post[p] for p in pre}
+        assert len(post) > len(pre)
+
+        # (b) the merged lists equal a fresh frozen assignment of the
+        # whole corpus (same centroids, same kernel).
+        ids, mat = S.load_ivf_centroids(spark, base)
+        expect = (
+            S.ivf_annotate_frozen(emb, ids, mat)
+            .withColumn("cell", F.col("cell").cast("int"))
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            spark.read.parquet(base)
+            .select(*expect.columns)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got.astype({"cell": "int32"}), expect.astype({"cell": "int32"})
+        )
+
+    def test_frozen_centroids_roundtrip(self, spark, emb, tmp_path):
+        base = S.build_ivf_index(emb, str(tmp_path / "idx2"), n_cells=4)
+        ids, mat = S.load_ivf_centroids(spark, base)
+        ids0, mat0 = S.ivf_seed_centroids(emb, n_cells=4)
+        # Store order is cid-ascending, seed order is hash-ascending;
+        # the assignment kernel sorts by cid internally, so only the
+        # (id -> vector) mapping must round-trip.
+        assert dict(zip(ids, map(tuple, mat))) == dict(
+            zip(ids0, map(tuple, mat0))
+        )
