@@ -6496,3 +6496,36 @@ def asof_cogrouped_purchase_error(
         )
         .select("event_id", "user_id", "error_ts", "last_purchase_ts")
     )
+
+
+@register(
+    "streaming_ivfpq_topk_serving",
+    ORACLE_SQL["sim_pq_adc_topk_ivf"],
+)
+def streaming_ivfpq_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch ANN serving — the online tier in front of the
+    persisted IVF-PQ index stack: query batches arrive as a file
+    stream, each micro-batch resolves probes from the persisted
+    cell-partitioned IVF index, scans only those cells' partitions of
+    the ~32x-compressed PQ code table, ranks by broadcast ADC lookup
+    inside ``foreachBatch``, and appends its top-k to a parquet sink
+    (streaming/ann_serving.py). Per batch: O(queries x nprobe/n_cells
+    x compressed corpus), no rebuild, no full scan — the request-path
+    cost of a vector store at 100 TB. Every query is scored
+    independently against the same frozen artifacts, so the union of
+    per-batch top-ks equals the one-shot batch IVFADC search and this
+    query SHARES ``sim_pq_adc_topk_ivf``'s oracle verbatim (row-level
+    batching invariance also pinned by
+    tests/test_streaming_ann_serving.py)."""
+    from sressentials_spark.streaming.ann_serving import (
+        run_ivfpq_serving_stream,
+    )
+
+    return run_ivfpq_serving_stream(
+        spark,
+        sf_dir,
+        _ivf_index_path(spark, sf_dir),
+        _ivfpq_index_path(spark, sf_dir),
+        _TOPK_QUERY_IDS,
+        topk=10,
+    )
