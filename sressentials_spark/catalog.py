@@ -6529,3 +6529,98 @@ def streaming_ivfpq_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TOPK_QUERY_IDS,
         topk=10,
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: DSIR importance resampling + distribution-drift monitoring
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_dsir_weights",
+    C.dsir_importance_weights_oracle_sql(target_source="src0"),
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): score every
+    document by how much more likely its unigrams are under the
+    target domain's (``source = 'src0'``) smoothed bag-of-words model
+    than under the raw pool's. The data-selection op that shifts a
+    pretraining mixture toward a target domain without hand rules.
+    Transcendental-free downstream of one micro-quantized ln per
+    vocabulary term (operators/curation.py:dsir_importance_weights):
+    per-document weights are exact BIGINT micronats, bit-equal to the
+    DuckDB oracle. Scale: vocabulary-sized broadcast dim, term- and
+    doc_id-keyed shuffles only."""
+    return C.dsir_importance_weights(
+        load_table(spark, sf_dir, "documents"), target_source="src0"
+    )
+
+
+@register(
+    "curation_dsir_topk",
+    f"""
+WITH w AS ({C.dsir_importance_weights_oracle_sql(target_source="src0")})
+SELECT doc_id, source, n_tokens, weight_micro
+FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100
+""",
+)
+def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance RESAMPLING step over the DSIR weights: the 100 most
+    target-like documents under the total order (weight DESC, doc_id).
+    Spark compiles the ordered LIMIT to TakeOrderedAndProject — each
+    partition keeps a local top-100 heap and only k rows per partition
+    reach the driver-side merge, so selection costs no global sort at
+    any corpus size (pinned by tests/test_dsir_drift.py)."""
+    w = C.dsir_importance_weights(
+        load_table(spark, sf_dir, "documents"), target_source="src0"
+    )
+    return (
+        w.orderBy(F.desc("weight_micro"), "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "n_tokens", "weight_micro")
+    )
+
+
+from sressentials_spark.operators.drift import (  # noqa: E402
+    histogram_drift,
+    histogram_drift_oracle_sql,
+)
+
+#: Reference/current cohort split for the drift audit: first half of
+#: the events month vs second half (events span 2024-01-01..30).
+_DRIFT_SPLIT_SPARK = "ts < timestamp'2024-01-16 00:00:00'"
+_DRIFT_SPLIT_DUCK = "ts < TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@register(
+    "audit_distribution_drift",
+    histogram_drift_oracle_sql(split_sql=_DRIFT_SPLIT_DUCK),
+)
+def audit_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution drift of ``value`` between the
+    first and second half of the month: fixed 10-bin histogram, PSI
+    and total-variation distance with Laplace smoothing, alarm at
+    PSI >= 0.25 — the promote-gate a pipeline evaluates before
+    accepting a new data snapshot. One conditional-aggregation scan
+    feeds both cohorts' histograms; everything after the first
+    (group, bin) groupBy is histogram-sized
+    (operators/drift.py:histogram_drift)."""
+    return histogram_drift(
+        load_table(spark, sf_dir, "events"), split_expr=_DRIFT_SPLIT_SPARK
+    )
+
+
+@register(
+    "streaming_drift_monitor",
+    histogram_drift_oracle_sql(split_sql=_DRIFT_SPLIT_DUCK),
+)
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift audit as a LIVE monitor: both cohorts' histograms
+    maintained in streaming state (|types| x 2 x 10 count rows,
+    additive micro-batch merge), PSI/TVD folded batch-side over the
+    settled bins (streaming/sketch.py:run_drift_stream_batch). Shares
+    ``audit_distribution_drift``'s oracle verbatim — the streaming and
+    batch execution models must agree bit-for-bit."""
+    from sressentials_spark.streaming.sketch import run_drift_stream_batch
+
+    return run_drift_stream_batch(spark, sf_dir, split_expr=_DRIFT_SPLIT_SPARK)

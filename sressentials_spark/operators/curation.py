@@ -776,3 +776,149 @@ SELECT doc_id,
             // COUNT(*) AS BIGINT) AS dup_permille
 FROM r GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling")
+# --------------------------------------------------------------------------
+
+#: Fixed-point scale for the per-term log-likelihood-ratio. One ln()
+#: per DISTINCT vocabulary term is quantized to integer micronats;
+#: everything downstream (per-document weight = sum of count * lr)
+#: is then BIGINT-exact, so Spark and the DuckDB oracle agree
+#: bit-for-bit despite the transcendental. (ln is evaluated on an
+#: exact integer ratio in both engines; a cross-engine ULP difference
+#: only matters if it straddles a 0.5-micronat rounding boundary —
+#: per-term probability ~1e-10, and the corpus vocabulary is small
+#: relative to that.)
+DSIR_LR_SCALE = 10**6
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document importance weight for target-domain resampling.
+
+    DSIR scores each raw document by how much more likely its features
+    are under a target-domain bag-of-ngrams model than under the raw
+    pool's: ``w(doc) = sum_f n(doc,f) * ln(p_target(f) / p_raw(f))``
+    with Laplace-smoothed unigram probabilities. Documents with
+    ``w > 0`` look more target-like than pool-like; resampling by ``w``
+    shifts the pretraining mixture toward the target domain without
+    hand-written rules.
+
+    Engine-exact restatement: the per-term log-likelihood-ratio
+    ``ln(((c_t+1) * (N_r+V)) / ((c_r+1) * (N_t+V)))`` is quantized
+    once per distinct term to integer micronats
+    (:data:`DSIR_LR_SCALE`); per-document weights are then pure BIGINT
+    sums of ``count * lr_micro``.
+
+    Scale shape: one map-side-combinable groupBy on term (vocabulary-
+    sized result), a broadcast of the tiny scalar totals row, a
+    broadcast hash join of the vocabulary dim against the (doc, term)
+    fact, and one groupBy on doc_id (uniform key). No Python in the
+    row path; at 100 TB the only large shuffles are keyed by term and
+    doc_id. The smoothed-count products are computed in DOUBLE (IEEE
+    multiply/divide are correctly rounded, hence engine-identical) to
+    avoid BIGINT overflow at web-corpus counts.
+    """
+    tk = tokens(text_col)
+    terms = docs.select(
+        F.col(id_col),
+        (F.col(source_col) == target_source).alias("is_target"),
+        F.explode(tk).alias("term"),
+    )
+    corpus = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("c_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("long").alias("c_r"),
+    )
+    totals = corpus.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_r").cast("long").alias("n_r"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    lr = corpus.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.ln(
+                ((F.col("c_t") + 1).cast("double") * (F.col("n_r") + F.col("v")).cast("double"))
+                / ((F.col("c_r") + 1).cast("double") * (F.col("n_t") + F.col("v")).cast("double"))
+            )
+            * F.lit(DSIR_LR_SCALE)
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    doc_term = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    weights = (
+        doc_term.join(F.broadcast(lr), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("n") * F.col("lr_micro")).cast("long").alias("weight_micro"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select(id_col, F.col(source_col).alias("source"))
+        .join(weights, id_col, "left")
+        .select(
+            id_col,
+            "source",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("weight_micro", F.lit(0).cast("long")).alias("weight_micro"),
+            (F.coalesce("weight_micro", F.lit(0)) > 0).alias("target_like"),
+        )
+    )
+
+
+def dsir_importance_weights_oracle_sql(
+    target_source: str = "src0", table: str = "documents"
+) -> str:
+    """DuckDB restatement of :func:`dsir_importance_weights`."""
+    return rf"""
+WITH terms AS (
+  SELECT doc_id, source = '{target_source}' AS is_target,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM {table}
+),
+corpus AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+  FROM terms GROUP BY term
+),
+totals AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM corpus
+),
+lr AS (
+  SELECT term,
+         CAST(round(ln((CAST(c_t + 1 AS DOUBLE) * CAST(n_r + v AS DOUBLE))
+                       / (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + v AS DOUBLE)))
+                    * {DSIR_LR_SCALE}) AS BIGINT) AS lr_micro
+  FROM corpus CROSS JOIN totals
+),
+doc_term AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM terms GROUP BY doc_id, term
+),
+w AS (
+  SELECT doc_id,
+         CAST(SUM(n * lr_micro) AS BIGINT) AS weight_micro,
+         CAST(SUM(n) AS BIGINT) AS n_tokens
+  FROM doc_term JOIN lr USING (term) GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       COALESCE(w.n_tokens, 0) AS n_tokens,
+       COALESCE(w.weight_micro, 0) AS weight_micro,
+       COALESCE(w.weight_micro, 0) > 0 AS target_like
+FROM {table} d LEFT JOIN w USING (doc_id)
+"""

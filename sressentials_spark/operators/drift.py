@@ -1,0 +1,229 @@
+"""Distribution-drift metrics between two cohorts of one metric column.
+
+The monitoring op a training-data (or SRE metrics) pipeline runs before
+promoting a new snapshot: bin a value column into a fixed histogram,
+compare the new period's distribution against a reference period, and
+report PSI (population stability index) and total-variation distance
+per group. PSI >= 0.25 is the conventional "major drift" alarm.
+
+Engine-exact restatement (same recipe as the DSIR weights,
+operators/curation.py): the only transcendental — ``ln(p/q)`` per
+histogram bin — is evaluated on an exact integer ratio and quantized
+once per bin to integer micronats; the PSI numerator is then a pure
+BIGINT dot product, and the final value is one IEEE multiply + two
+IEEE divides on exact integers, which are correctly rounded and hence
+identical in Spark and DuckDB.
+
+Scale shape: one conditional-aggregation scan produces per-(group,
+bin) counts for BOTH periods (map-side partials, one shuffle keyed by
+(group, bin)); the full bin grid is a broadcast of |groups| x n_bins
+rows; per-group totals are a second tiny aggregate over that bin
+table. Nothing downstream of the first groupBy is larger than the
+histogram itself, so the same plan holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale for the per-bin log-likelihood-ratio (micronats).
+DRIFT_LR_SCALE = 10**6
+
+
+def histogram_drift(
+    df: DataFrame,
+    *,
+    split_expr: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    psi_alarm: float = 0.25,
+) -> DataFrame:
+    """PSI + TV distance of ``value_col``'s histogram, reference period
+    vs current period, per ``group_col``.
+
+    ``split_expr`` is a boolean SQL expression over ``df``'s columns;
+    TRUE rows form the reference cohort, FALSE rows the current one.
+    Bins are fixed-width with clamped extremes (bin = clamp(floor(
+    value / bin_width), 0, n_bins - 1)) so the histogram domain is
+    closed and identical in both engines. Laplace-smoothed proportions
+    ``p = (c_ref + 1) / (N_ref + B)`` keep empty bins finite.
+
+    Output per group: ``n_ref``, ``n_cur`` (cohort sizes), ``psi``,
+    ``tvd`` (exact-deterministic doubles) and ``drifted``
+    (``psi >= psi_alarm``).
+    """
+    binned = bin_cohorts(
+        df,
+        split_expr=split_expr,
+        group_col=group_col,
+        value_col=value_col,
+        bin_width=bin_width,
+        n_bins=n_bins,
+    )
+    counts = binned.groupBy("grp", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("c_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("long").alias("c_cur"),
+    )
+    return drift_from_counts(
+        counts, group_col=group_col, n_bins=n_bins, psi_alarm=psi_alarm
+    )
+
+
+def bin_cohorts(
+    df: DataFrame,
+    *,
+    split_expr: str,
+    group_col: str,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Row-level cohort + bin assignment: ``(grp, is_ref, bin)``.
+
+    A pure narrow projection (shared by the batch audit and the
+    streaming monitor, whose stateful agg consumes it directly)."""
+    return df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(split_expr).alias("is_ref"),
+        F.least(
+            F.greatest(F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+
+
+def drift_from_counts(
+    counts: DataFrame,
+    *,
+    group_col: str = "event_type",
+    n_bins: int = 10,
+    psi_alarm: float = 0.25,
+) -> DataFrame:
+    """PSI/TVD fold over a settled ``(grp, bin, c_ref, c_cur)`` count
+    table (histogram-sized — at most |groups| x n_bins rows, however
+    large the corpus that produced it)."""
+    spark = counts.sparkSession
+    grid = (
+        counts.select(F.col("grp")).distinct()
+        .crossJoin(F.broadcast(spark.range(n_bins).select(F.col("id").alias("bin"))))
+    )
+    full = (
+        grid.join(counts, ["grp", "bin"], "left")
+        .select(
+            "grp",
+            "bin",
+            F.coalesce("c_ref", F.lit(0).cast("long")).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0).cast("long")).alias("c_cur"),
+        )
+    )
+    totals = full.groupBy("grp").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    b = F.lit(n_bins).cast("long")
+    j = full.join(F.broadcast(totals), "grp")
+    # p - q = A / D with A, D exact BIGINTs; ln(p/q) micro-quantized.
+    a = (F.col("c_ref") + 1) * (F.col("n_cur") + b) - (F.col("c_cur") + 1) * (
+        F.col("n_ref") + b
+    )
+    lr_micro = (
+        F.round(
+            F.ln(
+                ((F.col("c_ref") + 1).cast("double") * (F.col("n_cur") + b).cast("double"))
+                / ((F.col("c_cur") + 1).cast("double") * (F.col("n_ref") + b).cast("double"))
+            )
+            * F.lit(DRIFT_LR_SCALE)
+        )
+        .cast("long")
+    )
+    per_group = j.groupBy("grp", "n_ref", "n_cur").agg(
+        F.sum(a * lr_micro).cast("long").alias("psi_num"),
+        F.sum(F.abs(a)).cast("long").alias("tvd_num"),
+    )
+    d = (F.col("n_ref") + b).cast("double") * (F.col("n_cur") + b).cast("double")
+    psi = F.col("psi_num").cast("double") / d / F.lit(float(DRIFT_LR_SCALE))
+    tvd = F.col("tvd_num").cast("double") / d / F.lit(2.0)
+    return per_group.select(
+        F.col("grp").alias(group_col),
+        "n_ref",
+        "n_cur",
+        psi.alias("psi"),
+        tvd.alias("tvd"),
+        (psi >= F.lit(psi_alarm)).alias("drifted"),
+    )
+
+
+def histogram_drift_oracle_sql(
+    *,
+    split_sql: str,
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    psi_alarm: float = 0.25,
+) -> str:
+    """DuckDB restatement of :func:`histogram_drift`."""
+    return f"""
+WITH binned AS (
+  SELECT {group_col} AS grp, ({split_sql}) AS is_ref,
+         CAST(least(greatest(floor({value_col} / {bin_width!r}), 0),
+                    {n_bins - 1}) AS BIGINT) AS bin
+  FROM {table}
+),
+counts AS (
+  SELECT grp, bin,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+  FROM binned GROUP BY grp, bin
+),
+grid AS (
+  SELECT g.grp, s.bin
+  FROM (SELECT DISTINCT grp FROM binned) g
+  CROSS JOIN (SELECT CAST(unnest(generate_series(0, {n_bins - 1})) AS BIGINT)
+              AS bin) s
+),
+full_grid AS (
+  SELECT grid.grp, grid.bin,
+         COALESCE(c.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+  FROM grid LEFT JOIN counts c ON c.grp = grid.grp AND c.bin = grid.bin
+),
+totals AS (
+  SELECT grp, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_cur) AS BIGINT) AS n_cur
+  FROM full_grid GROUP BY grp
+),
+terms AS (
+  SELECT f.grp, t.n_ref, t.n_cur,
+         (f.c_ref + 1) * (t.n_cur + {n_bins})
+           - (f.c_cur + 1) * (t.n_ref + {n_bins}) AS a,
+         CAST(round(ln((CAST(f.c_ref + 1 AS DOUBLE)
+                        * CAST(t.n_cur + {n_bins} AS DOUBLE))
+                       / (CAST(f.c_cur + 1 AS DOUBLE)
+                          * CAST(t.n_ref + {n_bins} AS DOUBLE)))
+                    * {DRIFT_LR_SCALE}) AS BIGINT) AS lr_micro
+  FROM full_grid f JOIN totals t USING (grp)
+),
+agg AS (
+  SELECT grp, n_ref, n_cur,
+         CAST(SUM(a * lr_micro) AS BIGINT) AS psi_num,
+         CAST(SUM(abs(a)) AS BIGINT) AS tvd_num
+  FROM terms GROUP BY grp, n_ref, n_cur
+)
+SELECT grp AS {group_col}, n_ref, n_cur,
+       CAST(psi_num AS DOUBLE)
+         / (CAST(n_ref + {n_bins} AS DOUBLE) * CAST(n_cur + {n_bins} AS DOUBLE))
+         / {DRIFT_LR_SCALE} AS psi,
+       CAST(tvd_num AS DOUBLE)
+         / (CAST(n_ref + {n_bins} AS DOUBLE) * CAST(n_cur + {n_bins} AS DOUBLE))
+         / 2.0 AS tvd,
+       CAST(psi_num AS DOUBLE)
+         / (CAST(n_ref + {n_bins} AS DOUBLE) * CAST(n_cur + {n_bins} AS DOUBLE))
+         / {DRIFT_LR_SCALE} >= {psi_alarm} AS drifted
+FROM agg
+"""

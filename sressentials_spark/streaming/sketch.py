@@ -214,3 +214,86 @@ def run_cms_stream_batch(
     return cms_probe_from_counters(
         spark.table(name), total, col, probe_keys, heavy_pm=heavy_pm
     )
+
+
+def run_drift_stream_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    split_expr: str,
+    glob: str = "events.parquet",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    psi_alarm: float = 0.25,
+) -> DataFrame:
+    """Distribution-drift monitoring as a live stream: both cohorts'
+    histograms maintained in streaming state, PSI folded on demand.
+
+    Same split as the HLL/histogram streams: the per-(group, cohort,
+    bin) count is a supported stateful aggregation whose state is
+    histogram-sized (|groups| x 2 x n_bins rows) regardless of input
+    volume — each micro-batch's partial counts merge additively into
+    state — and the PSI/TVD fold (:func:`sressentials_spark.operators.
+    drift.drift_from_counts`) runs as a batch step over the settled
+    bin table. In production the stream runs continuously and any
+    reader folds the live state to the current drift score; the
+    availableNow replay here drains the same topology to completion so
+    it must agree bit-for-bit with the batch audit's oracle.
+    """
+    from sressentials_spark.operators.drift import bin_cohorts, drift_from_counts
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+        .filter(F.col(value_col).isNotNull())
+    )
+    binned = bin_cohorts(
+        src,
+        split_expr=split_expr,
+        group_col=group_col,
+        value_col=value_col,
+        bin_width=bin_width,
+        n_bins=n_bins,
+    )
+    run_key = f"{sf_dir}|{glob}|{split_expr}|{group_col}|{value_col}|drift"
+    name = "stream_drift_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            binned.groupBy("grp", "is_ref", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # The settled state is histogram-sized (|groups| x 2 x n_bins rows)
+    # so rematerializing it driver-side is O(sketch), not O(corpus) —
+    # and it gives the PSI fold a fresh leaf plan: the fold self-joins
+    # the count table (bin grid + totals), which DeduplicateRelations
+    # does not resolve over a streaming MemorySink view (internal
+    # "Conflicting attributes" analyzer error on Spark 4.1).
+    state = spark.createDataFrame(
+        spark.table(name).toPandas(),
+        "grp string, is_ref boolean, bin long, n long",
+    )
+    counts = state.groupBy("grp", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(F.col("n")))
+        .cast("long")
+        .alias("c_cur"),
+    )
+    return drift_from_counts(
+        counts, group_col=group_col, n_bins=n_bins, psi_alarm=psi_alarm
+    )
