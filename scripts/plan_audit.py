@@ -24,6 +24,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: query -> {shape: reason} for intentional expensive shapes.
 ALLOWED: dict[str, dict[str, str]] = {
+    "curation_perplexity_filter": {
+        "BroadcastNestedLoopJoin": "one-row corpus-totals fold (N/V)"
+    },
+    "curation_dsir_weights": {
+        "BroadcastNestedLoopJoin": "one-row vocabulary-totals fold (N_t/N_r/V)"
+    },
+    "curation_dsir_topk": {
+        "BroadcastNestedLoopJoin": "one-row vocabulary-totals fold (N_t/N_r/V)"
+    },
+    "audit_distribution_drift": {
+        "BroadcastNestedLoopJoin": "10-row bin grid crossed with |groups| dim"
+    },
+    "streaming_drift_monitor": {
+        "BroadcastNestedLoopJoin": "10-row bin grid crossed with |groups| dim"
+    },
     # One-row scalar folds: crossJoin(broadcast(1-row)) is a BNLJ by
     # construction and costs one row per partition.
     "events_funnel_view_click_purchase": {

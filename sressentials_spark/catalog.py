@@ -40,6 +40,7 @@ from sressentials_spark.operators.profile import (
 )
 from sressentials_spark.operators.text import (
     bpe_merge_pair_counts_oracle_sql,
+    clean_normalize_oracle_sql,
     exact_dedup_groups,
     quality_scores,
     rare_bigram_stats_oracle_sql,
@@ -6624,3 +6625,77 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sressentials_spark.streaming.sketch import run_drift_stream_batch
 
     return run_drift_stream_batch(spark, sf_dir, split_expr=_DRIFT_SPLIT_SPARK)
+
+
+@register("curation_perplexity_filter", C.unigram_logloss_oracle_sql())
+def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucket quality filter (CCNet recipe, unigram LM in
+    place of KenLM): per-document cross-entropy under a corpus-trained
+    unigram model in integer micronats/token, keep = at or below the
+    uniform model's ln V (worse-than-random reads as the garbage
+    tail). Same micro-quantized-ln machinery as the DSIR weights
+    (operators/curation.py:unigram_logloss) — BIGINT-exact against
+    the oracle, vocabulary-sized broadcast, term/doc_id shuffles
+    only."""
+    return C.unigram_logloss(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "window_order_interarrival",
+    """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+       CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+""",
+)
+def window_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival gaps via LAG over a
+    (o_orderdate, o_orderkey) total order — the purchase-cadence
+    feature behind churn/RFM models, and the canonical LAG window
+    shape. Integer day arithmetic end-to-end. One shuffle keyed by
+    custkey (uniform); the window sort is per-customer-partition, so
+    the plan is a single Exchange + local sort at any scale. Customers
+    with a single order have no gap and drop out (matches the
+    oracle's WHERE gap IS NOT NULL)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    gaps = orders.select(
+        F.col("o_custkey"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_orders"),
+        F.sum("gap_days").cast("long").alias("sum_gap_days"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        "n_orders", "sum_gap_days", "min_gap_days", "max_gap_days",
+    )
+
+
+@register("text_clean_normalize", clean_normalize_oracle_sql())
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization pass (control-strip -> NFC ->
+    whitespace collapse -> trim) with md5/length and a ``changed``
+    routing flag — the crawl-cleaning step every downstream hash,
+    dedup and tokenizer depends on. Regex steps are codegen; NFC is
+    an Arrow-vectorized pandas_udf (no JVM NFC builtin exists)
+    (operators/text.py:clean_normalize)."""
+    from sressentials_spark.operators.text import clean_normalize
+
+    return clean_normalize(load_table(spark, sf_dir, "documents"))

@@ -922,3 +922,140 @@ SELECT d.doc_id, d.source,
        COALESCE(w.weight_micro, 0) > 0 AS target_like
 FROM {table} d LEFT JOIN w USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM log-loss (perplexity-proxy) quality filter (the CCNet /
+# Wenzek et al. 2020 recipe, with a unigram model in place of KenLM)
+# --------------------------------------------------------------------------
+
+#: Keep threshold in micronats/token: documents whose average unigram
+#: negative-log-likelihood exceeds the UNIFORM model's (ln V) read as
+#: worse-than-random under the corpus LM — the classic garbage tail of
+#: a perplexity histogram. ln(V) is computed per run from the observed
+#: vocabulary size (micro-quantized, so the comparison is BIGINT vs
+#: BIGINT).
+
+
+def unigram_logloss(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained unigram LM —
+    the perplexity-bucket signal CCNet uses to split a crawl into
+    head/middle/tail quality tiers (there with a KenLM 5-gram; the
+    unigram variant keeps the same pipeline shape and stays
+    oracle-exact).
+
+    Same fixed-point recipe as the DSIR weights: the per-term negative
+    log-likelihood ``-ln((c(t)+1) / (N+V))`` is quantized once per
+    DISTINCT term to integer micronats (:data:`DSIR_LR_SCALE`);
+    per-document totals are then BIGINT dot products and the
+    average is an integer floor division — bit-equal in both engines.
+
+    Output: ``nll_micro_total`` (sum over tokens), ``n_tokens``,
+    ``avg_nll_micro`` (micronats/token, floor), and ``keep`` (average
+    at or below the uniform model's ``ln V`` — documents worse than
+    random under the corpus LM are the garbage tail).
+
+    Scale shape: identical to :func:`dsir_importance_weights` —
+    vocabulary-sized aggregate + broadcast dim, term- and doc_id-keyed
+    shuffles only, no Python in the row path.
+    """
+    tk = tokens(text_col)
+    terms = docs.select(F.col(id_col), F.explode(tk).alias("term"))
+    corpus = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = corpus.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    nll = corpus.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            -F.round(
+                F.ln(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n") + F.col("v")).cast("double")
+                )
+                * F.lit(DSIR_LR_SCALE)
+            )
+        )
+        .cast("long")
+        .alias("nll_micro"),
+        F.round(F.ln(F.col("v").cast("double")) * F.lit(DSIR_LR_SCALE))
+        .cast("long")
+        .alias("uniform_nll_micro"),
+    )
+    doc_term = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per_doc = (
+        doc_term.join(F.broadcast(nll), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("nll_micro")).cast("long").alias("nll_micro_total"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.max("uniform_nll_micro").alias("uniform_nll_micro"),
+        )
+    )
+    avg = F.expr("nll_micro_total div n_tokens")
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("nll_micro_total", F.lit(0).cast("long")).alias("nll_micro_total"),
+            F.coalesce(avg, F.lit(0).cast("long")).alias("avg_nll_micro"),
+            (
+                F.coalesce(avg, F.lit(0).cast("long"))
+                <= F.coalesce("uniform_nll_micro", F.lit(0).cast("long"))
+            ).alias("keep"),
+        )
+    )
+
+
+def unigram_logloss_oracle_sql(table: str = "documents") -> str:
+    """DuckDB restatement of :func:`unigram_logloss`."""
+    return rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM {table}
+),
+corpus AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY term
+),
+totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM corpus
+),
+nll AS (
+  SELECT term,
+         -CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
+                     * {DSIR_LR_SCALE}) AS BIGINT) AS nll_micro,
+         CAST(round(ln(CAST(v AS DOUBLE)) * {DSIR_LR_SCALE}) AS BIGINT)
+           AS uniform_nll_micro
+  FROM corpus CROSS JOIN totals
+),
+doc_term AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM terms GROUP BY doc_id, term
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(cnt * nll_micro) AS BIGINT) AS nll_micro_total,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         MAX(uniform_nll_micro) AS uniform_nll_micro
+  FROM doc_term JOIN nll USING (term) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.nll_micro_total, 0) AS nll_micro_total,
+       CAST(COALESCE(p.nll_micro_total // p.n_tokens, 0) AS BIGINT)
+         AS avg_nll_micro,
+       COALESCE(p.nll_micro_total // p.n_tokens, 0)
+         <= COALESCE(p.uniform_nll_micro, 0) AS keep
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -11,6 +11,7 @@ dedup groupBy on a well-distributed hash key).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -321,4 +322,80 @@ SELECT d.doc_id,
        CASE WHEN COALESCE(st.n_bigrams, 0) = 0 THEN 0
             ELSE (1000 * st.n_rare_bigrams) // st.n_bigrams END AS rare_permille
 FROM {table} d LEFT JOIN st USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Unicode cleaning / canonicalization
+# --------------------------------------------------------------------------
+
+#: Control characters stripped before normalization. Identical escapes
+#: are valid in Java regex (Spark) and RE2 (DuckDB); DEL plus the C0
+#: range except nothing is preserved — tab/newline fold into the
+#: whitespace collapse anyway.
+CONTROL_CHAR_PATTERN = r"[\x00-\x1f\x7f]"
+
+
+def clean_normalize(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode canonicalization for a text corpus: strip control
+    characters, NFC-normalize, collapse whitespace runs, trim.
+
+    The standard first pass of a crawl-cleaning pipeline — NFC folds
+    visually-identical decomposed sequences (e + combining acute vs
+    precomposed é) into one byte form so hashing, dedup and
+    tokenization see one spelling. Control/whitespace steps are native
+    ``regexp_replace`` (whole-stage codegen); NFC itself has no JVM
+    built-in in Spark, so it runs as an Arrow-vectorized
+    ``pandas_udf`` over ``unicodedata.normalize`` — batch-at-a-time,
+    never row-at-a-time Python. A narrow projection: no shuffle, cost
+    is one streaming pass at any corpus size.
+
+    Output keeps the cleaned payload plus md5/length and a ``changed``
+    flag so downstream stages can route untouched documents cheaply.
+
+    DuckDB's ``nfc_normalize`` restates the UDF for the oracle gate
+    (both are Unicode NFC; the sf corpus is ASCII so the registered
+    query pins the identity path, and tests/test_dsir_drift.py pins
+    real NFC folding on a non-ASCII fixture).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    stripped = F.regexp_replace(F.col(text_col), CONTROL_CHAR_PATTERN, " ")
+    cleaned = F.trim(F.regexp_replace(nfc(stripped), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("cleaned"),
+        F.md5(cleaned.cast("binary")).alias("cleaned_md5"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+        (cleaned != F.col(text_col)).alias("changed"),
+    )
+
+
+def clean_normalize_oracle_sql(table: str = "documents") -> str:
+    """DuckDB restatement of :func:`clean_normalize`."""
+    return rf"""
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(
+           regexp_replace(text, '{CONTROL_CHAR_PATTERN}', ' ', 'g')),
+           '\s+', ' ', 'g')) AS cleaned,
+       md5(trim(regexp_replace(nfc_normalize(
+           regexp_replace(text, '{CONTROL_CHAR_PATTERN}', ' ', 'g')),
+           '\s+', ' ', 'g'))) AS cleaned_md5,
+       CAST(length(trim(regexp_replace(nfc_normalize(
+           regexp_replace(text, '{CONTROL_CHAR_PATTERN}', ' ', 'g')),
+           '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean,
+       trim(regexp_replace(nfc_normalize(
+           regexp_replace(text, '{CONTROL_CHAR_PATTERN}', ' ', 'g')),
+           '\s+', ' ', 'g')) <> text AS changed
+FROM {table}
 """

@@ -150,3 +150,96 @@ def test_streaming_drift_matches_batch(spark):
     b = batch.sort_values("event_type").reset_index(drop=True)
     s = stream.sort_values("event_type").reset_index(drop=True)
     assert b.equals(s)
+
+
+# --------------------------------------------------------------------------
+# Unigram log-loss (perplexity filter)
+# --------------------------------------------------------------------------
+
+
+def test_unigram_logloss_orders_fluency(spark):
+    from sressentials_spark.operators.curation import unigram_logloss
+
+    # Doc 0 repeats the corpus's dominant words; doc 1 is all hapaxes.
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the cat cat"),
+            (1, "zyx qwv jkl mnp rst"),
+            (2, "the cat the cat the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = unigram_logloss(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "avg_nll_micro"] < out.loc[1, "avg_nll_micro"]
+    # The rare-token doc is worse than uniform-over-vocab -> dropped.
+    assert not bool(out.loc[1, "keep"])
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[2, "keep"])
+
+
+# --------------------------------------------------------------------------
+# Unicode clean/normalize
+# --------------------------------------------------------------------------
+
+
+def test_clean_normalize_folds_nfc_and_controls(spark):
+    from sressentials_spark.operators.text import clean_normalize
+
+    decomposed = "cafe\u0301"    # e + combining acute
+    precomposed = "caf\u00e9"   # precomposed e-acute
+    docs = spark.createDataFrame(
+        [
+            (0, decomposed),
+            (1, precomposed),
+            (2, "a\x00b\t\tc   d "),
+            (3, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    out = clean_normalize(docs).toPandas().set_index("doc_id")
+    # NFC folds both spellings to one byte form -> identical hashes.
+    assert out.loc[0, "cleaned"] == out.loc[1, "cleaned"] == "caf\u00e9"
+    assert out.loc[0, "cleaned_md5"] == out.loc[1, "cleaned_md5"]
+    assert bool(out.loc[0, "changed"]) and not bool(out.loc[1, "changed"])
+    # Controls become separators; whitespace runs collapse; ends trim.
+    assert out.loc[2, "cleaned"] == "a b c d"
+    assert not bool(out.loc[3, "changed"])
+
+
+def test_clean_normalize_matches_duckdb_on_unicode(spark):
+    """The registered query's oracle only sees the ASCII sf corpus;
+    this pins the NFC path itself against DuckDB on non-ASCII rows."""
+    import duckdb
+
+    from sressentials_spark.operators.text import (
+        clean_normalize,
+        clean_normalize_oracle_sql,
+    )
+
+    rows = [
+        (0, "café du   monde"),
+        (1, "caf\u00e9 du monde"),
+        (2, "Å ring \x1f andÅ more"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        clean_normalize(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i, _ in rows)
+        + ") t(doc_id, text)",
+        [t for _, t in rows],
+    )
+    want = (
+        con.execute(clean_normalize_oracle_sql())
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    for c in ["cleaned", "cleaned_md5", "n_chars_clean", "changed"]:
+        assert list(got[c]) == list(want[c]), c
