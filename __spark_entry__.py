@@ -24,13 +24,27 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-#: Queries whose oracle/engine just changed and must be re-rowed this
-#: round regardless of ledger freshness (cleared once their fresh green
-#: row lands). r7: empty — the three r5-fixed queries got fresh green
-#: rows in CORRECTNESS_r06.json, so every rotation slot goes to the
-#: least-recently-rowed queries (the 6 never-rowed r6 additions first,
-#: then the r3/r4 backlog including all 8 core mongo_*/mysql_* rows).
-_FORCE_FIRST: tuple[str, ...] = ()
+#: Queries that must be re-rowed this round regardless of ledger
+#: freshness (cleared once their fresh green row lands). r7: the 8
+#: core reference-surface rows (the entire Mongo/MySQL query surface,
+#: SURVEY §2.1-2.7) — their latest driver green is r4, and this
+#: round's 9 new never-rowed queries would otherwise push the three
+#: mysql_* rows to positions 50-52, past the driver's 50-row budget.
+#: Pinning them first guarantees the staleness ceiling the r6 verdict
+#: set ("core rows refresh by r8 at the latest"); the never-rowed r6
+#: backlog (tpch_q4/q5/q7/q8, window_trailing_28d_spend,
+#: zorder_lineitem_part_band_scan) still lands inside the budget
+#: behind them.
+_FORCE_FIRST: tuple[str, ...] = (
+    "mongo_slow_detailed",
+    "mongo_query_stats",
+    "mongo_error_rollup",
+    "mongo_non_slow",
+    "mongo_parse_errors",
+    "mysql_detailed",
+    "mysql_aggregate",
+    "mysql_skip_warnings",
+)
 
 
 def _last_rowed_round() -> dict[str, int]:
