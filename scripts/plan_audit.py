@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: query -> {shape: reason} for intentional expensive shapes.
 ALLOWED: dict[str, dict[str, str]] = {
+    "curation_quality_tiers": {
+        "BroadcastNestedLoopJoin": "one-row corpus-totals + uniform-lnV folds"
+    },
     "curation_perplexity_filter": {
         "BroadcastNestedLoopJoin": "one-row corpus-totals fold (N/V)"
     },

@@ -6699,3 +6699,61 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sressentials_spark.operators.text import clean_normalize
 
     return clean_normalize(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_quality_tiers",
+    f"""
+WITH ll AS ({C.unigram_logloss_oracle_sql()}),
+v AS (SELECT CAST(round(ln(CAST(COUNT(DISTINCT term) AS DOUBLE)) * {C.DSIR_LR_SCALE})
+             AS BIGINT) AS uniform_nll_micro
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)),
+tiers AS (
+  SELECT CASE WHEN ll.avg_nll_micro * 10 < v.uniform_nll_micro * 8 THEN 'head'
+              WHEN ll.avg_nll_micro <= v.uniform_nll_micro THEN 'middle'
+              ELSE 'tail' END AS tier,
+         ll.n_tokens
+  FROM ll CROSS JOIN v
+)
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM tiers GROUP BY tier
+""",
+)
+def curation_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual deliverable over the perplexity signal: split the
+    corpus into head / middle / tail quality tiers with per-tier
+    document and token budgets (head = average NLL below 0.8x the
+    uniform model's ln V, middle = at or below ln V, tail = worse than
+    random). Tier cutoffs are fixed integer comparisons
+    (cross-multiplied by 10 to stay BIGINT — no quantile sort, no
+    global window), so tiering is one codegen CASE over the logloss
+    output and the result is 3 rows at any corpus size."""
+    ll = C.unigram_logloss(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    uniform = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .agg(
+            F.round(
+                F.ln(F.count_distinct("term").cast("double"))
+                * F.lit(C.DSIR_LR_SCALE)
+            )
+            .cast("long")
+            .alias("uniform_nll_micro")
+        )
+    )
+    tiers = ll.crossJoin(F.broadcast(uniform)).select(
+        F.when(
+            F.col("avg_nll_micro") * 10 < F.col("uniform_nll_micro") * 8, "head"
+        )
+        .when(F.col("avg_nll_micro") <= F.col("uniform_nll_micro"), "middle")
+        .otherwise("tail")
+        .alias("tier"),
+        "n_tokens",
+    )
+    return tiers.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
