@@ -6757,3 +6757,76 @@ def curation_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "maintenance_snapshot_time_travel",
+    """
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-20'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_day20
+FROM events
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-20'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+WHERE CAST(ts AS DATE) <> DATE '2024-01-20'
+""",
+)
+def maintenance_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshots with time travel — the Delta/Iceberg
+    commit pattern rebuilt on bare parquet + JSON manifests
+    (operators/maintenance.py:snapshot_write/read_snapshot): v1
+    commits the full events table; v2 is a GDPR-style rewrite that
+    drops one day; data files are immutable and append-only, each
+    version is just a manifest listing its visible files, and the
+    manifest rename lands LAST so a crashed writer leaves reclaimable
+    orphans, never a broken table. The query reads BOTH versions
+    after v2 is committed — time travel must still serve v1's exact
+    pre-delete contents (the vacuum/retention path is exercised by
+    tests/test_snapshot.py on a private copy)."""
+    import os
+
+    from sressentials_spark.operators import maintenance as MT
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.scratch import scratch_dir
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+
+    def _build() -> str:
+        d = scratch_dir("sressentials_snapshot_")
+        table = os.path.join(d, "events_table")
+        ev = load_table(spark, sf_dir, "events").select(*cols)
+        v1 = MT.snapshot_write(spark, ev, table, mode="replace")
+        kept = ev.filter(F.to_date("ts") != F.lit("2024-01-20").cast("date"))
+        v2 = MT.snapshot_write(spark, kept, table, mode="replace")
+        if (v1, v2) != (1, 2):
+            raise ValueError(f"unexpected versions: {(v1, v2)}")
+        return table
+
+    table = get_or_build_disk_artifact(spark, ("snapshot_events", sf_dir), _build)
+
+    def _stats(version: int) -> DataFrame:
+        return (
+            MT.read_snapshot(spark, table, version)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.to_date("ts") == F.lit("2024-01-20").cast("date"), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_rows_day20"),
+            )
+            .select(
+                F.lit(version).cast("long").alias("version"),
+                "n_rows",
+                "n_rows_day20",
+            )
+        )
+
+    return _stats(1).unionByName(_stats(2))

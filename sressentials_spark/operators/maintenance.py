@@ -207,3 +207,120 @@ def corrupt_then_rebuild_day(
         .filter(F.col("d") == F.lit(day))
         .select("event_id", "user_id", "ts", "event_type", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# Manifest-based snapshots: time travel + vacuum (the Delta/Iceberg
+# pattern rebuilt on bare parquet + JSON manifests)
+# --------------------------------------------------------------------------
+
+#: Manifest files live next to the data, one per committed version.
+_MANIFEST_FMT = "manifest-v{version}.json"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_FMT.format(version=version))
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """Committed versions, ascending (empty for a fresh table)."""
+    out = []
+    for p in globmod.glob(os.path.join(table_dir, "manifest-v*.json")):
+        base = os.path.basename(p)
+        out.append(int(base[len("manifest-v"):-len(".json")]))
+    return sorted(out)
+
+
+def snapshot_write(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    *,
+    mode: str = "replace",
+) -> int:
+    """Commit ``df`` as the next snapshot version of ``table_dir``.
+
+    The table-format contract in miniature: data files are immutable
+    and append-only under ``data/`` (parquet writers never reuse part
+    file names); what makes a version is the MANIFEST — a JSON list
+    of the files visible at that version. ``mode="replace"`` makes
+    the new files the whole table (a rewrite/overwrite commit);
+    ``mode="append"`` makes the new version the parent's file set
+    plus the new files. Readers of old versions are never disturbed:
+    nothing is deleted or rewritten until :func:`snapshot_vacuum`.
+
+    Commit ordering: data files land first, the manifest rename-lands
+    last — a crashed writer leaves orphan data files (reclaimed by
+    vacuum), never a manifest pointing at missing data. At 100 TB the
+    manifest write is O(files), the data write is the job itself, and
+    concurrent readers resolve versions by listing tiny JSON files —
+    the same economics as Delta's _delta_log.
+    """
+    import json
+
+    if mode not in ("replace", "append"):
+        raise ValueError(f"mode must be replace|append, got {mode!r}")
+    data_dir = os.path.join(table_dir, "data")
+    before = {f for f, _ in file_manifest(data_dir)} if os.path.isdir(data_dir) else set()
+    df.write.mode("append").parquet(data_dir)
+    after = [f for f, _ in file_manifest(data_dir)]
+    new_files = [os.path.basename(f) for f in after if f not in before]
+    versions = snapshot_versions(table_dir)
+    version = (versions[-1] if versions else 0) + 1
+    visible = list(new_files)
+    if mode == "append" and versions:
+        import json as _json
+
+        with open(_manifest_path(table_dir, versions[-1])) as fh:
+            visible = _json.load(fh)["files"] + visible
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "mode": mode, "files": visible}, fh)
+    os.replace(tmp, _manifest_path(table_dir, version))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """Time-travel read: the table exactly as of ``version``."""
+    import json
+
+    with open(_manifest_path(table_dir, version)) as fh:
+        manifest = json.load(fh)
+    data_dir = os.path.join(table_dir, "data")
+    paths = [os.path.join(data_dir, f) for f in manifest["files"]]
+    return spark.read.parquet(*paths)
+
+
+def snapshot_vacuum(table_dir: str, *, keep_last: int = 1) -> dict:
+    """Reclaim data files unreachable from the ``keep_last`` newest
+    manifests (and drop the expired manifests). Returns counts; the
+    surviving versions still read exactly as committed. The 100 TB
+    retention job: deletes are manifest-driven file unlinks, never a
+    data scan."""
+    import json
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots under {table_dir}")
+    keep = versions[-keep_last:]
+    live: set[str] = set()
+    for v in keep:
+        with open(_manifest_path(table_dir, v)) as fh:
+            live.update(json.load(fh)["files"])
+    data_dir = os.path.join(table_dir, "data")
+    removed = 0
+    for f, _ in file_manifest(data_dir):
+        if os.path.basename(f) not in live:
+            os.remove(f)
+            removed += 1
+    expired = [v for v in versions if v not in keep]
+    for v in expired:
+        os.remove(_manifest_path(table_dir, v))
+    return {
+        "files_removed": removed,
+        "files_live": len(live),
+        "versions_expired": len(expired),
+        "versions_kept": len(keep),
+    }

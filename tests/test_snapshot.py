@@ -1,0 +1,98 @@
+"""Manifest-based snapshots: commit modes, time travel, vacuum.
+
+The registered query (maintenance_snapshot_time_travel) pins the
+replace-commit + time-travel read against the DuckDB oracle; these
+tests pin the rest of the table-format contract: append commits
+compose file sets, old versions read bit-identically after later
+commits, vacuum removes exactly the unreachable files (and the kept
+version still reads), and a data-file write without a manifest
+commit is invisible to readers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sressentials_spark.operators import maintenance as MT
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def test_append_and_replace_commits(spark, table):
+    v1 = MT.snapshot_write(spark, _df(spark, 0, 10), table, mode="replace")
+    v2 = MT.snapshot_write(spark, _df(spark, 10, 15), table, mode="append")
+    v3 = MT.snapshot_write(spark, _df(spark, 100, 103), table, mode="replace")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert MT.snapshot_versions(table) == [1, 2, 3]
+    assert MT.read_snapshot(spark, table, 1).count() == 10
+    # Append sees parent + new rows.
+    assert MT.read_snapshot(spark, table, 2).count() == 15
+    # Replace sees only its own files.
+    got = sorted(
+        r["id"] for r in MT.read_snapshot(spark, table, 3).collect()
+    )
+    assert got == [100, 101, 102]
+    # Time travel after later commits: v1 content is untouched.
+    assert sorted(
+        r["id"] for r in MT.read_snapshot(spark, table, 1).collect()
+    ) == list(range(10))
+
+
+def test_vacuum_removes_only_unreachable(spark, table):
+    MT.snapshot_write(spark, _df(spark, 0, 10), table, mode="replace")
+    MT.snapshot_write(spark, _df(spark, 10, 20), table, mode="replace")
+    data_dir = os.path.join(table, "data")
+    files_before = len(MT.file_manifest(data_dir))
+    stats = MT.snapshot_vacuum(table, keep_last=1)
+    assert stats["versions_expired"] == 1 and stats["versions_kept"] == 1
+    assert stats["files_removed"] == files_before - stats["files_live"]
+    assert len(MT.file_manifest(data_dir)) == stats["files_live"]
+    # The kept version still reads exactly.
+    assert MT.snapshot_versions(table) == [2]
+    assert sorted(
+        r["id"] for r in MT.read_snapshot(spark, table, 2).collect()
+    ) == list(range(10, 20))
+    # The expired version is gone.
+    with pytest.raises(FileNotFoundError):
+        MT.read_snapshot(spark, table, 1)
+
+
+def test_vacuum_keeps_multiple_versions(spark, table):
+    MT.snapshot_write(spark, _df(spark, 0, 5), table, mode="replace")
+    MT.snapshot_write(spark, _df(spark, 5, 9), table, mode="append")
+    MT.snapshot_write(spark, _df(spark, 9, 12), table, mode="replace")
+    stats = MT.snapshot_vacuum(table, keep_last=2)
+    assert stats["versions_expired"] == 1
+    # v2 (append) keeps v1's files alive through its manifest even
+    # though v1's manifest is expired.
+    assert MT.read_snapshot(spark, table, 2).count() == 9
+    assert MT.read_snapshot(spark, table, 3).count() == 3
+
+
+def test_uncommitted_data_files_are_invisible_and_reclaimed(spark, table):
+    MT.snapshot_write(spark, _df(spark, 0, 10), table, mode="replace")
+    # A crashed writer: data files land, no manifest commit.
+    _df(spark, 50, 60).write.mode("append").parquet(
+        os.path.join(table, "data")
+    )
+    assert MT.read_snapshot(spark, table, 1).count() == 10
+    stats = MT.snapshot_vacuum(table, keep_last=1)
+    assert stats["files_removed"] > 0
+    assert MT.read_snapshot(spark, table, 1).count() == 10
+
+
+def test_bad_mode_rejected(spark, table):
+    with pytest.raises(ValueError):
+        MT.snapshot_write(spark, _df(spark, 0, 1), table, mode="overwrite")
