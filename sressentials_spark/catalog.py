@@ -6830,3 +6830,26 @@ def maintenance_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFr
         )
 
     return _stats(1).unionByName(_stats(2))
+
+
+from sressentials_spark.operators.fuzzy import (  # noqa: E402
+    fuzzy_match_dictionary,
+    fuzzy_match_dictionary_oracle_sql,
+)
+
+
+@register(
+    "fuzzy_match_part_names",
+    fuzzy_match_dictionary_oracle_sql("SELECT p_name AS name FROM part"),
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching over the part-name column:
+    levenshtein<=2 pairs of DISTINCT names, candidates limited to
+    rarest-token blocks plus a length necessary-condition — never an
+    all-pairs cross join, and all distance work runs at dictionary
+    scale with per-name row counts carried for the merge decision
+    (operators/fuzzy.py:fuzzy_match_dictionary)."""
+    return fuzzy_match_dictionary(
+        load_table(spark, sf_dir, "part").select(F.col("p_name").alias("name")),
+        "name",
+    )
