@@ -6853,3 +6853,18 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part").select(F.col("p_name").alias("name")),
         "name",
     )
+
+
+@register(
+    "sketch_f2_selfjoin_events",
+    K.cms_f2_oracle_sql("events", "user_id"),
+)
+def sketch_f2_selfjoin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join-size / F2 estimation from the Count-Min counters —
+    the AMS-style optimizer statistic (join cardinality, skew) that
+    costs one map-combinable d x w counter pass instead of the exact
+    plan's full groupBy(user_id) shuffle. The estimate provably never
+    undershoots (bucket-wise (sum f)^2 >= sum f^2; min over rows is
+    the tightest); output carries exact vs estimate and the integer
+    over-estimate permille (operators/sketch.py:cms_f2_estimate)."""
+    return K.cms_f2_estimate(load_table(spark, sf_dir, "events"), "user_id")

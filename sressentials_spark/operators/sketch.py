@@ -815,3 +815,79 @@ SELECT {est} / fa.hs AS est_a,
        exact_intersection
 FROM fa, fb, fu, ex
 """
+
+
+def cms_f2_estimate(df: DataFrame, col: str, seed: str = CMS_SEED) -> DataFrame:
+    """Self-join size (the second frequency moment F2) estimated from
+    the Count-Min counter table — the optimizer statistic behind join
+    cardinality and skew estimates: ``|R join R on k| = sum_k f(k)^2``.
+
+    Estimate: ``min_r sum_c n(r, c)^2`` over the sketch rows. Each row
+    of counters partitions the keys into ``w`` buckets, and
+    ``sum (sum f)^2 >= sum f^2`` bucket-wise, so every row
+    over-estimates and the min is the tightest — the AMS-style
+    guarantee that the estimate NEVER undershoots (pinned in
+    tests/test_sketch.py). Exact F2 pays a full ``groupBy(col)``
+    shuffle; the sketch pays one map-combinable ``d x w`` counter pass
+    — the point of the estimator at 100 TB. Both are computed here so
+    the output carries the integer over-estimate permille. Counter
+    squares stay BIGINT-exact at test scale (and through the oracle);
+    at web scale the squares go through DOUBLE — same plan, wider
+    accumulator.
+
+    Output (one row): ``exact_f2``, ``cms_f2_estimate``,
+    ``over_permille`` (floor; 0 means the sketch row had no
+    colliding keys).
+    """
+    src = df.filter(F.col(col).isNotNull())
+    counters = cms_counters(df, col, seed)
+    est = (
+        counters.groupBy("r")
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("s"))
+        .agg(F.min("s").cast("long").alias("cms_f2_estimate"))
+    )
+    exact = (
+        src.groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_f2",
+            "cms_f2_estimate",
+            F.expr(
+                "((cms_f2_estimate - exact_f2) * 1000) div exact_f2"
+            ).alias("over_permille"),
+        )
+    )
+
+
+def cms_f2_oracle_sql(table: str, col: str, seed: str = CMS_SEED) -> str:
+    """DuckDB restatement of :func:`cms_f2_estimate`."""
+    h = (
+        f"(('0x' || substring(md5('{seed}:' || CAST(i AS VARCHAR) || ':'"
+        f" || CAST({col} AS VARCHAR)), 1, 15))::BIGINT) % {CMS_W}"
+    )
+    return f"""
+WITH rows_i AS (SELECT unnest(range({CMS_D})) AS i),
+counters AS (
+  SELECT CAST(i AS BIGINT) AS r, {h} AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table}, rows_i
+  WHERE {col} IS NOT NULL
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT CAST(MIN(s) AS BIGINT) AS cms_f2_estimate
+  FROM (SELECT r, CAST(SUM(n * n) AS BIGINT) AS s FROM counters GROUP BY r)
+),
+exact AS (
+  SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM {table}
+        WHERE {col} IS NOT NULL GROUP BY {col})
+)
+SELECT exact_f2, cms_f2_estimate,
+       CAST(((cms_f2_estimate - exact_f2) * 1000) // exact_f2 AS BIGINT)
+         AS over_permille
+FROM exact, est
+"""

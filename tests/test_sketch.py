@@ -330,3 +330,17 @@ def test_hll_set_algebra_invariants(spark):
     assert row.est_union >= max(row.est_a, row.est_b) - 1e-9
     assert row.exact_intersection > 0
     assert row.est_intersection == row.est_a + row.est_b - row.est_union
+
+
+def test_cms_f2_never_undershoots_and_is_exact_without_collisions(spark):
+    from sressentials_spark.operators.sketch import cms_f2_estimate
+
+    # Skewed stream: key 1 x 50, key 2 x 10, keys 100..119 x 1.
+    rows = [(1,)] * 50 + [(2,)] * 10 + [(100 + i,) for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id long")
+    out = cms_f2_estimate(df, "user_id").collect()[0]
+    exact = 50 * 50 + 10 * 10 + 20
+    assert out["exact_f2"] == exact
+    # AMS guarantee: the sketch estimate never undershoots.
+    assert out["cms_f2_estimate"] >= exact
+    assert out["over_permille"] >= 0
