@@ -6868,3 +6868,40 @@ def sketch_f2_selfjoin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tightest); output carries exact vs estimate and the integer
     over-estimate permille (operators/sketch.py:cms_f2_estimate)."""
     return K.cms_f2_estimate(load_table(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "streaming_f2_selfjoin_events",
+    K.cms_f2_oracle_sql("events", "user_id"),
+)
+def streaming_f2_selfjoin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F2 self-join-size estimator over STREAMED counters: the CMS
+    counter state (<= d x w rows, additive merge) is maintained by the
+    stream; the min-of-squared-sums fold and the exact baseline run
+    batch-side over the settled state. Shares the batch oracle
+    verbatim — streaming and batch counter tables must agree
+    bit-for-bit (streaming/sketch.py:run_f2_stream_batch)."""
+    from sressentials_spark.streaming.sketch import run_f2_stream_batch
+
+    return run_f2_stream_batch(spark, sf_dir)
+
+
+@register(
+    "streaming_lm_quality_scoring",
+    C.score_unigram_logloss_oracle_sql(
+        train_where="doc_id % 10 < 7", test_where="doc_id % 10 >= 7"
+    ),
+)
+def streaming_lm_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-model online quality gating — the LM sibling of the ANN
+    serving tier: a unigram LM trained on the first 70% of the corpus
+    is persisted as a vocabulary-sized artifact; the remaining
+    documents arrive as a file stream and each micro-batch scores
+    them by broadcast dictionary lookup in ``foreachBatch`` (OOV
+    terms charged the model's Laplace unseen mass), appending to a
+    parquet sink. Per-document scoring against a frozen model is
+    batching-invariant, so this query shares the batch split-scoring
+    oracle verbatim (streaming/lm_scoring.py)."""
+    from sressentials_spark.streaming.lm_scoring import run_lm_scoring_stream
+
+    return run_lm_scoring_stream(spark, sf_dir)

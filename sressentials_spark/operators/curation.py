@@ -1059,3 +1059,155 @@ SELECT d.doc_id,
          <= COALESCE(p.uniform_nll_micro, 0) AS keep
 FROM {table} d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def unigram_lm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Train the corpus unigram LM as a TABLE: one row per vocabulary
+    term with its micro-quantized NLL, plus the two model scalars
+    every row carries (``unseen_nll_micro`` — the Laplace mass
+    ``-ln(1/(N+V))`` for out-of-vocabulary terms at scoring time —
+    and ``uniform_nll_micro = ln V``, the keep threshold). The
+    persistable artifact a frozen-model serving tier broadcasts
+    (vocabulary-sized; see streaming/lm_scoring.py)."""
+    tk = tokens(text_col)
+    terms = docs.select(F.col(id_col), F.explode(tk).alias("term"))
+    corpus = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = corpus.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    return corpus.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            -F.round(
+                F.ln(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n") + F.col("v")).cast("double")
+                )
+                * F.lit(DSIR_LR_SCALE)
+            )
+        )
+        .cast("long")
+        .alias("nll_micro"),
+        F.round(
+            F.ln((F.col("n") + F.col("v")).cast("double")) * F.lit(DSIR_LR_SCALE)
+        )
+        .cast("long")
+        .alias("unseen_nll_micro"),
+        F.round(F.ln(F.col("v").cast("double")) * F.lit(DSIR_LR_SCALE))
+        .cast("long")
+        .alias("uniform_nll_micro"),
+    )
+
+
+def score_unigram_logloss(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a FROZEN unigram LM (see
+    :func:`unigram_lm`): per-term NLL by broadcast dictionary lookup,
+    out-of-vocabulary terms charged the model's Laplace unseen mass,
+    keep = average at or below the model's uniform ``ln V``. Pure
+    BIGINT downstream of the frozen model table, so batch and
+    streaming scoring agree bit-for-bit."""
+    scalars = model.select("unseen_nll_micro", "uniform_nll_micro").limit(1)
+    tk = tokens(text_col)
+    terms = docs.select(F.col(id_col), F.explode(tk).alias("term"))
+    doc_term = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    scored = (
+        doc_term.join(F.broadcast(model.select("term", "nll_micro")), "term", "left")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("cnt") * F.coalesce("nll_micro", F.col("unseen_nll_micro"))
+            )
+            .cast("long")
+            .alias("nll_micro_total"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.max("uniform_nll_micro").alias("uniform_nll_micro"),
+        )
+    )
+    avg = F.expr("nll_micro_total div n_tokens")
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("nll_micro_total", F.lit(0).cast("long")).alias(
+                "nll_micro_total"
+            ),
+            F.coalesce(avg, F.lit(0).cast("long")).alias("avg_nll_micro"),
+            (
+                F.coalesce(avg, F.lit(0).cast("long"))
+                <= F.coalesce("uniform_nll_micro", F.lit(0).cast("long"))
+            ).alias("keep"),
+        )
+    )
+
+
+def score_unigram_logloss_oracle_sql(
+    train_where: str, test_where: str, table: str = "documents"
+) -> str:
+    """DuckDB restatement of frozen-model scoring: model trained on
+    ``table WHERE train_where``, applied to ``table WHERE test_where``."""
+    return rf"""
+WITH train_terms AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM {table} WHERE {train_where}
+),
+corpus AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM train_terms GROUP BY term
+),
+totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM corpus
+),
+model AS (
+  SELECT term,
+         -CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
+                     * {DSIR_LR_SCALE}) AS BIGINT) AS nll_micro,
+         CAST(round(ln(CAST(n + v AS DOUBLE)) * {DSIR_LR_SCALE}) AS BIGINT)
+           AS unseen_nll_micro,
+         CAST(round(ln(CAST(v AS DOUBLE)) * {DSIR_LR_SCALE}) AS BIGINT)
+           AS uniform_nll_micro
+  FROM corpus CROSS JOIN totals
+),
+scal AS (SELECT DISTINCT unseen_nll_micro, uniform_nll_micro FROM model),
+test_docs AS (SELECT doc_id, text FROM {table} WHERE {test_where}),
+doc_term AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM test_docs
+),
+doc_term_n AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM doc_term GROUP BY doc_id, term
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.cnt * COALESCE(m.nll_micro, s.unseen_nll_micro)) AS BIGINT)
+           AS nll_micro_total,
+         CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+         MAX(s.uniform_nll_micro) AS uniform_nll_micro
+  FROM doc_term_n d
+  LEFT JOIN model m USING (term)
+  CROSS JOIN scal s
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.nll_micro_total, 0) AS nll_micro_total,
+       CAST(COALESCE(s.nll_micro_total // s.n_tokens, 0) AS BIGINT)
+         AS avg_nll_micro,
+       COALESCE(s.nll_micro_total // s.n_tokens, 0)
+         <= COALESCE(s.uniform_nll_micro, 0) AS keep
+FROM test_docs t LEFT JOIN scored s USING (doc_id)
+"""

@@ -297,3 +297,62 @@ def run_drift_stream_batch(
     return drift_from_counts(
         counts, group_col=group_col, n_bins=n_bins, psi_alarm=psi_alarm
     )
+
+
+def run_f2_stream_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    col: str = "user_id",
+    glob: str = "events.parquet",
+) -> DataFrame:
+    """F2 / self-join-size estimation over STREAMED Count-Min counters.
+
+    Identical counter topology to :func:`run_cms_stream_batch`
+    (stateful ``groupBy(r, c).count()``, <= d*w state rows, additive
+    micro-batch merge = CMS union); the F2 fold — min over hash rows
+    of the bucket-wise squared sums — runs batch-side over the settled
+    counters, next to the exact F2 baseline (a batch groupBy over the
+    same files). Shares the batch query's oracle verbatim: the
+    streaming counter state must equal the batch counter table
+    bit-for-bit, or the min-of-squares fold diverges.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    from sressentials_spark.streaming import (
+        DEFAULT_STATE_PARTITIONS,
+        state_partitions,
+    )
+
+    run_key = f"{sf_dir}|{col}|{glob}|f2"
+    name = "stream_f2_" + hashlib.md5(run_key.encode()).hexdigest()[:10]
+    with state_partitions(spark, DEFAULT_STATE_PARTITIONS):
+        q = (
+            cms_counters(reader.parquet(sf_dir), col)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    counters = spark.table(name)
+    est = (
+        counters.groupBy("r")
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("s"))
+        .agg(F.min("s").cast("long").alias("cms_f2_estimate"))
+    )
+    exact = (
+        spark.read.option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+        .filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_f2",
+        "cms_f2_estimate",
+        F.expr("((cms_f2_estimate - exact_f2) * 1000) div exact_f2").alias(
+            "over_permille"
+        ),
+    )
