@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: query -> {shape: reason} for intentional expensive shapes.
 ALLOWED: dict[str, dict[str, str]] = {
+    "audit_drift_daily_trend": {
+        "BroadcastNestedLoopJoin": "10-row bin grid crossed with |groups|/|days| dims"
+    },
     "streaming_f2_selfjoin_events": {
         "BroadcastNestedLoopJoin": "two one-row folds crossed (exact vs estimate)"
     },

@@ -6585,6 +6585,7 @@ def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from sressentials_spark.operators.drift import (  # noqa: E402
     histogram_drift,
     histogram_drift_oracle_sql,
+    histogram_drift_trend_oracle_sql,
 )
 
 #: Reference/current cohort split for the drift audit: first half of
@@ -6905,3 +6906,26 @@ def streaming_lm_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sressentials_spark.streaming.lm_scoring import run_lm_scoring_stream
 
     return run_lm_scoring_stream(spark, sf_dir)
+
+
+@register(
+    "audit_drift_daily_trend",
+    histogram_drift_trend_oracle_sql(
+        split_sql=_DRIFT_SPLIT_DUCK, trend_sql="CAST(ts AS DATE)"
+    ),
+)
+def audit_drift_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift localized in time: per-event-type PSI/TVD of EACH
+    second-half day against the shared first-half reference histogram
+    — the dashboard line that shows when a distribution moved, not
+    just that it did. Reference counts are histogram-sized and
+    broadcast onto every day bucket; everything downstream of the two
+    count groupBys is sketch-scale
+    (operators/drift.py:histogram_drift_trend)."""
+    from sressentials_spark.operators.drift import histogram_drift_trend
+
+    return histogram_drift_trend(
+        load_table(spark, sf_dir, "events"),
+        split_expr=_DRIFT_SPLIT_SPARK,
+        trend_expr="CAST(ts AS DATE)",
+    )

@@ -227,3 +227,190 @@ SELECT grp AS {group_col}, n_ref, n_cur,
          / {DRIFT_LR_SCALE} >= {psi_alarm} AS drifted
 FROM agg
 """
+
+
+def histogram_drift_trend(
+    df: DataFrame,
+    *,
+    split_expr: str,
+    trend_expr: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    psi_alarm: float = 0.25,
+) -> DataFrame:
+    """Drift as a TIME SERIES: every current-cohort subgroup (one per
+    distinct ``trend_expr`` value, e.g. a day) is compared against the
+    SAME per-group reference histogram — the monitoring dashboard's
+    per-day PSI line, localizing WHEN a distribution moved rather
+    than only whether it did.
+
+    Same fixed-point machinery as :func:`histogram_drift`; the only
+    new shape is that the reference counts broadcast-join onto every
+    trend bucket (reference side is histogram-sized, so fanning it
+    out to |buckets| costs |groups| x buckets x n_bins rows — still
+    sketch-scale at any corpus size).
+
+    Output per (group, bucket): ``n_ref``, ``n_cur``, ``psi``,
+    ``tvd``, ``drifted``.
+    """
+    ref = F.expr(split_expr)
+    binned = df.select(
+        F.col(group_col).alias("grp"),
+        ref.alias("is_ref"),
+        F.expr(trend_expr).alias("bucket"),
+        F.least(
+            F.greatest(F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    spark = df.sparkSession
+    bins = F.broadcast(spark.range(n_bins).select(F.col("id").alias("bin")))
+    ref_counts = (
+        binned.filter(F.col("is_ref"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ref"))
+    )
+    ref_grid = (
+        ref_counts.select("grp").distinct().crossJoin(bins)
+        .join(ref_counts, ["grp", "bin"], "left")
+        .select("grp", "bin", F.coalesce("c_ref", F.lit(0).cast("long")).alias("c_ref"))
+    )
+    cur_counts = (
+        binned.filter(~F.col("is_ref"))
+        .groupBy("grp", "bucket", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_cur"))
+    )
+    cur_grid = (
+        cur_counts.select("grp", "bucket").distinct().crossJoin(bins)
+        .join(cur_counts, ["grp", "bucket", "bin"], "left")
+        .select(
+            "grp",
+            "bucket",
+            "bin",
+            F.coalesce("c_cur", F.lit(0).cast("long")).alias("c_cur"),
+        )
+    )
+    # Inner join: buckets only exist on the current side; a group with
+    # no reference rows contributes no trend rows (promote-gates have
+    # nothing to compare against).
+    full = cur_grid.join(F.broadcast(ref_grid), ["grp", "bin"])
+    totals = full.groupBy("grp", "bucket").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    b = F.lit(n_bins).cast("long")
+    j = full.join(F.broadcast(totals), ["grp", "bucket"])
+    a = (F.col("c_ref") + 1) * (F.col("n_cur") + b) - (F.col("c_cur") + 1) * (
+        F.col("n_ref") + b
+    )
+    lr_micro = (
+        F.round(
+            F.ln(
+                ((F.col("c_ref") + 1).cast("double") * (F.col("n_cur") + b).cast("double"))
+                / ((F.col("c_cur") + 1).cast("double") * (F.col("n_ref") + b).cast("double"))
+            )
+            * F.lit(DRIFT_LR_SCALE)
+        )
+        .cast("long")
+    )
+    per = j.groupBy("grp", "bucket", "n_ref", "n_cur").agg(
+        F.sum(a * lr_micro).cast("long").alias("psi_num"),
+        F.sum(F.abs(a)).cast("long").alias("tvd_num"),
+    )
+    d = (F.col("n_ref") + b).cast("double") * (F.col("n_cur") + b).cast("double")
+    psi = F.col("psi_num").cast("double") / d / F.lit(float(DRIFT_LR_SCALE))
+    tvd = F.col("tvd_num").cast("double") / d / F.lit(2.0)
+    return per.select(
+        F.col("grp").alias(group_col),
+        "bucket",
+        "n_ref",
+        "n_cur",
+        psi.alias("psi"),
+        tvd.alias("tvd"),
+        (psi >= F.lit(psi_alarm)).alias("drifted"),
+    )
+
+
+def histogram_drift_trend_oracle_sql(
+    *,
+    split_sql: str,
+    trend_sql: str,
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    psi_alarm: float = 0.25,
+) -> str:
+    """DuckDB restatement of :func:`histogram_drift_trend`."""
+    return f"""
+WITH binned AS (
+  SELECT {group_col} AS grp, ({split_sql}) AS is_ref,
+         ({trend_sql}) AS bucket,
+         CAST(least(greatest(floor({value_col} / {bin_width!r}), 0),
+                    {n_bins - 1}) AS BIGINT) AS bin
+  FROM {table}
+),
+bins AS (SELECT CAST(unnest(generate_series(0, {n_bins - 1})) AS BIGINT) AS bin),
+ref_counts AS (
+  SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS c_ref
+  FROM binned WHERE is_ref GROUP BY grp, bin
+),
+ref_grid AS (
+  SELECT g.grp, s.bin, COALESCE(r.c_ref, 0) AS c_ref
+  FROM (SELECT DISTINCT grp FROM ref_counts) g
+  CROSS JOIN bins s
+  LEFT JOIN ref_counts r ON r.grp = g.grp AND r.bin = s.bin
+),
+cur_counts AS (
+  SELECT grp, bucket, bin, CAST(COUNT(*) AS BIGINT) AS c_cur
+  FROM binned WHERE NOT is_ref GROUP BY grp, bucket, bin
+),
+cur_grid AS (
+  SELECT g.grp, g.bucket, s.bin, COALESCE(c.c_cur, 0) AS c_cur
+  FROM (SELECT DISTINCT grp, bucket FROM cur_counts) g
+  CROSS JOIN bins s
+  LEFT JOIN cur_counts c ON c.grp = g.grp AND c.bucket = g.bucket AND c.bin = s.bin
+),
+fg AS (
+  SELECT c.grp, c.bucket, c.bin, r.c_ref, c.c_cur
+  FROM cur_grid c JOIN ref_grid r ON r.grp = c.grp AND r.bin = c.bin
+),
+totals AS (
+  SELECT grp, bucket, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_cur) AS BIGINT) AS n_cur
+  FROM fg GROUP BY grp, bucket
+),
+terms AS (
+  SELECT f.grp, f.bucket, t.n_ref, t.n_cur,
+         (f.c_ref + 1) * (t.n_cur + {n_bins})
+           - (f.c_cur + 1) * (t.n_ref + {n_bins}) AS a,
+         CAST(round(ln((CAST(f.c_ref + 1 AS DOUBLE)
+                        * CAST(t.n_cur + {n_bins} AS DOUBLE))
+                       / (CAST(f.c_cur + 1 AS DOUBLE)
+                          * CAST(t.n_ref + {n_bins} AS DOUBLE)))
+                    * {DRIFT_LR_SCALE}) AS BIGINT) AS lr_micro
+  FROM fg f JOIN totals t ON t.grp = f.grp AND t.bucket = f.bucket
+),
+agg AS (
+  SELECT grp, bucket, n_ref, n_cur,
+         CAST(SUM(a * lr_micro) AS BIGINT) AS psi_num,
+         CAST(SUM(abs(a)) AS BIGINT) AS tvd_num
+  FROM terms GROUP BY grp, bucket, n_ref, n_cur
+)
+SELECT grp AS {group_col}, bucket, n_ref, n_cur,
+       CAST(psi_num AS DOUBLE)
+         / (CAST(n_ref + {n_bins} AS DOUBLE) * CAST(n_cur + {n_bins} AS DOUBLE))
+         / {DRIFT_LR_SCALE} AS psi,
+       CAST(tvd_num AS DOUBLE)
+         / (CAST(n_ref + {n_bins} AS DOUBLE) * CAST(n_cur + {n_bins} AS DOUBLE))
+         / 2.0 AS tvd,
+       CAST(psi_num AS DOUBLE)
+         / (CAST(n_ref + {n_bins} AS DOUBLE) * CAST(n_cur + {n_bins} AS DOUBLE))
+         / {DRIFT_LR_SCALE} >= {psi_alarm} AS drifted
+FROM agg
+"""

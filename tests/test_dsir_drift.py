@@ -243,3 +243,33 @@ def test_clean_normalize_matches_duckdb_on_unicode(spark):
     con.close()
     for c in ["cleaned", "cleaned_md5", "n_chars_clean", "changed"]:
         assert list(got[c]) == list(want[c]), c
+
+
+def test_drift_trend_localizes_shift(spark):
+    from sressentials_spark.operators.drift import histogram_drift_trend
+
+    # Reference: uniform 0..99. Day 1 matches it, day 2 is shifted.
+    rows = [(float(v % 100), True, 0) for v in range(400)]
+    rows += [(float(v % 100), False, 1) for v in range(200)]
+    rows += [(float(v % 100) + 300.0, False, 2) for v in range(200)]
+    df = spark.createDataFrame(
+        rows, "value double, is_ref boolean, day int"
+    ).withColumn("g", F.lit("m"))
+    out = (
+        histogram_drift_trend(
+            df,
+            split_expr="is_ref",
+            trend_expr="day",
+            group_col="g",
+            value_col="value",
+        )
+        .toPandas()
+        .set_index("bucket")
+    )
+    assert len(out) == 2
+    # Laplace smoothing with unequal cohort sizes (400 ref vs 200 cur)
+    # leaves a small positive floor; well under the 0.25 alarm.
+    assert not bool(out.loc[1, "drifted"]) and out.loc[1, "psi"] < 0.05
+    assert bool(out.loc[2, "drifted"]) and out.loc[2, "psi"] > 0.25
+    # Both days compare against the same 400-row reference.
+    assert set(out["n_ref"]) == {400} and set(out["n_cur"]) == {200}
