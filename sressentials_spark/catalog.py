@@ -6929,3 +6929,61 @@ def audit_drift_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_expr=_DRIFT_SPLIT_SPARK,
         trend_expr="CAST(ts AS DATE)",
     )
+
+
+@register(
+    "asof_next_error_after_purchase",
+    """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         (SELECT min(er.ts) FROM events er
+          WHERE er.user_id = events.user_id AND er.event_type = 'error'
+            AND er.ts >= events.ts) AS nxt
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, ts AS purchase_ts,
+       CASE WHEN nxt <= ts + INTERVAL 24 HOUR THEN nxt END AS next_error_ts,
+       CASE WHEN nxt <= ts + INTERVAL 24 HOUR
+            THEN CAST(date_diff('microsecond', ts, nxt) // 1000 AS BIGINT)
+       END AS latency_ms
+FROM p
+""",
+)
+def asof_next_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with a tolerance band: for every purchase, the
+    first error at-or-after it by the same user, kept only within 24
+    hours (the attribution window a reliability dashboard uses —
+    "did this purchase hit an error soon after?"), plus integer
+    latency in ms. Same no-join composition as the backward as-of
+    (`asof_last_purchase_before_error`), mirrored: a running ``min``
+    over the FOLLOWING event-time RANGE frame (ties included exactly
+    like ``>=``), one shuffle on user_id, tolerance applied as a
+    codegen CASE after the window."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    error_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    nxt = F.min(error_ts).over(w)
+    # NB: the band test must reference the MATERIALIZED column — using
+    # the window expression here would re-evaluate it after the
+    # purchase filter, where no error rows remain.
+    in_band = F.col("nxt") <= F.col("ts") + F.expr("INTERVAL 24 HOURS")
+    return (
+        e.withColumn("nxt", nxt)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(in_band, F.col("nxt")).alias("next_error_ts"),
+            F.when(
+                in_band,
+                F.expr(
+                    "(unix_micros(nxt) - unix_micros(ts)) div 1000"
+                ),
+            ).alias("latency_ms"),
+        )
+    )
