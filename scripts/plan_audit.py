@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: query -> {shape: reason} for intentional expensive shapes.
 ALLOWED: dict[str, dict[str, str]] = {
+    "sketch_joinsize_events_orders": {
+        "BroadcastNestedLoopJoin": "two one-row folds crossed (exact vs estimate)"
+    },
     "audit_drift_daily_trend": {
         "BroadcastNestedLoopJoin": "10-row bin grid crossed with |groups|/|days| dims"
     },

@@ -6987,3 +6987,22 @@ def asof_next_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("latency_ms"),
         )
     )
+
+
+@register(
+    "sketch_joinsize_events_orders",
+    K.cms_joinsize_oracle_sql("events", "user_id", "orders", "o_custkey"),
+)
+def sketch_joinsize_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-cardinality estimate for events.user_id x
+    orders.o_custkey from two aligned Count-Min sketches (dot product
+    of counter rows, min over the hash family) next to the exact
+    baseline — never undershoots, costs two d x w counter passes plus
+    a sketch-sized join instead of aggregating both fact tables
+    (operators/sketch.py:cms_joinsize_estimate)."""
+    return K.cms_joinsize_estimate(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+    )

@@ -891,3 +891,102 @@ SELECT exact_f2, cms_f2_estimate,
          AS over_permille
 FROM exact, est
 """
+
+
+def cms_joinsize_estimate(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    seed: str = CMS_SEED,
+) -> DataFrame:
+    """Equi-join cardinality estimated from two Count-Min counter
+    tables — the other optimizer question F2 answers for self-joins:
+    ``|A join B on k| = sum_k fA(k) * fB(k)``, estimated as
+    ``min_r sum_c nA(r,c) * nB(r,c)``. Both sketches share the seeded
+    hash family, so coordinates align; bucket-wise
+    ``(sum a)(sum b) >= sum(a*b)`` for non-negative counts, so every
+    row over-estimates and the min is tightest — the same
+    never-undershoots guarantee as :func:`cms_f2_estimate` (pinned in
+    tests/test_sketch.py). Cost: two map-combinable d x w counter
+    passes plus a sketch-sized join, vs the exact baseline's full
+    per-key aggregation of BOTH sides — the pre-flight answer to
+    "will this join explode?" at 100 TB.
+
+    Output (one row): ``exact_joinsize``, ``cms_joinsize_estimate``,
+    ``over_permille``.
+    """
+    ca = cms_counters(df_a, col_a, seed)
+    cb = cms_counters(df_b, col_b, seed)
+    est = (
+        ca.join(cb.withColumnRenamed("n", "nb"), ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("n") * F.col("nb")).cast("long").alias("s"))
+        .agg(F.min("s").cast("long").alias("cms_joinsize_estimate"))
+    )
+    fa = (
+        df_a.filter(F.col(col_a).isNotNull())
+        .groupBy(F.col(col_a).alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("fa"))
+    )
+    fb = (
+        df_b.filter(F.col(col_b).isNotNull())
+        .groupBy(F.col(col_b).alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("fb"))
+    )
+    exact = (
+        fa.join(fb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+            .cast("long")
+            .alias("exact_joinsize")
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_joinsize",
+        "cms_joinsize_estimate",
+        F.expr(
+            "((cms_joinsize_estimate - exact_joinsize) * 1000)"
+            " div exact_joinsize"
+        ).alias("over_permille"),
+    )
+
+
+def cms_joinsize_oracle_sql(
+    table_a: str, col_a: str, table_b: str, col_b: str, seed: str = CMS_SEED
+) -> str:
+    """DuckDB restatement of :func:`cms_joinsize_estimate`."""
+
+    def h(col: str) -> str:
+        return (
+            f"(('0x' || substring(md5('{seed}:' || CAST(i AS VARCHAR) || ':'"
+            f" || CAST({col} AS VARCHAR)), 1, 15))::BIGINT) % {CMS_W}"
+        )
+
+    return f"""
+WITH rows_i AS (SELECT unnest(range({CMS_D})) AS i),
+ca AS (
+  SELECT CAST(i AS BIGINT) AS r, {h(col_a)} AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table_a}, rows_i WHERE {col_a} IS NOT NULL GROUP BY 1, 2
+),
+cb AS (
+  SELECT CAST(i AS BIGINT) AS r, {h(col_b)} AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table_b}, rows_i WHERE {col_b} IS NOT NULL GROUP BY 1, 2
+),
+est AS (
+  SELECT CAST(MIN(s) AS BIGINT) AS cms_joinsize_estimate
+  FROM (SELECT ca.r, CAST(SUM(ca.n * cb.n) AS BIGINT) AS s
+        FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY ca.r)
+),
+exact AS (
+  SELECT CAST(COALESCE(SUM(fa.n * fb.n), 0) AS BIGINT) AS exact_joinsize
+  FROM (SELECT {col_a} AS k, CAST(COUNT(*) AS BIGINT) AS n FROM {table_a}
+        WHERE {col_a} IS NOT NULL GROUP BY 1) fa
+  JOIN (SELECT {col_b} AS k, CAST(COUNT(*) AS BIGINT) AS n FROM {table_b}
+        WHERE {col_b} IS NOT NULL GROUP BY 1) fb USING (k)
+)
+SELECT exact_joinsize, cms_joinsize_estimate,
+       CAST(((cms_joinsize_estimate - exact_joinsize) * 1000)
+            // exact_joinsize AS BIGINT) AS over_permille
+FROM exact, est
+"""

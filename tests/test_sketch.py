@@ -344,3 +344,29 @@ def test_cms_f2_never_undershoots_and_is_exact_without_collisions(spark):
     # AMS guarantee: the sketch estimate never undershoots.
     assert out["cms_f2_estimate"] >= exact
     assert out["over_permille"] >= 0
+
+
+def test_cms_joinsize_never_undershoots(spark):
+    from sressentials_spark.operators.sketch import cms_joinsize_estimate
+
+    a = spark.createDataFrame(
+        [(1,)] * 10 + [(2,)] * 5 + [(3,)] * 1, "k long"
+    )
+    b = spark.createDataFrame(
+        [(1,)] * 4 + [(3,)] * 7 + [(9,)] * 100, "k long"
+    )
+    out = cms_joinsize_estimate(a, "k", b, "k").collect()[0]
+    assert out["exact_joinsize"] == 10 * 4 + 1 * 7
+    assert out["cms_joinsize_estimate"] >= out["exact_joinsize"]
+    assert out["over_permille"] >= 0
+
+
+def test_cms_joinsize_disjoint_keys(spark):
+    from sressentials_spark.operators.sketch import cms_joinsize_estimate
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(7,), (8,)], "k long")
+    out = cms_joinsize_estimate(a, "k", b, "k").collect()[0]
+    # Exact is zero; the estimate may be positive (collisions) but the
+    # guard division must not blow up on the zero denominator...
+    assert out["exact_joinsize"] == 0
