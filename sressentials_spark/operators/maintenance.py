@@ -249,9 +249,14 @@ def snapshot_write(
     plus the new files. Readers of old versions are never disturbed:
     nothing is deleted or rewritten until :func:`snapshot_vacuum`.
 
-    Commit ordering: data files land first, the manifest rename-lands
+    Commit ordering: data files land first, the manifest link-lands
     last — a crashed writer leaves orphan data files (reclaimed by
-    vacuum), never a manifest pointing at missing data. At 100 TB the
+    vacuum), never a manifest pointing at missing data. The final
+    manifest is published with an atomic exclusive ``os.link`` onto
+    the version name, so two writers racing to the same version
+    resolve as optimistic concurrency: exactly one commit wins, the
+    loser raises ``FileExistsError`` and must retry against the new
+    latest (the Delta/Iceberg commit-conflict rule). At 100 TB the
     manifest write is O(files), the data write is the job itself, and
     concurrent readers resolve versions by listing tiny JSON files —
     the same economics as Delta's _delta_log.
@@ -276,7 +281,13 @@ def snapshot_write(
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"version": version, "mode": mode, "files": visible}, fh)
-    os.replace(tmp, _manifest_path(table_dir, version))
+    try:
+        # Atomic publish that REFUSES to overwrite: link(2) fails with
+        # EEXIST if another writer already committed this version —
+        # optimistic concurrency, loser retries against the new head.
+        os.link(tmp, _manifest_path(table_dir, version))
+    finally:
+        os.unlink(tmp)
     return version
 
 

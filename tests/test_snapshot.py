@@ -96,3 +96,73 @@ def test_uncommitted_data_files_are_invisible_and_reclaimed(spark, table):
 def test_bad_mode_rejected(spark, table):
     with pytest.raises(ValueError):
         MT.snapshot_write(spark, _df(spark, 0, 1), table, mode="overwrite")
+
+
+def test_late_published_version_is_observed_not_clobbered(spark, table):
+    # An interloper publishes v2 BEFORE the second writer lists
+    # versions: no conflict — the writer observes the new head and
+    # commits as v3 (normal optimistic-concurrency refresh).
+    import json
+    import os
+
+    MT.snapshot_write(spark, _df(spark, 0, 5), table, mode="replace")
+    with open(os.path.join(table, "manifest-v2.json"), "w") as fh:
+        json.dump({"version": 2, "mode": "replace", "files": []}, fh)
+    v = MT.snapshot_write(spark, _df(spark, 5, 8), table, mode="replace")
+    assert v == 3
+    assert MT.snapshot_versions(table) == [1, 2, 3]
+
+
+def test_concurrent_commit_loses_race(spark, table, monkeypatch):
+    # The true race window: two writers both list head=v1 and race to
+    # publish v2. Simulate the loser by pinning its version listing to
+    # the stale head while the winner's v2 manifest already exists —
+    # the atomic link publish must refuse to overwrite.
+    import json
+    import os
+
+    MT.snapshot_write(spark, _df(spark, 0, 5), table, mode="replace")
+    with open(os.path.join(table, "manifest-v2.json"), "w") as fh:
+        json.dump({"version": 2, "mode": "replace", "files": []}, fh)
+    monkeypatch.setattr(MT, "snapshot_versions", lambda d: [1])
+    with pytest.raises(FileExistsError):
+        MT.snapshot_write(spark, _df(spark, 5, 8), table, mode="replace")
+    monkeypatch.undo()
+    # The winner's manifest is untouched; the loser left only orphan
+    # data files, which vacuum reclaims.
+    with open(os.path.join(table, "manifest-v2.json")) as fh:
+        assert json.load(fh)["files"] == []
+    stats = MT.snapshot_vacuum(table, keep_last=1)
+    assert stats["files_removed"] > 0
+    assert MT.snapshot_versions(table) == [2]
+
+
+def test_random_commit_model(spark, table):
+    """Model-based check: a seeded random sequence of replace/append
+    commits must read back exactly the model's per-version row sets,
+    and vacuum(keep_last=k) must preserve every kept version."""
+    import random
+
+    rng = random.Random(1234)
+    model: dict[int, set[int]] = {}
+    visible: set[int] = set()
+    nxt = 0
+    for _ in range(6):
+        lo, hi = nxt, nxt + rng.randint(1, 5)
+        nxt = hi
+        mode = rng.choice(["replace", "append"])
+        v = MT.snapshot_write(spark, _df(spark, lo, hi), table, mode=mode)
+        visible = (visible | set(range(lo, hi))) if mode == "append" else set(
+            range(lo, hi)
+        )
+        model[v] = set(visible)
+    for v, want in model.items():
+        got = {r["id"] for r in MT.read_snapshot(spark, table, v).collect()}
+        assert got == want, f"v{v}"
+    keep = rng.randint(1, 3)
+    MT.snapshot_vacuum(table, keep_last=keep)
+    kept = sorted(model)[-keep:]
+    assert MT.snapshot_versions(table) == kept
+    for v in kept:
+        got = {r["id"] for r in MT.read_snapshot(spark, table, v).collect()}
+        assert got == model[v], f"post-vacuum v{v}"
