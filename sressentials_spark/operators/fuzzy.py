@@ -20,7 +20,14 @@ Candidates then pass a length filter (edit distance >= length gap, so
 ``|len(a) - len(b)| <= max_dist`` is a free necessary condition)
 before the only real work: one JVM ``levenshtein`` per surviving
 pair. Classic unit-cost edit distance is a unique value, so Spark and
-DuckDB agree exactly.
+DuckDB agree exactly — on ASCII. Parity boundary (measured):
+Spark's ``levenshtein`` edits CODEPOINTS while DuckDB's edits BYTES
+(``levenshtein('café','cafe')`` = 1 vs 2), so the oracle contract
+holds only for ASCII dictionaries — guaranteed for the sf corpus by
+``tests/test_catalog_oracle.py::test_documents_fixture_is_ascii``
+and fuzz-pinned on random ASCII dictionaries in
+tests/test_fuzzy.py; a non-ASCII deployment would need a byte-wise
+oracle (or octet_length-based distance) instead.
 """
 
 from __future__ import annotations

@@ -78,3 +78,51 @@ def test_length_gap_is_a_free_reject(spark):
     got = _match(spark, vals)
     assert ("aaaa bolt", "aaaa bolt extras") not in got
     assert ("aaaa bolt", "azza bolt") in got
+
+
+def test_fuzz_matches_duckdb_on_random_ascii_dictionaries(spark):
+    """Seeded fuzz: full operator output vs the DuckDB oracle on random
+    ASCII dictionaries (skewed token reuse so blocks actually form).
+    Levenshtein parity is ASCII-only — Spark edits codepoints, DuckDB
+    edits bytes — so the alphabet here is deliberately ASCII; the
+    operator docstring records that boundary."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from sressentials_spark.operators.fuzzy import (
+        fuzzy_match_dictionary_oracle_sql,
+    )
+
+    firsts = ["red", "rad", "rod", "blue", "blu", "green"]
+    seconds = ["bolt", "bolz", "belt", "gear", "gearz", "ring", "rung"]
+    for seed in (3, 19, 71):
+        rng = random.Random(seed)
+        names = [
+            f"{rng.choice(firsts)} {rng.choice(seconds)}" for _ in range(120)
+        ]
+        sdf = (
+            fuzzy_match_dictionary(
+                spark.createDataFrame([(n,) for n in names], "name string"),
+                "name",
+            )
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src(name VARCHAR)")
+        con.executemany("INSERT INTO src VALUES (?)", [(n,) for n in names])
+        odf = con.execute(
+            fuzzy_match_dictionary_oracle_sql("SELECT name FROM src")
+        ).fetchdf()
+        con.close()
+
+        def canon(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reindex(sorted(df.columns), axis=1)
+            return (
+                df.sort_values(sorted(df.columns))
+                .reset_index(drop=True)
+                .astype(str)
+            )
+
+        assert canon(sdf).equals(canon(odf)), f"seed {seed}"
