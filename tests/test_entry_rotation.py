@@ -37,3 +37,25 @@ def test_registry_and_oracles_align():
     assert not missing, f"queries without oracles: {missing}"
     extra = [n for n in oracles if n not in qs]
     assert not extra, f"oracles without queries: {extra}"
+
+
+def test_rotation_budget_not_overflowed():
+    """The driver records only 50 correctness rows per round, and every
+    query with no ledger row sorts ahead of stale rows — so
+    |_FORCE_FIRST| + |never-rowed| must stay within the budget, or the
+    stale backlog (and in the worst case part of the never-rowed set
+    itself) silently stops refreshing. This is the r6-verdict failure
+    mode (53 new queries displaced 6 never-rowed ones for a full
+    round); adding queries faster than the budget absorbs them now
+    fails here first."""
+    ent = _entry()
+    latest = ent._last_rowed_round()
+    qs = ent.queries()
+    never = [n for n in qs if latest.get(n, 0) == 0]
+    forced_extra = [n for n in ent._FORCE_FIRST if latest.get(n, 0) != 0]
+    used = len(never) + len(forced_extra)
+    assert used <= 50, (
+        f"{len(never)} never-rowed + {len(forced_extra)} forced stale rows "
+        f"= {used} > 50-row driver budget; register fewer new queries this "
+        f"round or drop _FORCE_FIRST entries"
+    )
