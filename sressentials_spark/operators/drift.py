@@ -10,9 +10,21 @@ Engine-exact restatement (same recipe as the DSIR weights,
 operators/curation.py): the only transcendental — ``ln(p/q)`` per
 histogram bin — is evaluated on an exact integer ratio and quantized
 once per bin to integer micronats; the PSI numerator is then a pure
-BIGINT dot product, and the final value is one IEEE multiply + two
-IEEE divides on exact integers, which are correctly rounded and hence
-identical in Spark and DuckDB.
+integer dot product, and the final value is one IEEE multiply + two
+IEEE divides on exact integers.
+
+Overflow posture (the numerator is O(n_ref * n_cur * lr)): the dot
+product accumulates in DECIMAL(38,0) on the Spark side and HUGEINT in
+the DuckDB oracle — both exact 128-bit integer paths — so it is exact
+for cohorts up to ~1e14 rows per group (|a * lr| < 1e36, x n_bins
+terms < 1e38; beyond that Spark's non-ANSI decimal yields NULL and
+DuckDB raises — visible, never a silently wrapped BIGINT). The
+``drifted`` alarm is decided by the exact integer comparison
+``psi_num >= alarm_micronats * (n_ref + B) * (n_cur + B)`` in both
+engines, so the boolean is engine-exact at ANY cohort size. The
+``psi``/``tvd`` doubles are bit-identical across engines while
+``|psi_num| < 2**53`` (above that each engine's int128->double cast
+may differ by 1 ulp; the alarm boolean is unaffected).
 
 Scale shape: one conditional-aggregation scan produces per-(group,
 bin) counts for BOTH periods (map-side partials, one shuffle keyed by
@@ -29,6 +41,23 @@ from pyspark.sql import functions as F
 
 #: Fixed-point scale for the per-bin log-likelihood-ratio (micronats).
 DRIFT_LR_SCALE = 10**6
+
+#: 128-bit-safe factor width: (14,0) x (14,0) products stay in
+#: DECIMAL(29,0); a-differences in (30,0); a * lr in (38,0).
+_D14 = "decimal(14,0)"
+
+
+def _alarm_micronats(psi_alarm: float) -> int:
+    """``psi_alarm`` in exact integer micronats, so the drift alarm is
+    an integer comparison (engine-exact at any cohort size) rather
+    than a double one. Alarms must be representable at micronat
+    granularity — true of any sane threshold (0.1, 0.25, ...)."""
+    am = round(psi_alarm * DRIFT_LR_SCALE)
+    if abs(am - psi_alarm * DRIFT_LR_SCALE) > 1e-6:
+        raise ValueError(
+            f"psi_alarm={psi_alarm!r} is not representable in micronats"
+        )
+    return int(am)
 
 
 def histogram_drift(
@@ -84,8 +113,11 @@ def bin_cohorts(
     """Row-level cohort + bin assignment: ``(grp, is_ref, bin)``.
 
     A pure narrow projection (shared by the batch audit and the
-    streaming monitor, whose stateful agg consumes it directly)."""
-    return df.select(
+    streaming monitor, whose stateful agg consumes it directly).
+    NULL metric values are dropped here — the single shared gate for
+    batch, trend, streaming AND the oracles, so no path clamps a NULL
+    into bin 0 while another drops it."""
+    return df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         F.expr(split_expr).alias("is_ref"),
         F.least(
@@ -128,9 +160,9 @@ def drift_from_counts(
     b = F.lit(n_bins).cast("long")
     j = full.join(F.broadcast(totals), "grp")
     # p - q = A / D with A, D exact BIGINTs; ln(p/q) micro-quantized.
-    a = (F.col("c_ref") + 1) * (F.col("n_cur") + b) - (F.col("c_cur") + 1) * (
-        F.col("n_ref") + b
-    )
+    a = (F.col("c_ref") + 1).cast(_D14) * (F.col("n_cur") + b).cast(_D14) - (
+        F.col("c_cur") + 1
+    ).cast(_D14) * (F.col("n_ref") + b).cast(_D14)
     lr_micro = (
         F.round(
             F.ln(
@@ -142,8 +174,8 @@ def drift_from_counts(
         .cast("long")
     )
     per_group = j.groupBy("grp", "n_ref", "n_cur").agg(
-        F.sum(a * lr_micro).cast("long").alias("psi_num"),
-        F.sum(F.abs(a)).cast("long").alias("tvd_num"),
+        F.sum(a * lr_micro.cast("decimal(8,0)")).alias("psi_num"),
+        F.sum(F.abs(a)).alias("tvd_num"),
     )
     d = (F.col("n_ref") + b).cast("double") * (F.col("n_cur") + b).cast("double")
     psi = F.col("psi_num").cast("double") / d / F.lit(float(DRIFT_LR_SCALE))
@@ -154,7 +186,12 @@ def drift_from_counts(
         "n_cur",
         psi.alias("psi"),
         tvd.alias("tvd"),
-        (psi >= F.lit(psi_alarm)).alias("drifted"),
+        (
+            F.col("psi_num")
+            >= (F.col("n_ref") + b).cast(_D14)
+            * (F.col("n_cur") + b).cast(_D14)
+            * F.lit(_alarm_micronats(psi_alarm)).cast("decimal(8,0)")
+        ).alias("drifted"),
     )
 
 
@@ -174,7 +211,7 @@ WITH binned AS (
   SELECT {group_col} AS grp, ({split_sql}) AS is_ref,
          CAST(least(greatest(floor({value_col} / {bin_width!r}), 0),
                     {n_bins - 1}) AS BIGINT) AS bin
-  FROM {table}
+  FROM {table} WHERE {value_col} IS NOT NULL
 ),
 counts AS (
   SELECT grp, bin,
@@ -200,8 +237,8 @@ totals AS (
 ),
 terms AS (
   SELECT f.grp, t.n_ref, t.n_cur,
-         (f.c_ref + 1) * (t.n_cur + {n_bins})
-           - (f.c_cur + 1) * (t.n_ref + {n_bins}) AS a,
+         CAST(f.c_ref + 1 AS HUGEINT) * (t.n_cur + {n_bins})
+           - CAST(f.c_cur + 1 AS HUGEINT) * (t.n_ref + {n_bins}) AS a,
          CAST(round(ln((CAST(f.c_ref + 1 AS DOUBLE)
                         * CAST(t.n_cur + {n_bins} AS DOUBLE))
                        / (CAST(f.c_cur + 1 AS DOUBLE)
@@ -211,8 +248,8 @@ terms AS (
 ),
 agg AS (
   SELECT grp, n_ref, n_cur,
-         CAST(SUM(a * lr_micro) AS BIGINT) AS psi_num,
-         CAST(SUM(abs(a)) AS BIGINT) AS tvd_num
+         SUM(a * lr_micro) AS psi_num,
+         SUM(abs(a)) AS tvd_num
   FROM terms GROUP BY grp, n_ref, n_cur
 )
 SELECT grp AS {group_col}, n_ref, n_cur,
@@ -222,9 +259,8 @@ SELECT grp AS {group_col}, n_ref, n_cur,
        CAST(tvd_num AS DOUBLE)
          / (CAST(n_ref + {n_bins} AS DOUBLE) * CAST(n_cur + {n_bins} AS DOUBLE))
          / 2.0 AS tvd,
-       CAST(psi_num AS DOUBLE)
-         / (CAST(n_ref + {n_bins} AS DOUBLE) * CAST(n_cur + {n_bins} AS DOUBLE))
-         / {DRIFT_LR_SCALE} >= {psi_alarm} AS drifted
+       psi_num >= CAST(n_ref + {n_bins} AS HUGEINT)
+         * (n_cur + {n_bins}) * {_alarm_micronats(psi_alarm)} AS drifted
 FROM agg
 """
 
@@ -256,7 +292,9 @@ def histogram_drift_trend(
     ``tvd``, ``drifted``.
     """
     ref = F.expr(split_expr)
-    binned = df.select(
+    # Same NULL-metric gate as bin_cohorts (shared contract with the
+    # oracles and the streaming twin).
+    binned = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         ref.alias("is_ref"),
         F.expr(trend_expr).alias("bucket"),
@@ -304,9 +342,9 @@ def histogram_drift_trend(
     )
     b = F.lit(n_bins).cast("long")
     j = full.join(F.broadcast(totals), ["grp", "bucket"])
-    a = (F.col("c_ref") + 1) * (F.col("n_cur") + b) - (F.col("c_cur") + 1) * (
-        F.col("n_ref") + b
-    )
+    a = (F.col("c_ref") + 1).cast(_D14) * (F.col("n_cur") + b).cast(_D14) - (
+        F.col("c_cur") + 1
+    ).cast(_D14) * (F.col("n_ref") + b).cast(_D14)
     lr_micro = (
         F.round(
             F.ln(
@@ -318,8 +356,8 @@ def histogram_drift_trend(
         .cast("long")
     )
     per = j.groupBy("grp", "bucket", "n_ref", "n_cur").agg(
-        F.sum(a * lr_micro).cast("long").alias("psi_num"),
-        F.sum(F.abs(a)).cast("long").alias("tvd_num"),
+        F.sum(a * lr_micro.cast("decimal(8,0)")).alias("psi_num"),
+        F.sum(F.abs(a)).alias("tvd_num"),
     )
     d = (F.col("n_ref") + b).cast("double") * (F.col("n_cur") + b).cast("double")
     psi = F.col("psi_num").cast("double") / d / F.lit(float(DRIFT_LR_SCALE))
@@ -331,7 +369,12 @@ def histogram_drift_trend(
         "n_cur",
         psi.alias("psi"),
         tvd.alias("tvd"),
-        (psi >= F.lit(psi_alarm)).alias("drifted"),
+        (
+            F.col("psi_num")
+            >= (F.col("n_ref") + b).cast(_D14)
+            * (F.col("n_cur") + b).cast(_D14)
+            * F.lit(_alarm_micronats(psi_alarm)).cast("decimal(8,0)")
+        ).alias("drifted"),
     )
 
 
@@ -353,7 +396,7 @@ WITH binned AS (
          ({trend_sql}) AS bucket,
          CAST(least(greatest(floor({value_col} / {bin_width!r}), 0),
                     {n_bins - 1}) AS BIGINT) AS bin
-  FROM {table}
+  FROM {table} WHERE {value_col} IS NOT NULL
 ),
 bins AS (SELECT CAST(unnest(generate_series(0, {n_bins - 1})) AS BIGINT) AS bin),
 ref_counts AS (
@@ -387,8 +430,8 @@ totals AS (
 ),
 terms AS (
   SELECT f.grp, f.bucket, t.n_ref, t.n_cur,
-         (f.c_ref + 1) * (t.n_cur + {n_bins})
-           - (f.c_cur + 1) * (t.n_ref + {n_bins}) AS a,
+         CAST(f.c_ref + 1 AS HUGEINT) * (t.n_cur + {n_bins})
+           - CAST(f.c_cur + 1 AS HUGEINT) * (t.n_ref + {n_bins}) AS a,
          CAST(round(ln((CAST(f.c_ref + 1 AS DOUBLE)
                         * CAST(t.n_cur + {n_bins} AS DOUBLE))
                        / (CAST(f.c_cur + 1 AS DOUBLE)
@@ -398,8 +441,8 @@ terms AS (
 ),
 agg AS (
   SELECT grp, bucket, n_ref, n_cur,
-         CAST(SUM(a * lr_micro) AS BIGINT) AS psi_num,
-         CAST(SUM(abs(a)) AS BIGINT) AS tvd_num
+         SUM(a * lr_micro) AS psi_num,
+         SUM(abs(a)) AS tvd_num
   FROM terms GROUP BY grp, bucket, n_ref, n_cur
 )
 SELECT grp AS {group_col}, bucket, n_ref, n_cur,
@@ -409,8 +452,7 @@ SELECT grp AS {group_col}, bucket, n_ref, n_cur,
        CAST(tvd_num AS DOUBLE)
          / (CAST(n_ref + {n_bins} AS DOUBLE) * CAST(n_cur + {n_bins} AS DOUBLE))
          / 2.0 AS tvd,
-       CAST(psi_num AS DOUBLE)
-         / (CAST(n_ref + {n_bins} AS DOUBLE) * CAST(n_cur + {n_bins} AS DOUBLE))
-         / {DRIFT_LR_SCALE} >= {psi_alarm} AS drifted
+       psi_num >= CAST(n_ref + {n_bins} AS HUGEINT)
+         * (n_cur + {n_bins}) * {_alarm_micronats(psi_alarm)} AS drifted
 FROM agg
 """

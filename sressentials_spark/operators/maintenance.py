@@ -44,10 +44,14 @@ DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
 def file_manifest(path: str) -> list[tuple[str, int]]:
-    """(file, bytes) for every parquet part file under ``path``."""
+    """(file, bytes) for every parquet part file under ``path``,
+    recursively (snapshot tables nest commits in subdirectories;
+    plain layouts stay flat — both are covered)."""
     return [
         (p, os.path.getsize(p))
-        for p in sorted(globmod.glob(os.path.join(path, "part-*.parquet")))
+        for p in sorted(
+            globmod.glob(os.path.join(path, "**", "part-*.parquet"), recursive=True)
+        )
     ]
 
 
@@ -251,25 +255,34 @@ def snapshot_write(
 
     Commit ordering: data files land first, the manifest link-lands
     last — a crashed writer leaves orphan data files (reclaimed by
-    vacuum), never a manifest pointing at missing data. The final
-    manifest is published with an atomic exclusive ``os.link`` onto
-    the version name, so two writers racing to the same version
-    resolve as optimistic concurrency: exactly one commit wins, the
-    loser raises ``FileExistsError`` and must retry against the new
-    latest (the Delta/Iceberg commit-conflict rule). At 100 TB the
-    manifest write is O(files), the data write is the job itself, and
-    concurrent readers resolve versions by listing tiny JSON files —
-    the same economics as Delta's _delta_log.
+    vacuum), never a manifest pointing at missing data. Each commit
+    writes its data under a UNIQUE ``data/commit-<id>/`` directory and
+    attributes its files by listing that directory alone — never by
+    diffing the shared ``data/`` dir — so a racing writer's part files
+    can never be absorbed into this writer's manifest (nor duplicated
+    on its retry). The final manifest is published with an atomic
+    exclusive ``os.link`` onto the version name, so two writers racing
+    to the same version resolve as optimistic concurrency: exactly one
+    commit wins, the loser raises ``FileExistsError`` and must retry
+    against the new latest (the Delta/Iceberg commit-conflict rule) —
+    its already-written commit directory stays orphaned until vacuum.
+    At 100 TB the manifest write is O(files), the data write is the
+    job itself, and concurrent readers resolve versions by listing
+    tiny JSON files — the same economics as Delta's _delta_log.
     """
     import json
+    import uuid
 
     if mode not in ("replace", "append"):
         raise ValueError(f"mode must be replace|append, got {mode!r}")
     data_dir = os.path.join(table_dir, "data")
-    before = {f for f, _ in file_manifest(data_dir)} if os.path.isdir(data_dir) else set()
-    df.write.mode("append").parquet(data_dir)
-    after = [f for f, _ in file_manifest(data_dir)]
-    new_files = [os.path.basename(f) for f in after if f not in before]
+    commit_id = f"commit-{uuid.uuid4().hex[:16]}"
+    commit_dir = os.path.join(data_dir, commit_id)
+    # errorifexists: a uuid collision must fail loudly, never merge.
+    df.write.mode("error").parquet(commit_dir)
+    new_files = [
+        f"{commit_id}/{os.path.basename(f)}" for f, _ in file_manifest(commit_dir)
+    ]
     versions = snapshot_versions(table_dir)
     version = (versions[-1] if versions else 0) + 1
     visible = list(new_files)
@@ -322,10 +335,22 @@ def snapshot_vacuum(table_dir: str, *, keep_last: int = 1) -> dict:
             live.update(json.load(fh)["files"])
     data_dir = os.path.join(table_dir, "data")
     removed = 0
+    # Manifest paths are data_dir-relative (commit-<id>/part-... for
+    # r8+ commits, bare part-... for pre-r8 flat tables).
     for f, _ in file_manifest(data_dir):
-        if os.path.basename(f) not in live:
+        if os.path.relpath(f, data_dir) not in live:
             os.remove(f)
             removed += 1
+    # Drop commit directories with no live part files left (loser-retry
+    # or expired-version leftovers — only marker files like _SUCCESS
+    # remain) so the data dir stays list-cheap.
+    import shutil
+
+    for d in globmod.glob(os.path.join(data_dir, "commit-*")):
+        if os.path.isdir(d) and not globmod.glob(
+            os.path.join(d, "part-*.parquet")
+        ):
+            shutil.rmtree(d)
     expired = [v for v in versions if v not in keep]
     for v in expired:
         os.remove(_manifest_path(table_dir, v))

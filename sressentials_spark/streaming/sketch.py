@@ -253,8 +253,10 @@ def run_drift_stream_batch(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
-        .filter(F.col(value_col).isNotNull())
     )
+    # NULL metric values are dropped inside bin_cohorts — the single
+    # gate shared with the batch audit and the oracles, so batch,
+    # stream, and DuckDB agree on NULL handling by construction.
     binned = bin_cohorts(
         src,
         split_expr=split_expr,
@@ -282,10 +284,8 @@ def run_drift_stream_batch(
     # the count table (bin grid + totals), which DeduplicateRelations
     # does not resolve over a streaming MemorySink view (internal
     # "Conflicting attributes" analyzer error on Spark 4.1).
-    state = spark.createDataFrame(
-        spark.table(name).toPandas(),
-        "grp string, is_ref boolean, bin long, n long",
-    )
+    settled = spark.table(name)
+    state = spark.createDataFrame(settled.toPandas(), settled.schema)
     counts = state.groupBy("grp", "bin").agg(
         F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0))
         .cast("long")

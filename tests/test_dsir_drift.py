@@ -273,3 +273,68 @@ def test_drift_trend_localizes_shift(spark):
     assert bool(out.loc[2, "drifted"]) and out.loc[2, "psi"] > 0.25
     # Both days compare against the same 400-row reference.
     assert set(out["n_ref"]) == {400} and set(out["n_cur"]) == {200}
+
+
+def test_drift_null_metric_values_are_dropped(spark):
+    # One shared NULL gate (bin_cohorts): a NULL metric value must not
+    # be clamped into bin 0 by the batch path while the streaming twin
+    # drops it — all paths drop it.
+    df = spark.createDataFrame(
+        [(10.0, True), (None, True), (10.0, False), (None, False)],
+        "value double, is_ref boolean",
+    ).withColumn("g", F.lit("m"))
+    out = histogram_drift(
+        df, split_expr="is_ref", group_col="g", value_col="value"
+    ).toPandas()
+    row = out.iloc[0]
+    assert row["n_ref"] == 1 and row["n_cur"] == 1
+    assert row["psi"] == 0.0 and not bool(row["drifted"])
+
+
+def test_drift_huge_cohorts_exact_no_bigint_wrap(spark):
+    # Regression for the r8 advice item: the PSI numerator is
+    # O(n_ref * n_cur * lr_micro); with ~1e11-per-bin counts the old
+    # BIGINT accumulation wrapped silently (a alone is ~1e24). The
+    # DECIMAL(38,0) path must agree with an exact big-int Python fold.
+    import math
+    from fractions import Fraction
+
+    from sressentials_spark.operators.drift import (
+        DRIFT_LR_SCALE,
+        drift_from_counts,
+    )
+
+    n_bins = 10
+    c_ref = [int(1e11) + 7 * i for i in range(n_bins)]
+    c_cur = [int(1e11) + 13 * (n_bins - i) ** 2 for i in range(n_bins)]
+    counts = spark.createDataFrame(
+        [("g", i, c_ref[i], c_cur[i]) for i in range(n_bins)],
+        "grp string, bin long, c_ref long, c_cur long",
+    )
+    out = drift_from_counts(counts, group_col="g", n_bins=n_bins).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+
+    n_ref, n_cur = sum(c_ref), sum(c_cur)
+    psi_num = 0
+    for i in range(n_bins):
+        a = (c_ref[i] + 1) * (n_cur + n_bins) - (c_cur[i] + 1) * (n_ref + n_bins)
+        # The cross products themselves (~1e23) are what wrapped in the
+        # old all-BIGINT path, long before the (cancelling) difference.
+        assert (c_ref[i] + 1) * (n_cur + n_bins) > 2**63
+        lr = round(
+            math.log(
+                ((c_ref[i] + 1) * (n_cur + n_bins))
+                / ((c_cur[i] + 1) * (n_ref + n_bins))
+            )
+            * DRIFT_LR_SCALE
+        )
+        psi_num += a * lr
+    d = (n_ref + n_bins) * (n_cur + n_bins)
+    expected_psi = float(psi_num) / float(d) / DRIFT_LR_SCALE
+    assert row["n_ref"] == n_ref and row["n_cur"] == n_cur
+    # psi_num ~ 1e26 > 2**53: the double is within 1 ulp of the exact
+    # rational; the DRIFTED boolean is decided in exact integer space.
+    assert math.isclose(row["psi"], expected_psi, rel_tol=1e-12)
+    exact_drifted = Fraction(psi_num, d * DRIFT_LR_SCALE) >= Fraction(1, 4)
+    assert bool(row["drifted"]) == exact_drifted

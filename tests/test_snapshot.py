@@ -166,3 +166,31 @@ def test_random_commit_model(spark, table):
     for v in kept:
         got = {r["id"] for r in MT.read_snapshot(spark, table, v).collect()}
         assert got == model[v], f"post-vacuum v{v}"
+
+
+def test_racing_writers_files_never_cross_attributed(spark, table):
+    # r8 advice item: attribution must come from the commit's own
+    # unique data/commit-<id>/ directory, not a before/after diff of
+    # the shared data/ dir. Plant a "racing writer's" part file in the
+    # shared dir mid-window: it must never appear in this commit's
+    # manifest, and every attributed path must live in a commit dir.
+    import json
+    import os
+
+    MT.snapshot_write(spark, _df(spark, 0, 5), table, mode="replace")
+    # A foreign part file landing in the shared data/ root (the old
+    # diff-based attribution would have absorbed it into v2).
+    data_dir = os.path.join(table, "data")
+    stray = os.path.join(data_dir, "part-99999-stranger.parquet")
+    _df(spark, 900, 910).toPandas().to_parquet(stray)
+    v2 = MT.snapshot_write(spark, _df(spark, 5, 8), table, mode="append")
+    with open(os.path.join(table, f"manifest-v{v2}.json")) as fh:
+        files = json.load(fh)["files"]
+    assert all(f.startswith("commit-") for f in files)
+    assert not any("stranger" in f for f in files)
+    ids = sorted(r["id"] for r in MT.read_snapshot(spark, table, v2).collect())
+    assert ids == list(range(8))
+    # Vacuum reclaims the stray (unreachable from any manifest) and
+    # clears emptied commit dirs.
+    MT.snapshot_vacuum(table, keep_last=1)
+    assert not os.path.exists(stray)
