@@ -1136,52 +1136,67 @@ def sim_cosine_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- Product quantization (Jégou et al. 2011) -----------------------------
+# ---- Product quantization (Jégou et al. 2011), trained codebooks ----------
 
 _PQ_DSUB = 64 // S.PQ_M
+_PQ_SCALE = "1048576.0"  # QUANT_SCALE as an exact double literal
+
+#: Trained-codebook CTE fragment over the raw corpus: hash-ordered
+#: training sample -> integer quantization -> unrolled Lloyd's rounds
+#: -> pq_books(m, cid, cq) + pq_codes(vec_id, m, code). Must match
+#: similarity.pq_train_codebooks / pq_codes bit-for-bit (integer math
+#: end to end; argmin ties to the lowest surviving centroid id).
+def _km_ctes(k: int, iters: int, dim: int) -> str:
+    """Trained-coarse-quantizer CTE fragment: the shared integer
+    k-means chain (cluster.kmeans_oracle_ctes) WITHOUT the leading
+    WITH, so it composes into larger oracles (IVF-PQ)."""
+    from sressentials_spark.operators.cluster import kmeans_oracle_ctes
+
+    return kmeans_oracle_ctes(k=k, iters=iters, dim=dim)[len("WITH ") :]
 
 
-def _pq_sqdist_sql(a: str, c: str, m_expr: str) -> str:
-    """Fold-exact squared L2 over one PQ subspace (1-based slices)."""
+_PQ_TRAIN_SQL = S.pq_train_sql_ctes(src="embeddings")
+
+
+def _pq_resid_term_sql(q: str, coarse_cq: str, books: str) -> str:
+    """Fold-exact ADC distance of one query RESIDUAL subspace
+    (query minus probed-cell TRAINED centroid — integer grid back to
+    floats via the exact /2^20 shift — computed first: the same IEEE
+    ops, in the same order, as the driver-side table builder) against
+    one trained residual centroid list."""
+    t = (
+        f"((CAST({q}[{books}.m*{_PQ_DSUB}+j] AS DOUBLE)"
+        f" - CAST({coarse_cq}[{books}.m*{_PQ_DSUB}+j] AS DOUBLE) / {_PQ_SCALE})"
+        f" - CAST({books}.cq[j] AS DOUBLE) / {_PQ_SCALE})"
+    )
     return (
-        f"list_sum([(CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) * "
-        f"(CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) "
-        f"for i in generate_series({m_expr}*{_PQ_DSUB}+1, "
-        f"{m_expr}*{_PQ_DSUB}+{_PQ_DSUB})])"
+        f"list_sum([{t} * {t} for j in generate_series(1, {_PQ_DSUB})])"
     )
 
 
-#: Hash-seeded PQ codebooks (ordinal k = position in (hash, id) order —
-#: must match similarity.pq_seed_codebooks exactly).
-_PQ_SEEDS_SQL = f"""
-SELECT cv, ROW_NUMBER() OVER (ORDER BY h, vid) - 1 AS k
-FROM (SELECT embedding AS cv, vec_id AS vid,
-             ('0x' || substring(md5('{S.PQ_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM embeddings ORDER BY h, vid LIMIT {S.PQ_K})
-"""
-
-_PQ_ASSIGN_SQL = f"""
-seeds AS ({_PQ_SEEDS_SQL}),
-subs AS (SELECT unnest(generate_series(0, {S.PQ_M - 1})) AS m),
-d AS (SELECT e.vec_id, subs.m, seeds.k,
-             {_pq_sqdist_sql('e.embedding', 'seeds.cv', 'subs.m')} AS dist
-      FROM embeddings e CROSS JOIN seeds CROSS JOIN subs),
-a AS (SELECT vec_id, m, k,
-             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
-      FROM d)
-"""
+def _pq_adc_term_sql(q: str, books: str) -> str:
+    """Fold-exact ADC distance of one query subspace against one
+    trained centroid list (codebook ints back to floats via the exact
+    /2^20 exponent shift)."""
+    t = (
+        f"(CAST({q}[{books}.m*{_PQ_DSUB}+j] AS DOUBLE)"
+        f" - CAST({books}.cq[j] AS DOUBLE) / {_PQ_SCALE})"
+    )
+    return (
+        f"list_sum([{t} * {t} for j in generate_series(1, {_PQ_DSUB})])"
+    )
 
 
 @register(
     "sim_pq_codes",
     f"""
-WITH {_PQ_ASSIGN_SQL}
+WITH {_PQ_TRAIN_SQL}
 SELECT vec_id,
        {', '.join(
-           f'CAST(MAX(CASE WHEN m = {i} THEN k END) AS BIGINT) AS code_{i}'
+           f'CAST(MAX(CASE WHEN m = {i} THEN code END) AS BIGINT) AS code_{i}'
            for i in range(S.PQ_M)
        )}
-FROM a WHERE rn = 1 GROUP BY vec_id
+FROM pq_codes GROUP BY vec_id
 """,
 )
 def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,14 +1212,13 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_pq_adc_topk",
     f"""
-WITH {_PQ_ASSIGN_SQL},
-codes AS (SELECT vec_id, m, k AS code FROM a WHERE rn = 1),
-qd AS (SELECT q.vec_id AS query_id, subs.m, seeds.k,
-              {_pq_sqdist_sql('q.embedding', 'seeds.cv', 'subs.m')} AS dq
-       FROM embeddings q CROSS JOIN seeds CROSS JOIN subs
+WITH {_PQ_TRAIN_SQL},
+qd AS (SELECT q.vec_id AS query_id, b.m, b.cid AS k,
+              {_pq_adc_term_sql('q.embedding', 'b')} AS dq
+       FROM embeddings q CROSS JOIN pq_books b
        WHERE q.vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})),
 p AS (SELECT qd.query_id, c.vec_id AS neighbor_id, qd.m, qd.dq
-      FROM codes c JOIN qd ON qd.m = c.m AND qd.k = c.code
+      FROM pq_codes c JOIN qd ON qd.m = c.m AND qd.k = c.code
       WHERE c.vec_id <> qd.query_id),
 g AS (SELECT query_id, neighbor_id,
              {', '.join(
@@ -1464,40 +1478,43 @@ GROUP BY e.query_id
 @register(
     "sim_pq_adc_topk_ivf",
     f"""
-WITH {_PQ_ASSIGN_SQL},
-codes AS (SELECT vec_id, m, k AS code FROM a WHERE rn = 1),
-iseeds AS (
-  SELECT vec_id AS cid, embedding AS cv
-  FROM embeddings
-  ORDER BY ('0x' || substring(md5('{S.IVF_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-           vec_id
-  LIMIT {S.IVF_CELLS}
-),
-iassign AS (
-  SELECT vec_id, cid,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
-  FROM (SELECT e.vec_id, s.cid,
-               {_cos_sql('e.embedding', 's.cv')} AS ccos
-        FROM embeddings e CROSS JOIN iseeds s)
-),
-icells AS (SELECT vec_id, cid AS cell FROM iassign WHERE rn = 1),
-iprobes AS (SELECT vec_id AS query_id, cid AS pcell FROM iassign
-            WHERE vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})
-              AND rn <= {S.IVF_NPROBE}),
-cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+WITH {_km_ctes(k=S.IVF_CELLS, iters=S.PQ_ITERS, dim=64)},
+tcents AS (SELECT cid, cq FROM c{S.PQ_ITERS}),
+icells AS (SELECT vec_id, cluster AS cell FROM afin),
+iprobes AS (
+  SELECT vec_id AS query_id, cid AS pcell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum([(e.q[j] - c.cq[j]) * (e.q[j] - c.cq[j])
+                            for j in generate_series(1, 64)]) AS BIGINT),
+             c.cid) AS rn
+    FROM emb e CROSS JOIN tcents c
+    WHERE e.vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))}))
+  WHERE rn <= {S.IVF_NPROBE}),
+cand AS (SELECT p.query_id, p.pcell, c.vec_id AS neighbor_id
          FROM iprobes p JOIN icells c
            ON c.cell = p.pcell AND c.vec_id <> p.query_id),
-qd AS (SELECT q.vec_id AS query_id, subs.m, seeds_k.k,
-              {_pq_sqdist_sql('q.embedding', 'seeds_k.cv', 'subs.m')} AS dq
-       FROM embeddings q
-       CROSS JOIN (SELECT cv, k FROM seeds) seeds_k
-       CROSS JOIN subs
-       WHERE q.vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})),
-p2 AS (SELECT cand.query_id, cand.neighbor_id, qd.m, qd.dq
+pqr_src AS (
+  SELECT e2.vec_id,
+         [CAST(e2.embedding[i] AS DOUBLE) - CAST(t.cq[i] AS DOUBLE) / {_PQ_SCALE}
+          for i in generate_series(1, 64)] AS rv
+  FROM embeddings e2
+  JOIN icells c ON c.vec_id = e2.vec_id
+  JOIN tcents t ON t.cid = c.cell
+),
+{S.pq_train_sql_ctes(src="pqr_src", vec="rv", prefix="pqr")},
+rqd AS (SELECT p.query_id, p.pcell, b.m, b.cid AS k,
+               {_pq_resid_term_sql('q.embedding', 't.cq', 'b')} AS dq
+        FROM iprobes p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN tcents t ON t.cid = p.pcell
+        CROSS JOIN pqr_books b),
+p2 AS (SELECT cand.query_id, cand.neighbor_id, rqd.m, rqd.dq
        FROM cand
-       JOIN codes c ON c.vec_id = cand.neighbor_id
-       JOIN qd ON qd.query_id = cand.query_id
-              AND qd.m = c.m AND qd.k = c.code),
+       JOIN pqr_codes c ON c.vec_id = cand.neighbor_id
+       JOIN rqd ON rqd.query_id = cand.query_id
+              AND rqd.pcell = cand.pcell
+              AND rqd.m = c.m AND rqd.k = c.code),
 g AS (SELECT query_id, neighbor_id,
              {', '.join(
                  f'MAX(CASE WHEN m = {i} THEN dq END) AS d{i}'
@@ -1517,19 +1534,21 @@ def sim_pq_adc_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-scale layout): coarse cell pruning composed with
     compressed-domain ADC. Each query ranks only the PQ code words in
     its nprobe probed cells, by per-subspace distance-table lookup —
-    served from TWO persisted artifacts (the cell-partitioned IVF
-    index for probes, the cell-partitioned inverted-list codes table
-    for candidates; the scan reads nprobe/n_cells of an
-    already-~32×-compressed table, and no raw corpus vector is ever
-    touched). Distances are bit-identical to flat ADC restricted to
-    the same candidates (fixed re-association order); recall vs flat
-    PQ is bounded by the IVF cell pruning, measured by
+    RESIDUAL-coded (``v - centroid(cell)``) with trained codebooks
+    against a TRAINED coarse quantizer (integer-exact k-means —
+    kmeans-tight cells are what make residuals small and codes sharp;
+    docs/ANN_EVAL.md measures the hash-seeded alternative losing half
+    its recall). Served from ONE self-contained persisted artifact:
+    cell-partitioned code lists + frozen centroid/codebook sidecars;
+    the scan reads nprobe/n_cells of an already-~32x-compressed table,
+    and no raw corpus vector is ever touched. Distances are
+    bit-identical to the DuckDB-restated training + encode + ADC chain
+    (fixed re-association order); recall measured by
     ``sim_ivfpq_recall_at_k``."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_adc_topk_ivf_from_index(
         spark,
         emb,
-        _ivf_index_path(spark, sf_dir),
         _ivfpq_index_path(spark, sf_dir),
         _TOPK_QUERY_IDS,
         topk=10,
@@ -6525,7 +6544,6 @@ def streaming_ivfpq_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ivfpq_serving_stream(
         spark,
         sf_dir,
-        _ivf_index_path(spark, sf_dir),
         _ivfpq_index_path(spark, sf_dir),
         _TOPK_QUERY_IDS,
         topk=10,
@@ -7005,4 +7023,51 @@ def sketch_joinsize_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         load_table(spark, sf_dir, "orders"),
         "o_custkey",
+    )
+
+
+@register(
+    "cbo_join_events_orders_rollup",
+    f"""
+WITH {K.cms_joinsize_est_ctes("events", "user_id", "orders", "o_custkey")},
+roll AS (
+  SELECT e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+  FROM events e JOIN orders o ON o.o_custkey = e.user_id
+  GROUP BY 1
+)
+SELECT r.event_type, r.n_pairs, r.n_users, r.n_orders,
+       est.cms_joinsize_estimate AS joinsize_estimate,
+       CASE WHEN est.cms_joinsize_estimate <= {K.CBO_BROADCAST_MAX}
+            THEN 'broadcast' ELSE 'merge' END AS strategy
+FROM roll r, est
+""",
+)
+def cbo_join_events_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-DRIVEN join: the CMS join-cardinality estimate
+    (sketch_joinsize_events_orders' statistic) picks this query's
+    physical join strategy the way a cost-based optimizer uses it —
+    broadcast the orders side while the never-undershooting estimate
+    stays under CBO_BROADCAST_MAX, sort-merge once it explodes (at
+    sf0.1 the same rule flips to merge on real data). The chosen
+    strategy and the estimate are OUTPUT COLUMNS, so the decision
+    itself is under the DuckDB value gate, and the physical plan is
+    pinned by tests/test_plan_shapes.py
+    (operators/sketch.py:cbo_equi_join)."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined, est, strat = K.cbo_equi_join(
+        events, "user_id", orders, "o_custkey"
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        )
+        .withColumn("joinsize_estimate", F.lit(est).cast("long"))
+        .withColumn("strategy", F.lit(strat))
     )

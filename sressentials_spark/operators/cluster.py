@@ -120,6 +120,31 @@ def kmeans_quantized(
     quantized = emb.select(
         F.col(id_col), quantize_vec(vec_col, scale).alias("q")
     )
+    centroids = kmeans_fit_centroids(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    return assign_clusters(quantized, centroids).select(
+        id_col, "cluster", "dist_sq"
+    )
+
+
+def kmeans_fit_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> dict[int, list[int]]:
+    """The Lloyd's training loop alone: returns the settled integer
+    centroids (``{cid: components}``, empty clusters dropped) without
+    the final assignment pass — the piece a TRAINED coarse quantizer
+    (IVF-PQ's cell structure, operators/similarity.py) shares with
+    :func:`kmeans_quantized`. Driver traffic is K*dim longs per round,
+    identical to the full clustering."""
+    quantized = emb.select(
+        F.col(id_col), quantize_vec(vec_col, scale).alias("q")
+    )
     init = quantized.orderBy(id_col).limit(k).collect()
     centroids = {i: list(r["q"]) for i, r in enumerate(init)}
 
@@ -140,10 +165,7 @@ def kmeans_quantized(
         centroids = {
             cid: [dims[p] for p in sorted(dims)] for cid, dims in next_c.items()
         }
-
-    return assign_clusters(quantized, centroids).select(
-        id_col, "cluster", "dist_sq"
-    )
+    return centroids
 
 
 def kmeans_oracle_ctes(

@@ -312,20 +312,40 @@ def dot(a: Column, b: Column, dim: int) -> Column:
     return dot_arrow(a, b)
 
 
-def pq_encode_kernel(codebooks: np.ndarray):
-    """Factory: Arrow kernel computing product-quantization codes.
+def quantize_exact(A: "np.ndarray") -> "np.ndarray":
+    """Exact HALF_UP quantization of a float64 matrix onto the
+    ``QUANT_SCALE`` integer grid — bit-identical to Spark's
+    ``F.round(x * 2^20)`` (java BigDecimal HALF_UP) and DuckDB's
+    ``ROUND``: the *2^20 is an exponent shift (always exact), and the
+    round is decided by the EXACT fractional part ``av - floor(av)``
+    (exact for |av| < 2^52), never by a re-rounded ``av + 0.5``.
+    Fuzz-pinned against DuckDB ROUND incl. adversarial near-half
+    values (tests/test_similarity_ivf.py)."""
+    from sressentials_spark.operators.cluster import QUANT_SCALE
 
-    ``codebooks`` is an ``(M, K, dsub)`` float64 tensor captured in the
-    closure (task-closure bytes — a few KB). Per subspace ``m`` the
-    vector's slice is scored against all ``K`` centroids with the
-    fold-exact squared L2 distance
-    (``0.0 + (v0-c0)*(v0-c0) + ...`` — the identical association order
-    as the DuckDB oracle's ``list_sum`` comprehension) and the code is
-    the argmin, ties to the SMALLEST centroid index (``np.argmin``
-    returns the first minimum). Returns ``array<long>`` of length M.
-    """
-    C = np.asarray(codebooks, dtype=np.float64)
-    M, K, dsub = C.shape
+    V = np.asarray(A, dtype=np.float64) * float(QUANT_SCALE)
+    av = np.abs(V)
+    fl = np.floor(av)
+    return (np.sign(V) * (fl + (av - fl >= 0.5))).astype(np.int64)
+
+
+def pq_encode_int_kernel(books: "list[tuple[np.ndarray, np.ndarray]]"):
+    """Factory: Arrow kernel computing product-quantization codes
+    against TRAINED integer-grid codebooks.
+
+    ``books`` is one ``(cids, C)`` pair per subspace: ``cids`` the
+    surviving centroid ids ascending, ``C`` the matching ``(|cids|,
+    dsub)`` int64 centroid matrix. Each vector batch is quantized with
+    :func:`quantize_exact` and each subspace slice scored by EXACT
+    int64 squared L2 against all centroids; the code is the argmin's
+    centroid id, ties to the smallest id (``np.argmin`` returns the
+    first minimum and ``cids`` ascends). Integer arithmetic end to
+    end, so the codes are bit-identical to the DuckDB restatement at
+    any partitioning. Returns ``array<long>`` of length M."""
+    B = [(np.asarray(cids, dtype=np.int64), np.asarray(C, dtype=np.int64))
+         for cids, C in books]
+    M = len(B)
+    dsub = B[0][1].shape[1]
 
     @pandas_udf(ArrayType(LongType()))
     def f(v: pd.Series) -> pd.Series:
@@ -333,17 +353,13 @@ def pq_encode_kernel(codebooks: np.ndarray):
         n = V.shape[0]
         if n == 0:
             return pd.Series(dtype=object)
+        Q = quantize_exact(V)
         codes = np.empty((n, M), dtype=np.int64)
-        for m in range(M):
-            sub = V[:, m * dsub : (m + 1) * dsub]
-            dist = np.empty((n, K), dtype=np.float64)
-            for k in range(K):
-                acc = np.zeros(n, dtype=np.float64)
-                for d in range(dsub):
-                    t = sub[:, d] - C[m, k, d]
-                    acc = acc + t * t
-                dist[:, k] = acc
-            codes[:, m] = np.argmin(dist, axis=1)
+        for m, (cids, C) in enumerate(B):
+            sub = Q[:, m * dsub : (m + 1) * dsub]
+            diff = sub[:, None, :] - C[None, :, :]
+            dist = np.einsum("nkd,nkd->nk", diff, diff)
+            codes[:, m] = cids[np.argmin(dist, axis=1)]
         return pd.Series(list(codes))
 
     return f

@@ -591,38 +591,231 @@ def cosine_topk_lsh_multiprobe(
 
 
 # --------------------------------------------------------------------------
-# Product quantization (Jégou et al. 2011)
+# Product quantization (Jégou et al. 2011) — TRAINED codebooks
 # --------------------------------------------------------------------------
 
-#: PQ geometry: M subspaces × K centroids each. dim 64 → 16-dim
-#: subvectors; codes compress a 64-float vector to M bytes-worth of
-#: centroid indices (here 4 × log2(16) = 16 bits). K ≈ 256 and
-#: k-means-trained codebooks are the production defaults; the
-#: hash-seeded variant keeps the index bit-reproducible and
-#: SQL-restateable, as everywhere else in this engine.
+#: PQ geometry: M subspaces x K centroids each. dim 64 -> 16-dim
+#: subvectors; codes compress a 64-float vector to M small ints.
+#: Codebooks are TRAINED (integer-exact Lloyd's k-means on the
+#: quantized grid, the same arithmetic as operators/cluster.py) over a
+#: deterministic hash-ordered sample of PQ_TRAIN_N vectors — the FAISS
+#: train-on-a-sample recipe, SQL-restateable because every step is
+#: exact integer math (see pq_train_sql_ctes). The IVF-PQ path trains
+#: and encodes RESIDUALS (v - home-cell centroid), the Jegou et al.
+#: SIV "IVFADC with residual quantization" layout.
 PQ_M = 4
 PQ_K = 16
 PQ_SEED = "pq-v1"
+#: Training-sample size: the PQ_TRAIN_N corpus vectors whose ids hash
+#: smallest under the shared md5 recipe (one TakeOrdered scan at any
+#: corpus size — at 100 TB the sample, not the corpus, pays training).
+PQ_TRAIN_N = 2048
+#: Lloyd's rounds; matched by the unrolled SQL restatement.
+PQ_ITERS = 3
 
 
-def pq_seed_codebooks(
+def _trunc_div(s: int, n: int) -> int:
+    """Truncating integer division — Spark ``div`` / DuckDB ``//``."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _lloyd_int(P, ids, k: int, iters: int):
+    """Integer-exact Lloyd's k-means on a (n, d) int64 matrix —
+    driver-side twin of :func:`sressentials_spark.operators.cluster.
+    kmeans_quantized`'s arithmetic (init = rows of the ``k`` smallest
+    ids; argmin tie-breaks to the lowest centroid id; centroid update
+    = truncated integer mean; empty clusters drop). n is the TRAINING
+    SAMPLE (<= PQ_TRAIN_N), so this is pure driver math — the way
+    FAISS trains codebooks on a sample while the cluster encodes the
+    corpus. Returns ``(cids, C)``: surviving centroid ids ascending
+    and the matching (|cids|, d) int64 matrix."""
+    import numpy as np
+
+    order = np.argsort(np.asarray(ids, dtype=np.int64), kind="stable")
+    cents = {cid: P[order[cid]].copy() for cid in range(min(k, len(order)))}
+    for _ in range(iters):
+        cids = sorted(cents)
+        C = np.stack([cents[c] for c in cids])
+        diff = P[:, None, :] - C[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        a = np.argmin(dist, axis=1)  # first min = lowest cid (sorted)
+        nxt = {}
+        for j, cid in enumerate(cids):
+            mask = a == j
+            cnt = int(mask.sum())
+            if cnt == 0:
+                continue  # empty cluster drops, like the SQL update CTE
+            sums = P[mask].sum(axis=0, dtype=np.int64)
+            nxt[cid] = np.array(
+                [_trunc_div(int(x), cnt) for x in sums], dtype=np.int64
+            )
+        cents = nxt
+    cids = sorted(cents)
+    import numpy as _np
+
+    return _np.array(cids, dtype=_np.int64), _np.stack([cents[c] for c in cids])
+
+
+#: Session cache for trained codebooks (driver-side numpy tensors),
+#: keyed by corpus plan + training params — one sample collect + one
+#: training per corpus per session, like the persisted-corpus caches.
+_BOOKS_CACHE: dict = {}
+
+
+def pq_train_codebooks(
     emb: DataFrame,
     m: int = PQ_M,
     k: int = PQ_K,
+    iters: int = PQ_ITERS,
     id_col: str = "vec_id",
     seed: str = PQ_SEED,
+    residual_coarse: dict | None = None,
 ):
-    """Deterministic PQ codebooks: the ``k`` corpus vectors hashing
-    smallest under the shared md5 recipe become, sliced per subspace,
-    that subspace's centroids (centroid index = position in
-    ``(hash, id)`` order). Returns an ``(M, K, dsub)`` float64 tensor.
-    One TakeOrdered corpus scan, exactly like the IVF seeding."""
-    _ids, mat = ivf_seed_centroids(emb, k, id_col=id_col, seed=seed)
+    """Train per-subspace PQ codebooks on the deterministic sample.
+
+    ``residual_coarse = {cid: integer centroid}`` (a TRAINED coarse
+    quantizer from cluster.kmeans_fit_centroids) switches to RESIDUAL
+    training for the IVF-PQ path: each sample vector is assigned its
+    home cell by exact integer L2 argmin against the coarse centroids
+    (ties to the lowest cid — the assign_clusters rule, replicated
+    here in driver numpy on the identical int64 inputs) and the
+    codebooks are trained on ``v - centroid(cell)``. Residuals against
+    TRAINED cells are what make PQ codes sharp: within a k-means cell
+    the residual spread is a fraction of the corpus spread, so the
+    same K centroids quantize it with far less error (hash-seeded
+    cells measurably do NOT shrink residuals — docs/ANN_EVAL.md).
+
+    Returns ``[(cids, C_int64), ...]`` — one surviving-centroid set
+    per subspace, on the QUANT_SCALE integer grid."""
+    import numpy as np
+
+    from sressentials_spark.operators.cluster import QUANT_SCALE
+    from sressentials_spark.operators.linalg import quantize_exact
+
+    try:
+        rkey = (
+            None
+            if residual_coarse is None
+            else tuple(sorted((c, tuple(v)) for c, v in residual_coarse.items()))
+        )
+        key = ("pqbooks", emb.semanticHash(), m, k, iters, seed, rkey)
+    except Exception:
+        key = None
+    if key is not None and key in _BOOKS_CACHE:
+        return _BOOKS_CACHE[key]
+
+    ids, mat = ivf_seed_centroids(
+        emb, n_cells=PQ_TRAIN_N, id_col=id_col, seed=seed
+    )
+    if residual_coarse is not None:
+        cids_c = sorted(residual_coarse)
+        Cc = np.array([residual_coarse[c] for c in cids_c], dtype=np.int64)
+        Q = quantize_exact(mat)
+        diff = Q[:, None, :] - Cc[None, :, :]
+        home = np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+        mat = mat - Cc[home].astype(np.float64) / float(QUANT_SCALE)
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by {m} subspaces")
     dsub = dim // m
-    return mat.reshape(k, m, dsub).transpose(1, 0, 2)
+    Q = quantize_exact(mat)
+    books = [
+        _lloyd_int(Q[:, mi * dsub : (mi + 1) * dsub], ids, k, iters)
+        for mi in range(m)
+    ]
+    if key is not None:
+        _BOOKS_CACHE[key] = books
+    return books
+
+
+def pq_books_float(books):
+    """Codebooks as exact float64 centroids (``int / 2^20`` — an
+    exponent-shift division, always exact) for ADC table building."""
+    from sressentials_spark.operators.cluster import QUANT_SCALE
+
+    return [(cids, C.astype("float64") / float(QUANT_SCALE)) for cids, C in books]
+
+
+def pq_train_sql_ctes(
+    *,
+    src: str,
+    vec: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    train_n: int = PQ_TRAIN_N,
+    seed: str = PQ_SEED,
+    prefix: str = "pq",
+) -> str:
+    """DuckDB CTE fragment (comma-joined, no leading WITH) restating
+    the trained-PQ pipeline bit-for-bit: hash-ordered training sample
+    -> integer quantization -> ``iters`` unrolled Lloyd's rounds per
+    subspace (truncating ``//`` means, (dist, cid) tie-break — the
+    kmeans_oracle_ctes recipe with an extra ``m`` key) -> final
+    ``{prefix}_books(m, cid, cq)`` and full-``src`` codes
+    ``{prefix}_codes(vec_id, m, code)``.
+
+    ``src`` must expose ``(vec_id, {vec})`` with DOUBLE-castable list
+    elements (raw embeddings or residual lists alike)."""
+    from sressentials_spark.operators.cluster import QUANT_SCALE
+
+    dsub = dim // m
+    p = prefix
+
+    def qslice(alias: str) -> str:
+        return (
+            f"[CAST(ROUND(CAST({alias}.{vec}[_m.m*{dsub}+j] AS DOUBLE)"
+            f" * {float(QUANT_SCALE)!r}) AS BIGINT)"
+            f" for j in generate_series(1, {dsub})]"
+        )
+
+    def assign(name: str, pts: str, cents: str, code_alias: str) -> str:
+        return (
+            f"{p}_{name} AS (SELECT vec_id, m, q, cluster AS {code_alias} FROM ("
+            f"SELECT vec_id, m, q, cluster, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cluster)"
+            f" AS rn FROM ("
+            f"SELECT pp.vec_id, pp.m, pp.q, c.cid AS cluster, "
+            f"CAST(list_sum([(pp.q[j] - c.cq[j]) * (pp.q[j] - c.cq[j]) "
+            f"for j in generate_series(1, {dsub})]) AS BIGINT) AS dist "
+            f"FROM {p}_{pts} pp JOIN {p}_{cents} c ON c.m = pp.m)) WHERE rn = 1)"
+        )
+
+    parts = [
+        f"{p}_tr AS (SELECT vec_id, {vec} FROM {src} "
+        f"ORDER BY ('0x' || substring(md5('{seed}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id "
+        f"LIMIT {train_n})",
+        f"{p}_subs AS (SELECT unnest(generate_series(0, {m - 1})) AS m)",
+        f"{p}_pts AS (SELECT t.vec_id, _m.m, {qslice('t')} AS q "
+        f"FROM {p}_tr t CROSS JOIN {p}_subs _m)",
+        f"{p}_c0 AS (SELECT m, "
+        f"ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS cid, q AS cq "
+        f"FROM {p}_pts WHERE vec_id IN "
+        f"(SELECT vec_id FROM {p}_tr ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(iters):
+        parts.append(assign(f"a{i}", "pts", f"c{i}", "cluster"))
+        parts.append(
+            f"{p}_c{i + 1} AS (SELECT m, cluster AS cid, "
+            f"list(comp ORDER BY j) AS cq FROM ("
+            f"SELECT a.m, a.cluster, g.j, "
+            f"CAST(SUM(a.q[g.j]) AS BIGINT) // COUNT(*) AS comp "
+            f"FROM {p}_a{i} a CROSS JOIN "
+            f"(SELECT unnest(generate_series(1, {dsub})) AS j) g "
+            f"GROUP BY 1, 2, 3) GROUP BY m, cluster)"
+        )
+    parts.append(f"{p}_books AS (SELECT m, cid, cq FROM {p}_c{iters})")
+    parts.append(
+        f"{p}_all AS (SELECT s.vec_id, _m.m, {qslice('s')} AS q "
+        f"FROM {src} s CROSS JOIN {p}_subs _m)"
+    )
+    parts.append(assign("codes_a", "all", "books", "code"))
+    parts.append(
+        f"{p}_codes AS (SELECT vec_id, m, code FROM {p}_codes_a)"
+    )
+    return ",\n".join(parts)
 
 
 def pq_codes(
@@ -632,13 +825,15 @@ def pq_codes(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Each corpus vector's PQ code word as ``code_0..code_{M-1}``
-    columns (one Arrow-kernel pass). At 100 TB the codes table IS the
-    serving index: M small ints per vector instead of the raw floats —
-    a ~32× footprint cut at these parameters — scanned whole during
-    ADC search while raw vectors stay in cold storage."""
-    from sressentials_spark.operators.linalg import pq_encode_kernel
+    columns — one Arrow-kernel pass scoring the quantized vector
+    against the TRAINED integer codebooks (exact int64 argmin, ties to
+    the lowest surviving centroid id). At 100 TB the codes table IS
+    the serving index: M small ints per vector instead of the raw
+    floats — a ~32x footprint cut at these parameters — scanned whole
+    during ADC search while raw vectors stay in cold storage."""
+    from sressentials_spark.operators.linalg import pq_encode_int_kernel
 
-    kern = pq_encode_kernel(pq_seed_codebooks(emb, m, k, id_col))
+    kern = pq_encode_int_kernel(pq_train_codebooks(emb, m, k, id_col=id_col))
     coded = emb.withColumn("_codes", kern(F.col("embedding")))
     return coded.select(
         F.col(id_col),
@@ -660,7 +855,7 @@ def pq_adc_topk(
     """Approximate top-k by PQ asymmetric distance (ADC): the query
     stays exact, each neighbor is its code word, and the distance is
     the sum over subspaces of ``dist(query_sub, centroid[code])`` —
-    looked up from a per-query M×K distance table instead of touching
+    looked up from a per-query MxK distance table instead of touching
     raw corpus vectors.
 
     Execution shape: the distance tables (M·K doubles per query) are
@@ -718,11 +913,11 @@ def _pq_dtable(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Per-query ADC distance tables — ``(query_id, m, k, d)`` with
-    ``d = ||query_sub - centroid[m][k]||²`` computed driver-side with
-    the shared left-fold arithmetic (M·K doubles per query; broadcast
-    into the (m, code) lookup join by callers)."""
-    books = pq_seed_codebooks(emb, m, k, id_col)
-    dsub = books.shape[2]
+    ``d = ||query_sub - trained_centroid[m][k]||^2`` computed
+    driver-side with the shared left-fold arithmetic (M·K doubles per
+    query; broadcast into the (m, code) lookup join by callers)."""
+    fbooks = pq_books_float(pq_train_codebooks(emb, m, k, id_col=id_col))
+    dsub = fbooks[0][1].shape[1]
     spark = emb.sparkSession
     qrows = (
         emb.filter(F.col(id_col).isin(query_ids))
@@ -733,12 +928,13 @@ def _pq_dtable(
     for r in qrows:
         qv = [float(x) for x in r["embedding"]]
         for mi in range(m):
-            for ki in range(k):
+            cids, C = fbooks[mi]
+            for ki, crow in zip(cids.tolist(), C):
                 acc = 0.0
                 for d in range(dsub):
-                    t = qv[mi * dsub + d] - float(books[mi, ki, d])
+                    t = qv[mi * dsub + d] - float(crow[d])
                     acc = acc + t * t
-                table_rows.append((int(r[id_col]), mi, ki, float(acc)))
+                table_rows.append((int(r[id_col]), mi, int(ki), float(acc)))
     return spark.createDataFrame(
         table_rows, "query_id long, m int, k int, d double"
     )
@@ -751,27 +947,66 @@ def build_ivfpq_index(
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     k: int = PQ_K,
+    iters: int = PQ_ITERS,
     id_col: str = "vec_id",
 ) -> str:
-    """Materialize the IVF-PQ inverted lists (Jégou et al., TPAMI 2011
-    §IV — the FAISS ``IVFPQ`` layout): every corpus vector's PQ code
-    word stored under its home IVF cell's partition directory.
+    """Materialize the IVF-PQ inverted lists (Jegou et al., TPAMI 2011
+    SIV — the FAISS ``IVFPQ`` layout): a TRAINED coarse quantizer
+    (integer-exact Lloyd's k-means, cluster.kmeans_fit_centroids)
+    partitions the corpus into cells, and every vector's RESIDUAL
+    against its cell centroid is PQ-coded with residual-trained
+    codebooks. The whole serving artifact is frozen at build time:
+    cell-partitioned code lists + two sidecars (``_coarse`` centroids,
+    ``_pq_books`` codebooks) — self-contained, nothing recomputed at
+    query time.
 
     This is THE billion-scale serving artifact: the per-vector payload
-    is M small ints (~32× smaller than the raw floats, which stay in
+    is M small ints (~32x smaller than the raw floats, which stay in
     cold storage), and a query batch's scan is pruned to its probed
-    cells at the PARTITION level — nprobe/n_cells of an already-32×-
+    cells at the PARTITION level — nprobe/n_cells of an already-32x-
     compressed table is what makes exhaustive-within-cell search
-    affordable at 100 TB. Cell assignment and codes come from the same
-    Arrow kernels as the standalone IVF / PQ paths, so results compose
-    bit-identically."""
-    from sressentials_spark import sinks
-    from sressentials_spark.operators.linalg import pq_encode_kernel
+    affordable at 100 TB. BOTH quantizers are trained on purpose:
+    k-means cells are tight (the hash-seeded cells of the cosine-IVF
+    tier measurably do not shrink residuals, and residual coding then
+    HURTS recall — measured in docs/ANN_EVAL.md), and within tight
+    cells residual PQ recovers most of the cell ceiling."""
+    import numpy as np
 
-    kern = pq_encode_kernel(pq_seed_codebooks(emb, m, k, id_col))
+    from sressentials_spark import sinks
+    from sressentials_spark.operators.cluster import (
+        QUANT_SCALE,
+        assign_clusters,
+        kmeans_fit_centroids,
+        quantize_vec,
+    )
+    from sressentials_spark.operators.linalg import pq_encode_int_kernel
+
+    spark = emb.sparkSession
+    coarse = kmeans_fit_centroids(emb, k=n_cells, iters=iters, id_col=id_col)
+    books = pq_train_codebooks(
+        emb, m, k, iters=iters, id_col=id_col, residual_coarse=coarse
+    )
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(cid), [float(x) / float(QUANT_SCALE) for x in comp])
+                for cid, comp in sorted(coarse.items())
+            ],
+            "cell bigint, cv array<double>",
+        )
+    )
+    kern = pq_encode_int_kernel(books)
     lists = (
-        ivf_annotate(emb, n_cells, nprobe, id_col)
-        .withColumn("_codes", kern(F.col("embedding")))
+        assign_clusters(
+            emb.withColumn("q", quantize_vec("embedding")), coarse
+        )
+        .withColumn("cell", F.col("cluster").cast("long"))
+        .join(cents, "cell")
+        .withColumn(
+            "rv",
+            F.zip_with("embedding", "cv", lambda a, b: a.cast("double") - b),
+        )
+        .withColumn("_codes", kern(F.col("rv")))
         .select(
             F.col(id_col),
             "cell",
@@ -782,47 +1017,119 @@ def build_ivfpq_index(
         )
     )
     sinks.write_partitioned(lists, base_path, ["cell"])
+    spark.createDataFrame(
+        [(int(cid), [int(x) for x in comp]) for cid, comp in sorted(coarse.items())],
+        "cid long, cq array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_coarse")
+    spark.createDataFrame(
+        [
+            (mi, int(cid), [int(x) for x in row])
+            for mi, (cids, C) in enumerate(books)
+            for cid, row in zip(cids.tolist(), C)
+        ],
+        "m int, cid long, cq array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_pq_books")
     return base_path
+
+
+def load_ivfpq_coarse(spark, base_path: str) -> dict[int, list[int]]:
+    """The frozen trained coarse centroids persisted by
+    :func:`build_ivfpq_index`, in kmeans_fit_centroids shape."""
+    rows = spark.read.parquet(f"{base_path}/_coarse").orderBy("cid").collect()
+    return {int(r["cid"]): [int(x) for x in r["cq"]] for r in rows}
+
+
+def load_pq_books(spark, base_path: str):
+    """The frozen residual codebooks persisted by
+    :func:`build_ivfpq_index`, in :func:`pq_train_codebooks` shape."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{base_path}/_pq_books").orderBy("m", "cid").collect()
+    out: dict[int, list] = {}
+    for r in rows:
+        out.setdefault(int(r["m"]), []).append((int(r["cid"]), r["cq"]))
+    books = []
+    for mi in sorted(out):
+        cids = np.array([c for c, _ in out[mi]], dtype=np.int64)
+        C = np.stack([np.asarray(v, dtype=np.int64) for _, v in out[mi]])
+        books.append((cids, C))
+    return books
 
 
 def pq_adc_topk_ivf_from_index(
     spark,
     emb: DataFrame,
-    ivf_index_path: str,
     ivfpq_path: str,
     query_ids: list[int],
     topk: int = 10,
+    nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     k: int = PQ_K,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-PQ search (IVFADC): coarse cell pruning composed with
-    compressed-domain asymmetric-distance scoring — each query ranks
-    only the PQ code words living in its ``nprobe`` probed cells, by
-    per-subspace table lookup; no raw corpus vector is ever touched.
+    """IVF-PQ search (IVFADC): trained-coarse cell pruning composed
+    with RESIDUAL compressed-domain asymmetric-distance scoring — each
+    query ranks only the PQ code words living in its ``nprobe`` probed
+    cells (exact integer L2 argmin against the frozen coarse
+    centroids), by per-(probed cell, subspace) table lookup against
+    the query's residual in that cell (``q - centroid(cell)``); no raw
+    corpus vector is ever touched.
 
-    Execution shape: the query batch's probed cells come from the
-    persisted IVF index (id-filtered row fetch), the candidate scan
-    reads ONLY those cells' partitions of the persisted inverted-list
-    table (``PartitionFilters`` — whole directories skipped), codes
-    unpivot to ``(m, code)`` and a broadcast per-query distance-table
+    Execution shape: probes, centroids and codebooks all come from the
+    self-contained index sidecars (driver-side math over K*dim ints —
+    no corpus job), the candidate scan reads ONLY the probed cells'
+    partitions of the persisted inverted-list table
+    (``PartitionFilters`` — whole directories skipped), codes unpivot
+    to ``(m, code)`` and a broadcast per-(query, cell) distance-table
     join resolves every lookup. Distances re-associate in the fixed
     ``((d0+d1)+d2)+d3`` order, so the doubles are bit-identical to the
-    flat-ADC path restricted to the same candidates. One shuffle (the
-    per-query rank window)."""
-    dtable = _pq_dtable(emb, query_ids, m, k, id_col)
+    DuckDB restatement. One shuffle (the per-query rank window)."""
+    import numpy as np
+
+    from sressentials_spark.operators.cluster import QUANT_SCALE
+    from sressentials_spark.operators.linalg import quantize_exact
+
+    books = load_pq_books(spark, ivfpq_path)
+    fbooks = pq_books_float(books)
+    coarse = load_ivfpq_coarse(spark, ivfpq_path)
+    cids_c = sorted(coarse)
+    Cc = np.array([coarse[c] for c in cids_c], dtype=np.int64)
+    Cf = Cc.astype(np.float64) / float(QUANT_SCALE)
+    dsub = fbooks[0][1].shape[1]
 
     qrows = (
-        spark.read.parquet(ivf_index_path)
-        .filter(F.col(id_col).isin(query_ids))
-        .select(id_col, "cells")
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, "embedding")
         .collect()
     )
-    probes = spark.createDataFrame(
-        [(int(r[id_col]), int(c)) for r in qrows for c in r["cells"]],
-        "query_id long, pcell int",
+    # Probe selection: exact integer L2 against the frozen coarse
+    # centroids (same grid + tie rule as the corpus assignment).
+    table_rows = []
+    probe_pairs = []
+    for r in qrows:
+        qid = int(r[id_col])
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        Q = quantize_exact(qv[None, :])[0]
+        diff = Q[None, :] - Cc
+        dist = np.einsum("kd,kd->k", diff, diff)
+        order = np.argsort(dist, kind="stable")[: min(nprobe, len(cids_c))]
+        for j in order:
+            pcell = int(cids_c[j])
+            probe_pairs.append((qid, pcell))
+            qr = qv - Cf[j]
+            for mi in range(m):
+                bcids, C = fbooks[mi]
+                for ki, crow in zip(bcids.tolist(), C):
+                    acc = 0.0
+                    for d in range(dsub):
+                        t = qr[mi * dsub + d] - float(crow[d])
+                        acc = acc + t * t
+                    table_rows.append((qid, pcell, mi, int(ki), float(acc)))
+    probes = spark.createDataFrame(probe_pairs, "query_id long, pcell long")
+    dtable = spark.createDataFrame(
+        table_rows, "query_id long, pcell long, m int, k int, d double"
     )
-    probed = sorted({int(c) for r in qrows for c in r["cells"]})
+    probed = sorted({c for _, c in probe_pairs})
 
     lists = spark.read.parquet(ivfpq_path).filter(F.col("cell").isin(probed))
     cand = (
@@ -831,12 +1138,14 @@ def pq_adc_topk_ivf_from_index(
         .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
+            "pcell",
             F.col(id_col).alias("neighbor_id"),
             *[F.col(f"code_{i}") for i in range(m)],
         )
     )
     unpivot = cand.select(
         "query_id",
+        "pcell",
         "neighbor_id",
         F.explode(
             F.array(*[
@@ -848,6 +1157,7 @@ def pq_adc_topk_ivf_from_index(
         ).alias("mc"),
     ).select(
         "query_id",
+        "pcell",
         "neighbor_id",
         F.col("mc.m").alias("m"),
         F.col("mc.code").alias("code"),
@@ -856,6 +1166,7 @@ def pq_adc_topk_ivf_from_index(
         unpivot.join(
             F.broadcast(dtable),
             (unpivot["query_id"] == dtable["query_id"])
+            & (unpivot["pcell"] == dtable["pcell"])
             & (unpivot["m"] == dtable["m"])
             & (F.col("code") == F.col("k")),
         )

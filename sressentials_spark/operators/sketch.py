@@ -952,10 +952,13 @@ def cms_joinsize_estimate(
     )
 
 
-def cms_joinsize_oracle_sql(
+def cms_joinsize_est_ctes(
     table_a: str, col_a: str, table_b: str, col_b: str, seed: str = CMS_SEED
 ) -> str:
-    """DuckDB restatement of :func:`cms_joinsize_estimate`."""
+    """The estimate-only CTE fragment (no WITH): rows_i/ca/cb ->
+    ``est(cms_joinsize_estimate)`` — shared by the standalone
+    estimator oracle and the estimator-DRIVEN join queries, so the
+    planning decision itself sits under the correctness gate."""
 
     def h(col: str) -> str:
         return (
@@ -963,8 +966,7 @@ def cms_joinsize_oracle_sql(
             f" || CAST({col} AS VARCHAR)), 1, 15))::BIGINT) % {CMS_W}"
         )
 
-    return f"""
-WITH rows_i AS (SELECT unnest(range({CMS_D})) AS i),
+    return f"""rows_i AS (SELECT unnest(range({CMS_D})) AS i),
 ca AS (
   SELECT CAST(i AS BIGINT) AS r, {h(col_a)} AS c, CAST(COUNT(*) AS BIGINT) AS n
   FROM {table_a}, rows_i WHERE {col_a} IS NOT NULL GROUP BY 1, 2
@@ -977,7 +979,15 @@ est AS (
   SELECT CAST(MIN(s) AS BIGINT) AS cms_joinsize_estimate
   FROM (SELECT ca.r, CAST(SUM(ca.n * cb.n) AS BIGINT) AS s
         FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY ca.r)
-),
+)"""
+
+
+def cms_joinsize_oracle_sql(
+    table_a: str, col_a: str, table_b: str, col_b: str, seed: str = CMS_SEED
+) -> str:
+    """DuckDB restatement of :func:`cms_joinsize_estimate`."""
+    return f"""
+WITH {cms_joinsize_est_ctes(table_a, col_a, table_b, col_b, seed)},
 exact AS (
   SELECT CAST(COALESCE(SUM(fa.n * fb.n), 0) AS BIGINT) AS exact_joinsize
   FROM (SELECT {col_a} AS k, CAST(COUNT(*) AS BIGINT) AS n FROM {table_a}
@@ -990,3 +1000,74 @@ SELECT exact_joinsize, cms_joinsize_estimate,
             // exact_joinsize AS BIGINT) AS over_permille
 FROM exact, est
 """
+
+
+# --------------------------------------------------------------------------
+# Estimator-driven join planning (the CBO loop the sketches exist for)
+# --------------------------------------------------------------------------
+
+#: Broadcast ceiling for the estimator-driven join: estimated output
+#: rows above this pick a sort-merge plan (the broadcast probe's
+#: per-task fan-out is unbounded on skewed keys; SMJ + AQE skew
+#: handling is the safe shape). At the test scales the SAME rule
+#: flips naturally: sf<=0.01 estimates under it (broadcast), sf0.1's
+#: ~59M estimate exceeds it (merge) — both branches run on real data.
+CBO_BROADCAST_MAX = 10_000_000
+
+
+def cms_join_strategy(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    *,
+    broadcast_threshold: int = CBO_BROADCAST_MAX,
+    seed: str = CMS_SEED,
+) -> tuple[int, str]:
+    """The planning decision a cost-based optimizer derives from
+    :func:`cms_joinsize_estimate`: pre-flight the equi-join's output
+    cardinality from two aligned Count-Min sketches (two
+    map-combinable d x w counter passes — never a full per-key
+    aggregation of either side) and pick ``broadcast`` when the
+    never-undershooting estimate stays under ``broadcast_threshold``,
+    else ``merge``. The one driver hop is the scalar estimate — the
+    legitimate statistics fetch every CBO pays before planning."""
+    ca = cms_counters(df_a, col_a, seed)
+    cb = cms_counters(df_b, col_b, seed)
+    est = int(
+        ca.join(cb.withColumnRenamed("n", "nb"), ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("n") * F.col("nb")).cast("long").alias("s"))
+        .agg(F.min("s").cast("long").alias("est"))
+        .collect()[0]["est"]
+    )
+    return est, ("broadcast" if est <= broadcast_threshold else "merge")
+
+
+def cbo_equi_join(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    *,
+    broadcast_threshold: int = CBO_BROADCAST_MAX,
+    seed: str = CMS_SEED,
+):
+    """Equi-join whose physical strategy is CHOSEN BY the sketch
+    estimate (:func:`cms_join_strategy`): ``broadcast`` hints the
+    build side into a BroadcastHashJoin, ``merge`` forces
+    SortMergeJoin (the hint wins over size-based auto-broadcast, so
+    an exploding join can never be broadcast by accident). Returns
+    ``(joined, estimate, strategy)`` so callers can surface the
+    decision; the join itself is unchanged rows-wise — the estimate
+    picks the PLAN, pinned by tests/test_plan_shapes.py."""
+    est, strategy = cms_join_strategy(
+        df_a, col_a, df_b, col_b,
+        broadcast_threshold=broadcast_threshold, seed=seed,
+    )
+    cond = df_a[col_a] == df_b[col_b]
+    if strategy == "broadcast":
+        joined = df_a.join(F.broadcast(df_b), cond)
+    else:
+        joined = df_a.join(df_b.hint("merge"), cond)
+    return joined, est, strategy

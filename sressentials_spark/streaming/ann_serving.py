@@ -1,11 +1,12 @@
 """Micro-batch ANN serving: IVF-PQ (IVFADC) top-k inside foreachBatch.
 
-The batch ANN stack ends at a persisted two-artifact index — the
-cell-partitioned IVF lists for probes plus the cell-partitioned PQ
-code table for candidates (operators/similarity.py). This module puts
-a QUERY STREAM in front of it: the online serving tier a vector store
-runs. Query batches arrive as files; each micro-batch resolves its
-probed cells from the persisted IVF index, scans ONLY those cells'
+The batch ANN stack ends at a persisted SELF-CONTAINED IVF-PQ index —
+cell-partitioned residual code lists plus frozen trained-coarse
+centroids and codebooks as sidecars (operators/similarity.py). This
+module puts a QUERY STREAM in front of it: the online serving tier a
+vector store runs. Query batches arrive as files; each micro-batch
+resolves its probed cells against the frozen coarse centroids
+(driver-side integer math — no corpus job), scans ONLY those cells'
 partitions of the ~32×-compressed code table, ranks candidates by
 broadcast ADC distance-table lookup, and appends its top-k to a
 parquet sink (executors score and write; the driver handles only the
@@ -60,7 +61,6 @@ def _stage_query_arrivals(
 def run_ivfpq_serving_stream(
     spark: SparkSession,
     sf_dir: str,
-    ivf_index_path: str,
     ivfpq_path: str,
     query_ids: list[int],
     topk: int = 10,
@@ -95,7 +95,6 @@ def run_ivfpq_serving_stream(
             S.pq_adc_topk_ivf_from_index(
                 batch.sparkSession,
                 emb,
-                ivf_index_path,
                 ivfpq_path,
                 qids,
                 topk=topk,

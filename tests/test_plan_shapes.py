@@ -256,3 +256,27 @@ def test_q21_exists_lowers_to_semi_and_anti(spark):
     plan = _plan(QUERIES["tpch_q21_waiting_supplier"](spark, SF))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_cbo_join_strategy_follows_cms_estimate(spark):
+    """The sketch estimate must PICK the physical join: under the
+    broadcast ceiling the plan is a BroadcastHashJoin; the same join
+    with the ceiling forced below the estimate is a SortMergeJoin
+    (the merge hint also defeats size-based auto-broadcast, so an
+    exploding join can never be broadcast by accident)."""
+    from sressentials_spark.operators import sketch as K
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+
+    j, est, strat = K.cbo_equi_join(events, "user_id", orders, "o_custkey")
+    assert strat == "broadcast" and est <= K.CBO_BROADCAST_MAX
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    j2, est2, strat2 = K.cbo_equi_join(
+        events, "user_id", orders, "o_custkey", broadcast_threshold=0
+    )
+    assert strat2 == "merge" and est2 == est
+    plan2 = _plan(j2)
+    assert "SortMergeJoin" in plan2 and "BroadcastHashJoin" not in plan2

@@ -199,69 +199,116 @@ def test_cached_corpus_keyed_by_corpus_plan(spark):
 
 
 class TestIvfPq:
-    def test_index_serves_pruned_and_matches_flat_adc_on_candidates(
+    def test_index_serves_pruned_and_matches_artifact_rederivation(
         self, spark, tmp_path
     ):
-        """IVF-PQ contract: (a) the candidate scan is pruned to the
-        probed cells at the PARTITION level, and (b) every returned
-        pair's ADC distance is bit-identical to flat ADC, with the
-        ranking equal to flat ADC re-ranked within the IVF candidate
-        set (cell pruning changes WHICH pairs are scored, never a
-        score)."""
+        """IVF-PQ contract (residual coding, trained coarse): (a) the
+        candidate scan is pruned to the probed cells at the PARTITION
+        level; (b) every returned pair is re-derivable from the
+        persisted artifacts alone — home cell in the query's probed
+        cells (integer-L2 probes vs the frozen _coarse sidecar), ADC
+        distance equal to an independent driver-side fold over the
+        pair's stored code word, ranks dense and distance-sorted."""
+        import numpy as np
+
+        from sressentials_spark.operators.cluster import QUANT_SCALE
         from sressentials_spark.operators.dedup import release_persisted
+        from sressentials_spark.operators.linalg import quantize_exact
         from sressentials_spark.sources.tables import load_table
 
         emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
-        ivf_path = S.build_ivf_index(emb, str(tmp_path / "ivf"))
         pq_path = S.build_ivfpq_index(emb, str(tmp_path / "ivfpq"))
         qids = [0, 1, 2]
 
-        got = S.pq_adc_topk_ivf_from_index(
-            spark, emb, ivf_path, pq_path, qids, topk=10
-        )
+        got = S.pq_adc_topk_ivf_from_index(spark, emb, pq_path, qids, topk=10)
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert any(
             "cell" in seg.split("]")[0]
             for seg in plan.split("PartitionFilters")[1:]
         )
         got_pdf = got.toPandas()
+        assert len(got_pdf) > 0
 
-        # Independent reference: flat ADC over ALL pairs, filtered to
-        # the IVF candidate set (home cell in the query's probed
-        # cells), re-ranked per query.
-        n = emb.count()
-        flat = S.pq_adc_topk(emb, qids, topk=n).toPandas()
-        idx = spark.read.parquet(ivf_path).select("vec_id", "cell", "cells")
-        home = {r["vec_id"]: r["cell"] for r in idx.collect()}
-        probed = {
-            r["vec_id"]: {int(c) for c in r["cells"]}
-            for r in idx.filter(F.col("vec_id").isin(qids)).collect()
+        coarse = S.load_ivfpq_coarse(spark, pq_path)
+        books = S.load_pq_books(spark, pq_path)
+        fbooks = S.pq_books_float(books)
+        lists = spark.read.parquet(pq_path).toPandas()
+        home = dict(zip(lists["vec_id"], lists["cell"]))
+        codes = {
+            int(r["vec_id"]): [int(r[f"code_{i}"]) for i in range(S.PQ_M)]
+            for _, r in lists.iterrows()
+        }
+        qvec = {
+            int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id").isin(qids)).collect()
         }
         release_persisted()
-        keep = flat[
-            flat.apply(
-                lambda r: home[r["neighbor_id"]] in probed[r["query_id"]],
-                axis=1,
-            )
-        ].copy()
-        keep = keep.sort_values(
-            ["query_id", "adc_dist", "neighbor_id"], kind="mergesort"
-        )
-        keep["rank"] = keep.groupby("query_id").cumcount() + 1
-        exp = keep[keep["rank"] <= 10].reset_index(drop=True)
 
-        got_pdf = got_pdf.sort_values(
-            ["query_id", "rank"], kind="mergesort"
-        ).reset_index(drop=True)
-        import pandas as pd
+        cids_c = sorted(coarse)
+        Cc = np.array([coarse[c] for c in cids_c], dtype=np.int64)
+        Cf = Cc.astype(np.float64) / float(QUANT_SCALE)
+        dsub = fbooks[0][1].shape[1]
+        cmap = {int(c): j for j, c in enumerate(cids_c)}
 
-        pd.testing.assert_frame_equal(
-            got_pdf[["query_id", "neighbor_id", "adc_dist", "rank"]],
-            exp[["query_id", "neighbor_id", "adc_dist", "rank"]].astype(
-                got_pdf[["query_id", "neighbor_id", "adc_dist", "rank"]].dtypes
-            ),
-        )
-        assert len(got_pdf) > 0
+        for qid, grp in got_pdf.groupby("query_id"):
+            qv = qvec[int(qid)]
+            Q = quantize_exact(qv[None, :])[0]
+            diff = Q[None, :] - Cc
+            dist = np.einsum("kd,kd->k", diff, diff)
+            probed = {
+                int(cids_c[j])
+                for j in np.argsort(dist, kind="stable")[: S.IVF_NPROBE]
+            }
+            g = grp.sort_values("rank").reset_index(drop=True)
+            # ranks dense 1..n, distance-sorted with id tie-break
+            assert list(g["rank"]) == list(range(1, len(g) + 1))
+            key = list(zip(g["adc_dist"], g["neighbor_id"]))
+            assert key == sorted(key)
+            for _, r in g.iterrows():
+                nid = int(r["neighbor_id"])
+                cell = int(home[nid])
+                assert cell in probed, (qid, nid, cell, probed)
+                # independent ADC fold from the stored code word
+                qr = qv - Cf[cmap[cell]]
+                exp = 0.0
+                for mi in range(S.PQ_M):
+                    bcids, C = fbooks[mi]
+                    crow = C[list(bcids).index(codes[nid][mi])]
+                    acc = 0.0
+                    for d in range(dsub):
+                        t = qr[mi * dsub + d] - float(crow[d])
+                        acc = acc + t * t
+                    exp = exp + acc
+                assert r["adc_dist"] == exp, (qid, nid)
+
+
+def test_quantize_exact_matches_duckdb_round():
+    """quantize_exact's floor+frac HALF_UP must equal DuckDB ROUND
+    (and hence Spark's BigDecimal HALF_UP) — including adversarial
+    near-half values where the naive floor(x + 0.5) misrounds."""
+    import random
+
+    import duckdb
+    import numpy as np
+
+    from sressentials_spark.operators.cluster import QUANT_SCALE
+    from sressentials_spark.operators.linalg import quantize_exact
+
+    rng = random.Random(8)
+    vals = [rng.uniform(-1.5, 1.5) for _ in range(500)]
+    vals += [(k + 0.5) / QUANT_SCALE for k in range(-40, 40)]
+    vals += [
+        float(np.nextafter(k + 0.5, -np.inf)) / QUANT_SCALE
+        for k in range(-40, 40)
+    ]
+    A = np.array(vals, dtype=np.float64)
+    got = quantize_exact(A[None, :])[0]
+    con = duckdb.connect()
+    for v, g in zip(A.tolist(), got.tolist()):
+        exp = con.execute(
+            "SELECT CAST(ROUND(? * 1048576.0) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert g == exp, (v, g, exp)
 
 
 class TestIncrementalIngest:
