@@ -43,6 +43,39 @@ TABLES = [
 DRIFTY = re.compile(r"HUGEINT|UHUGEINT|DECIMAL|^FLOAT$", re.IGNORECASE)
 
 
+def _uncast_int_divs(sql: str) -> list[int]:
+    """Positions of ``//`` operators NOT lexically inside a CAST(...)
+    — expression-aware (multi-line CASTs count), unlike a line scan:
+    the r5 red-row class is a ``//`` RESULT escaping without a CAST,
+    not the formatting of the CAST."""
+    out = []
+    stack: list[bool] = []  # per open paren: opened by CAST?
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "(":
+            before = sql[:i].rstrip()
+            stack.append(bool(re.search(r"CAST$", before, re.IGNORECASE)))
+            i += 1
+        elif ch == ")":
+            if stack:
+                stack.pop()
+            i += 1
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "/":
+            # A left operand that is itself CAST(... AS BIGINT) makes
+            # the division BIGINT // BIGINT -> BIGINT (verified by
+            # typeof in DuckDB) — no pandas drift possible.
+            left_bigint = re.search(
+                r"(AS\s+BIGINT\s*\)|::BIGINT\))\s*$", sql[:i], re.IGNORECASE
+            )
+            if not any(stack) and not left_bigint:
+                out.append(i)
+            i += 2
+        else:
+            i += 1
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from sressentials_spark.catalog import ORACLE_SQL
@@ -70,10 +103,10 @@ def main() -> int:
 
     n_static = 0
     for name, sql in sorted(ORACLE_SQL.items()):
-        for line in sql.splitlines():
-            if "//" in line and "CAST" not in line.upper():
-                n_static += 1
-                print(f"note {name}: un-CAST `//` on line: {line.strip()}")
+        for pos in _uncast_int_divs(sql):
+            n_static += 1
+            line = sql[: pos].rsplit("\n", 1)[-1] + sql[pos:].split("\n", 1)[0]
+            print(f"note {name}: un-CAST `//` in: {line.strip()}")
 
     print(f"audited {len(ORACLE_SQL)} oracles: "
           f"{len(set(flagged))} flagged, {n_static} static notes")

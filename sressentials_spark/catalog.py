@@ -612,7 +612,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCR_ORACLE = f"""
 WITH {_SHINGLE_CTE},
-split AS (SELECT (max(doc_id) + 1) * 7 // 10 AS s FROM documents),
+split AS (SELECT CAST((max(doc_id) + 1) * 7 // 10 AS BIGINT) AS s FROM documents),
 j AS (
   SELECT doc_a, doc_b
   FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
@@ -1435,7 +1435,7 @@ def sim_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assigned to those centroids, probes/scoring as in the plain IVF
 # oracle, recall joined against the exact top-k over the full corpus.
 ORACLE_SQL["sim_ivf_index_ingest"] = f"""
-WITH split AS (SELECT (max(vec_id) + 1) * 7 // 10 AS s FROM embeddings),
+WITH split AS (SELECT CAST((max(vec_id) + 1) * 7 // 10 AS BIGINT) AS s FROM embeddings),
 seeds AS (
   SELECT vec_id AS cid, embedding AS cv
   FROM embeddings
@@ -2773,7 +2773,7 @@ _BLOOM_H = (
 )
 
 _BLOOM_ORACLE = f"""
-WITH split AS (SELECT (max(doc_id) + 1) * 7 // 10 AS s FROM documents),
+WITH split AS (SELECT CAST((max(doc_id) + 1) * 7 // 10 AS BIGINT) AS s FROM documents),
 rows_i AS (SELECT unnest(range(3)) AS i),
 hist AS (SELECT md5(text) AS fp FROM documents, split WHERE doc_id < s),
 bits AS (SELECT DISTINCT {_BLOOM_H} AS bit FROM hist, rows_i),
@@ -6105,7 +6105,7 @@ def maintenance_partition_overwrite_rebuild(
     "schema_evolution_documents_source",
     """
 SELECT doc_id, lang, n_chars,
-       CASE WHEN doc_id >= (SELECT (MAX(doc_id) + 1) * 7 // 10
+       CASE WHEN doc_id >= (SELECT CAST((MAX(doc_id) + 1) * 7 // 10 AS BIGINT)
                             FROM documents)
             THEN CASE WHEN n_chars >= 500 THEN 'long' ELSE 'short' END
        END AS quality_tier
@@ -6227,7 +6227,7 @@ def partitioned_events_pruned_week(
 
 _STREAM_INGEST_ORACLE = f"""
 WITH {_SHINGLE_CTE},
-split AS (SELECT (max(doc_id) + 1) * 7 // 10 AS s FROM documents),
+split AS (SELECT CAST((max(doc_id) + 1) * 7 // 10 AS BIGINT) AS s FROM documents),
 j AS (
   SELECT doc_a, doc_b
   FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id

@@ -1055,7 +1055,7 @@ SELECT d.doc_id,
        COALESCE(p.nll_micro_total, 0) AS nll_micro_total,
        CAST(COALESCE(p.nll_micro_total // p.n_tokens, 0) AS BIGINT)
          AS avg_nll_micro,
-       COALESCE(p.nll_micro_total // p.n_tokens, 0)
+       CAST(COALESCE(p.nll_micro_total // p.n_tokens, 0) AS BIGINT)
          <= COALESCE(p.uniform_nll_micro, 0) AS keep
 FROM {table} d LEFT JOIN per_doc p USING (doc_id)
 """
@@ -1207,7 +1207,7 @@ SELECT t.doc_id,
        COALESCE(s.nll_micro_total, 0) AS nll_micro_total,
        CAST(COALESCE(s.nll_micro_total // s.n_tokens, 0) AS BIGINT)
          AS avg_nll_micro,
-       COALESCE(s.nll_micro_total // s.n_tokens, 0)
+       CAST(COALESCE(s.nll_micro_total // s.n_tokens, 0) AS BIGINT)
          <= COALESCE(s.uniform_nll_micro, 0) AS keep
 FROM test_docs t LEFT JOIN scored s USING (doc_id)
 """

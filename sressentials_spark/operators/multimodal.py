@@ -213,7 +213,8 @@ WITH m AS (
   FROM {table}
 ),
 f AS (SELECT doc_id, hx, n_bytes,
-             (n_bytes + {frame_bytes - 1}) // {frame_bytes} AS n_frames
+             CAST((n_bytes + {frame_bytes - 1}) // {frame_bytes} AS BIGINT)
+               AS n_frames
       FROM m),
 g AS (SELECT doc_id, hx, n_bytes, n_frames,
              unnest(CASE WHEN n_frames > 0

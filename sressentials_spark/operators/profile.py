@@ -126,9 +126,9 @@ def key_skew_profile_oracle_sql(table: str, key_cols: list[str]) -> str:
     selects = [
         f"""
 SELECT '{c}' AS key_col, n_rows, n_keys, max_count, top_key,
-       CASE WHEN n_keys = 0 THEN 0 ELSE n_rows // n_keys END AS mean_count,
+       CASE WHEN n_keys = 0 THEN 0 ELSE CAST(n_rows // n_keys AS BIGINT) END AS mean_count,
        CASE WHEN n_rows = 0 THEN 0
-            ELSE (1000 * max_count * n_keys) // n_rows END AS skew_ratio_permille
+            ELSE CAST((1000 * max_count * n_keys) // n_rows AS BIGINT) END AS skew_ratio_permille
 FROM (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
          CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,

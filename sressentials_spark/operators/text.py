@@ -320,7 +320,8 @@ SELECT d.doc_id,
        COALESCE(st.n_bigrams, 0) AS n_bigrams,
        COALESCE(st.n_rare_bigrams, 0) AS n_rare_bigrams,
        CASE WHEN COALESCE(st.n_bigrams, 0) = 0 THEN 0
-            ELSE (1000 * st.n_rare_bigrams) // st.n_bigrams END AS rare_permille
+            ELSE CAST((1000 * st.n_rare_bigrams) // st.n_bigrams AS BIGINT)
+            END AS rare_permille
 FROM {table} d LEFT JOIN st USING (doc_id)
 """
 
