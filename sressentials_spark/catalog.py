@@ -6851,6 +6851,87 @@ def maintenance_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFr
     return _stats(1).unionByName(_stats(2))
 
 
+@register(
+    "maintenance_compact_snapshot",
+    """
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(event_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(event_id) AS BIGINT)
+FROM events
+""",
+)
+def maintenance_compact_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction AS a snapshot commit — the composition real table
+    maintenance runs (operators/maintenance.py:snapshot_compact): v1
+    lands the even-id half of events as 12 deliberately-small files,
+    v2 APPENDS the odd half (8 more files), v3 is the compaction
+    commit — the same rows as v2 rewritten into size-targeted files
+    under a NEW manifest version. The query reads all three versions
+    AFTER the compaction: v1 and v2 must still serve their exact
+    pre-compaction contents (their files are untouched until vacuum —
+    reclamation is exercised by tests/test_snapshot.py on a private
+    copy), and v3 must be row-identical to v2 while the builder pins
+    that its file count actually shrank."""
+    import os
+
+    from sressentials_spark.operators import maintenance as MT
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.scratch import scratch_dir
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+
+    def _build() -> str:
+        d = scratch_dir("sressentials_compact_snapshot_")
+        table = os.path.join(d, "events_table")
+        ev = load_table(spark, sf_dir, "events").select(*cols)
+        v1 = MT.snapshot_write(
+            spark,
+            ev.filter(F.col("event_id") % 2 == 0).repartition(12),
+            table,
+            mode="replace",
+        )
+        v2 = MT.snapshot_write(
+            spark,
+            ev.filter(F.col("event_id") % 2 == 1).repartition(8),
+            table,
+            mode="append",
+        )
+        files_before = len(MT.file_manifest(os.path.join(table, "data")))
+        v3 = MT.snapshot_compact(spark, table)
+        if (v1, v2, v3) != (1, 2, 3):
+            raise ValueError(f"unexpected versions: {(v1, v2, v3)}")
+        import json
+
+        with open(os.path.join(table, "manifest-v3.json")) as fh:
+            n_v3 = len(json.load(fh)["files"])
+        if not n_v3 < 20 <= files_before:
+            raise ValueError(
+                f"compaction did not shrink: {files_before} -> {n_v3}"
+            )
+        return table
+
+    table = get_or_build_disk_artifact(
+        spark, ("compact_snapshot_events", sf_dir), _build
+    )
+
+    def _stats(version: int) -> DataFrame:
+        return MT.read_snapshot(spark, table, version).agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+
+    return _stats(1).unionByName(_stats(2)).unionByName(_stats(3))
+
+
 from sressentials_spark.operators.fuzzy import (  # noqa: E402
     fuzzy_match_dictionary,
     fuzzy_match_dictionary_oracle_sql,

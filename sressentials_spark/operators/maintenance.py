@@ -360,3 +360,38 @@ def snapshot_vacuum(table_dir: str, *, keep_last: int = 1) -> dict:
         "versions_expired": len(expired),
         "versions_kept": len(keep),
     }
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> int:
+    """Compaction AS a snapshot commit — the composition real table
+    maintenance runs: rewrite the HEAD version's file set into
+    ceil(total/target) size-targeted files and land them as a new
+    manifest version (same rows, fewer files). Nothing is deleted:
+    time travel to any pre-compaction version still reads the old
+    files byte-for-byte until :func:`snapshot_vacuum` reclaims them,
+    and a crashed compaction leaves only an orphaned commit directory
+    (the manifest link lands last). The rewrite plan is shuffle-free
+    (``coalesce``); at 100 TB this is the nightly job that keeps the
+    file count bounded while readers keep their snapshot isolation.
+    Returns the new version number."""
+    import json
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots under {table_dir}")
+    head = versions[-1]
+    with open(_manifest_path(table_dir, head)) as fh:
+        files = json.load(fh)["files"]
+    if not files:
+        raise ValueError(f"head version v{head} of {table_dir} is empty")
+    data_dir = os.path.join(table_dir, "data")
+    paths = [os.path.join(data_dir, f) for f in files]
+    total = sum(os.path.getsize(p) for p in paths)
+    n_out = max(1, -(-total // target_bytes))
+    compacted = spark.read.parquet(*paths).coalesce(n_out)
+    return snapshot_write(spark, compacted, table_dir, mode="replace")

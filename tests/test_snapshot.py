@@ -194,3 +194,48 @@ def test_racing_writers_files_never_cross_attributed(spark, table):
     # clears emptied commit dirs.
     MT.snapshot_vacuum(table, keep_last=1)
     assert not os.path.exists(stray)
+
+
+def test_compaction_commits_as_snapshot_version(spark, table):
+    # snapshot_compact: same rows under a new manifest version with
+    # fewer files; pre-compaction versions keep reading their exact
+    # old files until vacuum reclaims them.
+    import os
+
+    MT.snapshot_write(spark, _df(spark, 0, 40).repartition(10), table)
+    MT.snapshot_write(
+        spark, _df(spark, 40, 60).repartition(5), table, mode="append"
+    )
+    data_dir = os.path.join(table, "data")
+    files_before = {f for f, _ in MT.file_manifest(data_dir)}
+    assert len(files_before) >= 15
+
+    v3 = MT.snapshot_compact(spark, table)
+    assert v3 == 3
+    # v3: identical rows, fewer files.
+    assert sorted(
+        r["id"] for r in MT.read_snapshot(spark, table, 3).collect()
+    ) == list(range(60))
+    import json
+
+    with open(os.path.join(table, "manifest-v3.json")) as fh:
+        v3_files = json.load(fh)["files"]
+    assert len(v3_files) < 15
+    # Read consistency across the commit: v1/v2 still serve their
+    # exact pre-compaction contents from untouched files.
+    assert {f for f, _ in MT.file_manifest(data_dir)} > files_before
+    assert sorted(
+        r["id"] for r in MT.read_snapshot(spark, table, 1).collect()
+    ) == list(range(40))
+    assert sorted(
+        r["id"] for r in MT.read_snapshot(spark, table, 2).collect()
+    ) == list(range(60))
+    # Vacuum reclaims every pre-compaction file; the head still reads.
+    stats = MT.snapshot_vacuum(table, keep_last=1)
+    assert stats["files_removed"] == len(files_before)
+    assert MT.snapshot_versions(table) == [3]
+    assert sorted(
+        r["id"] for r in MT.read_snapshot(spark, table, 3).collect()
+    ) == list(range(60))
+    with pytest.raises(FileNotFoundError):
+        MT.read_snapshot(spark, table, 2)
