@@ -1476,6 +1476,150 @@ GROUP BY e.query_id
 
 
 @register(
+    "sim_ivf_rebalance",
+    None,  # composed oracle appended below
+)
+def sim_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell REBALANCE — the third lifecycle op (build -> ingest ->
+    rebalance): every cell whose inverted list outgrew 115% of the
+    uniform share splits into two hash-seeded children, its members
+    re-pointed to the nearer child; the rest of the index is neither
+    read nor rewritten (pinned in tests/test_similarity_ivf.py via
+    file sizes + mtimes), and the centroid sidecar is updated so
+    queries probe the post-split cell structure at query time.
+    Returns recall@10 of the rebalanced search against the exact
+    top-k — recall parity with the pre-split index at equal nprobe is
+    the acceptance bar (docs/ANN_EVAL.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build() -> str:
+        from sressentials_spark.scratch import scratch_dir
+
+        base = S.build_ivf_index(emb, scratch_dir("sressentials_ivf_rebal_"))
+        stats = S.rebalance_ivf_index(spark, base)
+        if stats["cells_split"] < 1:
+            raise ValueError(f"fixture produced no oversized cell: {stats}")
+        return base
+
+    path = D.get_or_build_disk_artifact(spark, ("ivf_rebalance_index", sf_dir), _build)
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        S.cosine_topk_ivf_from_index(
+            spark, path, _TOPK_QUERY_IDS, k=10, probe_from_centroids=True
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+# Restatement: original hash-seeded assignment; cells over the integer
+# threshold split into two hash-picked child seeds; members re-pointed
+# to the nearer child; probes ranked against the POST-split centroid
+# set; scoring/recall as in the other IVF evals.
+ORACLE_SQL["sim_ivf_rebalance"] = f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings
+  ORDER BY ('0x' || substring(md5('{S.IVF_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           vec_id
+  LIMIT {S.IVF_CELLS}
+),
+assign AS (
+  SELECT vec_id, embedding, cid, ccos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM (SELECT e.vec_id, e.embedding, s.cid,
+               {_cos_sql('e.embedding', 's.cv')} AS ccos
+        FROM embeddings e CROSS JOIN seeds s)
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+thresh AS (SELECT CAST(COUNT(*) * {S.IVF_REBALANCE_PCT}
+                       // ({S.IVF_CELLS} * 100) AS BIGINT) AS t
+           FROM embeddings),
+oversized AS (
+  SELECT cell FROM cells, thresh GROUP BY cell, t HAVING COUNT(*) > t
+),
+chseeds AS (
+  SELECT cell AS parent, vec_id AS cid, embedding AS cv FROM (
+    SELECT c.cell, c.vec_id, c.embedding,
+           ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY
+             ('0x' || substring(md5('{S.IVF_SPLIT_SEED}:' || CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+             c.vec_id) AS rn
+    FROM cells c JOIN oversized o ON o.cell = c.cell)
+  WHERE rn <= 2
+),
+moved AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT m.vec_id, m.embedding, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY ccos DESC, s.cid ASC) AS rn
+    FROM (SELECT c.* FROM cells c JOIN oversized o ON o.cell = c.cell) m
+    JOIN chseeds s ON s.parent = m.cell
+    JOIN LATERAL (SELECT {_cos_sql('m.embedding', 's.cv')} AS ccos) x ON TRUE)
+  WHERE rn = 1
+),
+cells2 AS (
+  SELECT vec_id, cell FROM cells
+  WHERE cell NOT IN (SELECT cell FROM oversized)
+  UNION ALL
+  SELECT vec_id, cell FROM moved
+),
+cents2 AS (
+  SELECT DISTINCT ON (cid) cid, cv FROM (
+    SELECT cid, cv FROM seeds WHERE cid NOT IN (SELECT cell FROM oversized)
+    UNION ALL
+    SELECT cid, cv FROM chseeds
+  ) ORDER BY cid
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS pcell FROM (
+    SELECT e.vec_id, e.embedding, c2.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, c2.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents2 c2
+    JOIN LATERAL (SELECT {_cos_sql('e.embedding', 'c2.cv')} AS ccos) x ON TRUE
+    WHERE e.vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))}))
+  WHERE rn <= {S.IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('p.qv', 'emb2.embedding')} AS cosine
+  FROM probes p
+  JOIN cells2 c ON c.cell = p.pcell AND c.vec_id <> p.query_id
+  JOIN embeddings emb2 ON emb2.vec_id = c.vec_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored),
+approx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_permille
+FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+
+@register(
     "sim_pq_adc_topk_ivf",
     f"""
 WITH {_km_ctes(k=S.IVF_CELLS, iters=S.PQ_ITERS, dim=64)},

@@ -36,6 +36,9 @@ whose fan-in is corpus/2^planes per query.
 
 from __future__ import annotations
 
+import glob as globmod
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -352,6 +355,110 @@ def ingest_ivf_index(
     return base_path
 
 
+#: Rebalance trigger: a cell holding more than
+#: ``rows * PCT // (n_cells * 100)`` of the corpus splits. 115% of the
+#: uniform share keeps the trigger tight enough to fire on the skew
+#: ingest actually produces, integer-exact and SQL-restateable.
+IVF_REBALANCE_PCT = 115
+IVF_SPLIT_SEED = "ivf-split-v1"
+
+
+def rebalance_ivf_index(
+    spark,
+    base_path: str,
+    *,
+    factor_pct: int = IVF_REBALANCE_PCT,
+    split_seed: str = IVF_SPLIT_SEED,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+) -> dict:
+    """Third lifecycle op for the persisted IVF index (build -> ingest
+    -> REBALANCE): every cell whose list outgrew
+    ``rows * factor_pct // (n_cells * 100)`` is SPLIT — two new
+    centroids hash-picked from the cell's own members, the members
+    re-pointed to the nearer child (cosine, ties to the lowest id —
+    the same Arrow kernel as build/ingest), the children written as
+    new cell partitions, the old list directory dropped, and the
+    centroid sidecar updated. Never a full rebuild: cost is
+    O(oversized cells' rows) — the rest of the index is neither read
+    nor rewritten (pinned by tests via file sizes + mtimes), which is
+    the whole point at 100 TB where ingest skew concentrates in a few
+    hot cells. Queries against the rebalanced index compute probe
+    lists from the updated sidecar at query time
+    (``cosine_topk_ivf_from_index(probe_from_centroids=True)``);
+    recall parity vs the pre-split index is measured by
+    ``sim_ivf_rebalance`` (docs/ANN_EVAL.md)."""
+    import shutil
+
+    import numpy as np
+
+    from sressentials_spark import sinks
+
+    idx = spark.read.parquet(base_path)
+    ids, mat = load_ivf_centroids(spark, base_path)
+    n_rows = idx.count()
+    threshold = n_rows * factor_pct // (len(ids) * 100)
+    sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    oversized = sorted(c for c, n in sizes.items() if n > threshold)
+    cents = {int(i): mat[j] for j, i in enumerate(ids)}
+    base_cols = [c for c in idx.columns if c not in ("norm", "cells", "cell")]
+
+    for c in oversized:
+        members = (
+            spark.read.parquet(base_path)
+            .filter(F.col("cell") == c)
+            .select(*base_cols)
+        )
+        h = md5_long(
+            F.concat(F.lit(split_seed + ":"), F.col(id_col).cast("string"))
+        )
+        seed_rows = (
+            members.withColumn("_h", h)
+            .orderBy("_h", id_col)
+            .limit(2)
+            .select(id_col, "embedding")
+            .collect()
+        )
+        ch_ids = [int(r[id_col]) for r in seed_rows]
+        ch_mat = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+        )
+        # Children land in a temp dir first: the source partition must
+        # stay readable until the re-pointed rows are durably written.
+        tmp = os.path.join(base_path, f"_rebalance_tmp_{c}")
+        sinks.write_partitioned(
+            ivf_annotate_frozen(members, ch_ids, ch_mat, nprobe), tmp, ["cell"]
+        )
+        shutil.rmtree(os.path.join(base_path, f"cell={c}"))
+        for d in globmod.glob(os.path.join(tmp, "cell=*")):
+            dest = os.path.join(base_path, os.path.basename(d))
+            if os.path.isdir(dest):
+                # duplicate-vector edge: a child id colliding with a
+                # kept cell merges file-wise (same cell value rows).
+                for f in globmod.glob(os.path.join(d, "*")):
+                    os.rename(f, os.path.join(dest, os.path.basename(f)))
+            else:
+                os.rename(d, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        cents.pop(c, None)
+        for cid, row in zip(ch_ids, ch_mat):
+            cents[cid] = row
+
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in row]) for cid, row in sorted(cents.items())],
+        "cid long, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_centroids")
+    return {
+        "cells_split": len(oversized),
+        "split_cells": oversized,
+        "threshold": int(threshold),
+        "n_centroids": len(cents),
+    }
+
+
 def cosine_topk_ivf_from_index(
     spark,
     index_path: str,
@@ -360,6 +467,8 @@ def cosine_topk_ivf_from_index(
     id_col: str = "vec_id",
     dim: int = DEFAULT_DIM,
     filter_col: str | None = None,
+    probe_from_centroids: bool = False,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """:func:`cosine_topk_ivf`, served from a persisted cell-partitioned
     index (:func:`build_ivf_index`) instead of a session-cached
@@ -367,8 +476,23 @@ def cosine_topk_ivf_from_index(
     batch's probed cells (partition pruning), the steady-state cost a
     vector store pays per query batch once the index exists."""
     annotated = spark.read.parquet(index_path)
+    queries_src = None
+    if probe_from_centroids:
+        # Probe lists computed at QUERY time against the centroid
+        # sidecar (the post-rebalance truth) — one tiny Arrow pass
+        # over the id-filtered query rows, same kernel as the build.
+        ids, mat = load_ivf_centroids(spark, index_path)
+        qsrc_cols = [id_col, "embedding", *([filter_col] if filter_col else [])]
+        qrows = (
+            annotated.filter(F.col(id_col).isin(query_ids))
+            .select(*qsrc_cols)
+            .collect()
+        )
+        qsrc = spark.createDataFrame(qrows, annotated.select(*qsrc_cols).schema)
+        queries_src = ivf_annotate_frozen(qsrc, ids, mat, nprobe)
     return _ivf_query(
-        annotated, query_ids, k, id_col, dim, filter_col, prune_cells=True
+        annotated, query_ids, k, id_col, dim, filter_col,
+        prune_cells=True, queries_src=queries_src,
     )
 
 
@@ -380,21 +504,26 @@ def _ivf_query(
     dim: int,
     filter_col: str | None,
     prune_cells: bool,
+    queries_src: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF probe plan over an annotated corpus (session-cached
     or loaded from the persisted store). ``prune_cells`` additionally
     restricts the corpus scan to the union of the queries' probed
     cells — semantically a no-op (the cell equi-join already restricts
     further, per query) but it is what turns the partitioned store
-    into partition pruning at the scan."""
+    into partition pruning at the scan. ``queries_src`` overrides
+    where the query rows' probe lists come from — the rebalanced-index
+    path re-annotates query rows against the CURRENT centroid sidecar
+    instead of trusting probe arrays stored before a split."""
     spark = annotated.sparkSession
     extra = [filter_col] if filter_col else []
     qcols = [id_col, "embedding", "norm", *extra, "cells"]
+    qsrc = queries_src if queries_src is not None else annotated
     qrows = (
-        annotated.filter(F.col(id_col).isin(query_ids)).select(*qcols).collect()
+        qsrc.filter(F.col(id_col).isin(query_ids)).select(*qcols).collect()
     )
     queries = spark.createDataFrame(
-        qrows, annotated.select(*qcols).schema
+        qrows, qsrc.select(*qcols).schema
     ).select(
         F.col(id_col).alias("query_id"),
         F.col("embedding").alias("qv"),

@@ -376,3 +376,58 @@ class TestIncrementalIngest:
         assert dict(zip(ids, map(tuple, mat))) == dict(
             zip(ids0, map(tuple, mat0))
         )
+
+
+class TestRebalance:
+    def test_split_touches_only_oversized_cells(self, spark, tmp_path):
+        """Rebalance contract (sim_ivf_rebalance): splitting the
+        oversized cells (a) never reads or rewrites any other cell's
+        list files — sizes and mtimes survive byte-identically — (b)
+        drops the split cells' directories and lands their members
+        under child cells, row-complete, and (c) updates the centroid
+        sidecar to exactly (kept + children)."""
+        import glob as globmod
+        import os
+
+        from sressentials_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        base = S.build_ivf_index(emb, str(tmp_path / "idx"))
+        before_rows = {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(base).select("vec_id", "cell").collect()
+        }
+        ids0, _ = S.load_ivf_centroids(spark, base)
+        pre = {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in globmod.glob(f"{base}/cell=*/*.parquet")
+        }
+
+        stats = S.rebalance_ivf_index(spark, base)
+        assert stats["cells_split"] >= 1
+        split = set(stats["split_cells"])
+
+        # (a) untouched cells' files byte-identical
+        for p, sig in pre.items():
+            cell = int(p.split("cell=")[1].split("/")[0])
+            if cell in split:
+                continue
+            assert os.path.exists(p) and (
+                os.path.getsize(p), os.path.getmtime(p)) == sig, p
+        # (b) split dirs gone unless re-created as a child id
+        ids1, _ = S.load_ivf_centroids(spark, base)
+        for c in split:
+            if c not in ids1:
+                assert not os.path.isdir(os.path.join(base, f"cell={c}"))
+        # row-complete: same vec_ids, moved rows changed cell only
+        after = {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(base).select("vec_id", "cell").collect()
+        }
+        assert {v for v, _ in after} == {v for v, _ in before_rows}
+        kept = {(v, c) for v, c in before_rows if c not in split}
+        assert kept <= after
+        # (c) sidecar = kept + children
+        assert stats["n_centroids"] == len(ids1)
+        assert set(ids0) - split <= set(ids1)
+        assert len(ids1) >= len(ids0)  # each split adds >= 1 net id
