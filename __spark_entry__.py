@@ -25,25 +25,28 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 #: Queries that must be re-rowed this round regardless of ledger
-#: freshness (cleared once their fresh green row lands). r7: the 8
-#: core reference-surface rows (the entire Mongo/MySQL query surface,
-#: SURVEY §2.1-2.7) — their latest driver green is r4, and this
-#: round's 9 new never-rowed queries would otherwise push the three
-#: mysql_* rows to positions 50-52, past the driver's 50-row budget.
-#: Pinning them first guarantees the staleness ceiling the r6 verdict
-#: set ("core rows refresh by r8 at the latest"); the never-rowed r6
-#: backlog (tpch_q4/q5/q7/q8, window_trailing_28d_spend,
-#: zorder_lineitem_part_band_scan) still lands inside the budget
-#: behind them.
+#: freshness (cleared once their fresh green row lands). r8: the
+#: queries whose SEMANTICS changed this round — the PQ family moved to
+#: trained codebooks + residual IVF-PQ over a trained coarse
+#: quantizer, the drift family's PSI accumulation went 128-bit exact
+#: with an integer alarm, and snapshot commits moved to per-commit
+#: data directories — each re-verified locally at sf0.01, and pinned
+#: here so the DRIVER's artifact re-warrants them at their new
+#: semantics. Budget math (tests/test_entry_rotation.py): 10 forced +
+#: 4 never-rowed + all 31 stale-r4 rows = 45 of the 50-row budget, so
+#: the entire r4 backlog refreshes this round as the r7 verdict
+#: required.
 _FORCE_FIRST: tuple[str, ...] = (
-    "mongo_slow_detailed",
-    "mongo_query_stats",
-    "mongo_error_rollup",
-    "mongo_non_slow",
-    "mongo_parse_errors",
-    "mysql_detailed",
-    "mysql_aggregate",
-    "mysql_skip_warnings",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_pq_recall_at_k",
+    "sim_pq_adc_topk_ivf",
+    "sim_ivfpq_recall_at_k",
+    "streaming_ivfpq_topk_serving",
+    "audit_distribution_drift",
+    "audit_drift_daily_trend",
+    "streaming_drift_monitor",
+    "maintenance_snapshot_time_travel",
 )
 
 

@@ -3143,6 +3143,50 @@ def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARA_BANNER = "Subscribe to our newsletter for weekly updates"
+_PARA_FOOTER = "Copyright 2024 Example Corp - all rights reserved"
+
+#: Deterministic RefinedWeb-style fixture: every document gets a
+#: shared footer paragraph, every third also a shared banner — the
+#: boilerplate a real crawl carries, reproduced identically in both
+#: engines so the dedup itself is what the gate checks.
+_PARA_SRC_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0
+            THEN '{_PARA_BANNER}' || chr(10) || chr(10)
+            ELSE '' END
+       || text || chr(10) || chr(10) || '{_PARA_FOOTER}' AS ptext
+FROM documents
+"""
+
+
+@register(
+    "curation_paragraph_dedup",
+    C.paragraph_dedup_oracle_sql(_PARA_SRC_SQL, text_expr="ptext"),
+)
+def curation_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate removal (RefinedWeb's missing
+    middle stage between exact and fuzzy document dedup): paragraphs
+    repeated across >= {C.PARA_DEDUP_MIN_DOCS} distinct documents
+    (the injected footer on every doc, the banner on every third) are
+    dropped from every carrier and the text rebuilt in paragraph
+    order; unique body paragraphs survive. One content-hash-keyed
+    doc-frequency aggregate + a LEFT ANTI join — bucketed by
+    paragraph value, never all-pairs
+    (operators/curation.py:paragraph_dedup)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(_PARA_BANNER + "\n\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\n\n" + _PARA_FOOTER),
+        ).alias("text"),
+    )
+    return C.paragraph_dedup(docs)
+
+
 @register(
     "curation_span_exact_dedup",
     C.span_exact_dedup_oracle_sql(span_tokens=8),

@@ -1211,3 +1211,124 @@ SELECT t.doc_id,
          <= COALESCE(s.uniform_nll_micro, 0) AS keep
 FROM test_docs t LEFT JOIN scored s USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level boilerplate dedup (RefinedWeb-style)
+# --------------------------------------------------------------------------
+
+#: A paragraph repeated across this many distinct documents is
+#: boilerplate (headers, footers, subscribe banners) and is dropped
+#: from every document that carries it.
+PARA_DEDUP_MIN_DOCS = 5
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = PARA_DEDUP_MIN_DOCS,
+) -> DataFrame:
+    """RefinedWeb-style paragraph-level dedup: split each document on
+    blank lines, count each distinct paragraph's document frequency,
+    drop every paragraph appearing in >= ``min_docs`` distinct
+    documents, and rebuild the text in original paragraph order —
+    the most common missing stage of a real web-scale text pipeline
+    (document-level dedup keeps the page; this removes the subscribe
+    banner the page shares with a million others).
+
+    Scale shape: one posexplode scan -> a (paragraph, doc-frequency)
+    aggregate keyed by the paragraph value (hash-partitioned — never
+    an all-pairs comparison) -> a LEFT ANTI join back on the same key
+    -> a per-document ordered rebuild (sort_array over collected
+    (idx, para) structs, never a window). Everything shuffles on
+    content-hash keys, so the plan survives any corpus size; the
+    boilerplate table itself is tiny (paragraphs repeated >= min_docs
+    times), which is what makes the anti-join cheap.
+
+    Output per document: ``n_paras``, ``n_removed``, ``clean_md5``
+    (md5 of the rebuilt text; empty string when everything was
+    boilerplate).
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n\n")).alias(
+            "para_idx", "para"
+        ),
+    )
+    boiler = (
+        paras.groupBy("para")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("para")
+    )
+    kept = paras.join(boiler, "para", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("para_idx", "para"))
+                ),
+                lambda x: x["para"],
+            ),
+            "\n\n",
+        ).alias("clean_text"),
+    )
+    totals = paras.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.coalesce("clean_text", F.lit("")).cast("binary")
+            ).alias("clean_md5"),
+        )
+    )
+
+
+def paragraph_dedup_oracle_sql(
+    src_sql: str,
+    *,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    min_docs: int = PARA_DEDUP_MIN_DOCS,
+) -> str:
+    """DuckDB restatement of :func:`paragraph_dedup` over a source CTE
+    body ``src_sql`` exposing ``({id_col}, {text_expr})``."""
+    sep = "chr(10) || chr(10)"
+    return f"""
+WITH src AS ({src_sql}),
+split AS (
+  SELECT {id_col}, string_split({text_expr}, {sep}) AS parts FROM src
+),
+paras AS (
+  SELECT {id_col}, CAST(j - 1 AS BIGINT) AS para_idx, parts[j] AS para
+  FROM split, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS j) g
+),
+boiler AS (
+  SELECT para FROM paras GROUP BY para
+  HAVING COUNT(DISTINCT {id_col}) >= {min_docs}
+),
+kept AS (SELECT p.* FROM paras p ANTI JOIN boiler b ON p.para = b.para),
+rebuilt AS (
+  SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(para, {sep} ORDER BY para_idx) AS clean_text
+  FROM kept GROUP BY {id_col}
+),
+totals AS (
+  SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_paras
+  FROM paras GROUP BY {id_col}
+)
+SELECT t.{id_col}, t.n_paras,
+       CAST(t.n_paras - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM totals t LEFT JOIN rebuilt r USING ({id_col})
+"""

@@ -254,3 +254,38 @@ class TestChunkDocuments:
 
         with _pytest.raises(ValueError):
             C.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_paragraph_dedup_removes_boilerplate_keeps_body(spark):
+    from sressentials_spark.operators.curation import paragraph_dedup
+
+    footer = "all rights reserved"
+    rows = []
+    for i in range(8):
+        body = f"unique body paragraph number {i}"
+        rows.append((i, f"{body}\n\n{footer}"))
+    # one doc that is ONLY boilerplate
+    rows.append((8, footer))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup(docs, min_docs=5).toPandas().set_index("doc_id")
+    import hashlib
+
+    for i in range(8):
+        assert out.loc[i, "n_paras"] == 2 and out.loc[i, "n_removed"] == 1
+        body_md5 = hashlib.md5(
+            f"unique body paragraph number {i}".encode()
+        ).hexdigest()
+        assert out.loc[i, "clean_md5"] == body_md5
+    # the all-boilerplate doc rebuilds to the empty string
+    assert out.loc[8, "n_removed"] == 1
+    assert out.loc[8, "clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_paragraph_dedup_below_threshold_untouched(spark):
+    from sressentials_spark.operators.curation import paragraph_dedup
+
+    shared = "appears in four docs only"
+    rows = [(i, f"{shared}\n\nbody {i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup(docs, min_docs=5).toPandas()
+    assert (out["n_removed"] == 0).all()

@@ -59,3 +59,19 @@ def test_rotation_budget_not_overflowed():
         f"= {used} > 50-row driver budget; register fewer new queries this "
         f"round or drop _FORCE_FIRST entries"
     )
+    # Stale-row displacement guard (the r7-verdict extension): rows
+    # whose latest green is >= 3 rounds old are a weak warranty; the
+    # forced + never-rowed + oldest-stale demand must fit the budget,
+    # or the backlog silently ages another round.
+    if latest:
+        head = max(latest.values())
+        stale = [
+            n for n in qs
+            if n not in ent._FORCE_FIRST and 0 < latest.get(n, 0) <= head - 3
+        ]
+        demand = used + len(stale)
+        assert demand <= 50, (
+            f"{used} forced/never-rowed + {len(stale)} stale(<= r{head - 3}) "
+            f"rows = {demand} > 50; the stale backlog cannot refresh this "
+            f"round — register fewer queries or force fewer rows"
+        )
