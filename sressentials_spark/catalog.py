@@ -7040,6 +7040,73 @@ def maintenance_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "maintenance_snapshot_prune_scan",
+    """
+WITH hi AS (SELECT CAST((MAX(event_id) + 1) // 5 AS BIGINT) AS h FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events, hi
+WHERE event_id <= h
+GROUP BY event_type
+""",
+)
+def maintenance_snapshot_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping on a snapshot table (the Iceberg
+    file-stats pattern): the commit records per-file min/max for
+    ``event_id`` in the manifest (one extra pass over the fresh commit
+    only), the table lands range-clustered on that column, and a
+    range-predicate read prunes files from the MANIFEST — before any
+    parquet footer is opened. The builder pins that the probed range
+    actually skips most files; correctness never depends on the
+    pruning (the row filter still applies — files without stats are
+    simply always read)
+    (operators/maintenance.py:snapshot_write/read_snapshot)."""
+    import os
+
+    from sressentials_spark.operators import maintenance as MT
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.scratch import scratch_dir
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    hi = (ev.agg(F.max("event_id")).first()[0] + 1) // 5
+
+    def _build() -> str:
+        d = scratch_dir("sressentials_snapshot_prune_")
+        table = os.path.join(d, "events_table")
+        MT.snapshot_write(
+            spark,
+            ev.repartitionByRange(10, "event_id"),
+            table,
+            mode="replace",
+            stats_cols=["event_id"],
+        )
+        total = len(MT.snapshot_files(table, 1))
+        kept = len(
+            MT.read_snapshot(
+                spark, table, 1, prune=("event_id", 0, hi)
+            ).inputFiles()
+        )
+        if not kept < total:
+            raise ValueError(f"manifest pruning skipped nothing: {kept}/{total}")
+        return table
+
+    table = get_or_build_disk_artifact(
+        spark, ("snapshot_prune_events", sf_dir), _build
+    )
+    return (
+        MT.read_snapshot(spark, table, 1, prune=("event_id", 0, hi))
+        .filter(F.col("event_id") <= hi)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+    )
+
+
+@register(
     "maintenance_compact_snapshot",
     """
 SELECT CAST(1 AS BIGINT) AS version,

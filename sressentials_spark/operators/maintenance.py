@@ -241,6 +241,7 @@ def snapshot_write(
     table_dir: str,
     *,
     mode: str = "replace",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot version of ``table_dir``.
 
@@ -252,6 +253,13 @@ def snapshot_write(
     ``mode="append"`` makes the new version the parent's file set
     plus the new files. Readers of old versions are never disturbed:
     nothing is deleted or rewritten until :func:`snapshot_vacuum`.
+
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (one extra pass over the FRESH commit only — the
+    Iceberg-style file statistics): :func:`read_snapshot` then prunes
+    files from a predicate range at the MANIFEST level, before any
+    parquet footer is opened — at 100 TB that is the difference
+    between listing a thousand files and opening them.
 
     Commit ordering: data files land first, the manifest link-lands
     last — a crashed writer leaves orphan data files (reclaimed by
@@ -283,14 +291,43 @@ def snapshot_write(
     new_files = [
         f"{commit_id}/{os.path.basename(f)}" for f, _ in file_manifest(commit_dir)
     ]
+    stats: dict[str, dict] = {}
+    if stats_cols:
+        # One pass over the fresh commit only: per-file min/max for the
+        # manifest (Iceberg-style file stats) keyed by input file.
+        from pyspark.sql import functions as _F
+
+        rows = (
+            spark.read.parquet(commit_dir)
+            .groupBy(_F.input_file_name().alias("_f"))
+            .agg(
+                *[
+                    f
+                    for c in stats_cols
+                    for f in (
+                        _F.min(c).alias(f"_mn_{c}"),
+                        _F.max(c).alias(f"_mx_{c}"),
+                    )
+                ]
+            )
+            .collect()
+        )
+        for r in rows:
+            base = os.path.basename(r["_f"].split("?")[0])
+            stats[f"{commit_id}/{base}"] = {
+                c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in stats_cols
+            }
+    entries = [{"path": f, "stats": stats.get(f, {})} for f in new_files]
     versions = snapshot_versions(table_dir)
     version = (versions[-1] if versions else 0) + 1
-    visible = list(new_files)
+    visible = list(entries)
     if mode == "append" and versions:
         import json as _json
 
         with open(_manifest_path(table_dir, versions[-1])) as fh:
-            visible = _json.load(fh)["files"] + visible
+            visible = [
+                _norm_entry(e) for e in _json.load(fh)["files"]
+            ] + visible
     tmp = _manifest_path(table_dir, version) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"version": version, "mode": mode, "files": visible}, fh)
@@ -304,17 +341,62 @@ def snapshot_write(
     return version
 
 
+def _norm_entry(e) -> dict:
+    """Manifest entry in the stats shape (pre-stats manifests stored
+    bare path strings)."""
+    return {"path": e, "stats": {}} if isinstance(e, str) else e
+
+
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    *,
+    prune: tuple | None = None,
 ) -> DataFrame:
-    """Time-travel read: the table exactly as of ``version``."""
+    """Time-travel read: the table exactly as of ``version``.
+
+    ``prune=(col, lo, hi)`` drops every file whose manifest min/max
+    range for ``col`` cannot intersect ``[lo, hi]`` BEFORE the scan is
+    planned — manifest-level data skipping (files without stats are
+    always read; correctness never depends on pruning, only cost —
+    pinned by tests). Returns an empty frame with the table's schema
+    when every file prunes away."""
     import json
 
     with open(_manifest_path(table_dir, version)) as fh:
         manifest = json.load(fh)
     data_dir = os.path.join(table_dir, "data")
-    paths = [os.path.join(data_dir, f) for f in manifest["files"]]
+    entries = [_norm_entry(e) for e in manifest["files"]]
+    if prune is not None:
+        col, lo, hi = prune
+        entries = [
+            e
+            for e in entries
+            if not (
+                (st := e["stats"].get(col)) is not None
+                and st[0] is not None
+                and st[1] is not None
+                and (st[0] > hi or st[1] < lo)
+            )
+        ]
+        if not entries:
+            all_paths = [
+                os.path.join(data_dir, _norm_entry(e)["path"])
+                for e in manifest["files"]
+            ]
+            empty = spark.read.parquet(*all_paths).limit(0)
+            return empty
+    paths = [os.path.join(data_dir, e["path"]) for e in entries]
     return spark.read.parquet(*paths)
+
+
+def snapshot_files(table_dir: str, version: int) -> list[str]:
+    """The data_dir-relative file paths visible at ``version``."""
+    import json
+
+    with open(_manifest_path(table_dir, version)) as fh:
+        return [_norm_entry(e)["path"] for e in json.load(fh)["files"]]
 
 
 def snapshot_vacuum(table_dir: str, *, keep_last: int = 1) -> dict:
@@ -332,7 +414,9 @@ def snapshot_vacuum(table_dir: str, *, keep_last: int = 1) -> dict:
     live: set[str] = set()
     for v in keep:
         with open(_manifest_path(table_dir, v)) as fh:
-            live.update(json.load(fh)["files"])
+            live.update(
+                _norm_entry(e)["path"] for e in json.load(fh)["files"]
+            )
     data_dir = os.path.join(table_dir, "data")
     removed = 0
     # Manifest paths are data_dir-relative (commit-<id>/part-... for
@@ -385,8 +469,7 @@ def snapshot_compact(
     if not versions:
         raise ValueError(f"no snapshots under {table_dir}")
     head = versions[-1]
-    with open(_manifest_path(table_dir, head)) as fh:
-        files = json.load(fh)["files"]
+    files = snapshot_files(table_dir, head)
     if not files:
         raise ValueError(f"head version v{head} of {table_dir} is empty")
     data_dir = os.path.join(table_dir, "data")

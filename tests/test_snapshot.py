@@ -184,8 +184,7 @@ def test_racing_writers_files_never_cross_attributed(spark, table):
     stray = os.path.join(data_dir, "part-99999-stranger.parquet")
     _df(spark, 900, 910).toPandas().to_parquet(stray)
     v2 = MT.snapshot_write(spark, _df(spark, 5, 8), table, mode="append")
-    with open(os.path.join(table, f"manifest-v{v2}.json")) as fh:
-        files = json.load(fh)["files"]
+    files = MT.snapshot_files(table, v2)
     assert all(f.startswith("commit-") for f in files)
     assert not any("stranger" in f for f in files)
     ids = sorted(r["id"] for r in MT.read_snapshot(spark, table, v2).collect())
@@ -218,8 +217,7 @@ def test_compaction_commits_as_snapshot_version(spark, table):
     ) == list(range(60))
     import json
 
-    with open(os.path.join(table, "manifest-v3.json")) as fh:
-        v3_files = json.load(fh)["files"]
+    v3_files = MT.snapshot_files(table, 3)
     assert len(v3_files) < 15
     # Read consistency across the commit: v1/v2 still serve their
     # exact pre-compaction contents from untouched files.
@@ -239,3 +237,28 @@ def test_compaction_commits_as_snapshot_version(spark, table):
     ) == list(range(60))
     with pytest.raises(FileNotFoundError):
         MT.read_snapshot(spark, table, 2)
+
+
+def test_manifest_stats_prune_files_not_rows(spark, table):
+    # Iceberg-style file stats: a range predicate prunes files at the
+    # MANIFEST level (fewer input files) without changing the rows the
+    # filtered read returns; files without stats are always read.
+    MT.snapshot_write(
+        spark,
+        _df(spark, 0, 100).repartitionByRange(10, "id"),
+        table,
+        stats_cols=["id"],
+    )
+    full = MT.read_snapshot(spark, table, 1)
+    pruned = MT.read_snapshot(spark, table, 1, prune=("id", 0, 19))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = sorted(
+        r["id"] for r in pruned.filter("id <= 19").collect()
+    )
+    assert got == list(range(20))
+    # stats-less legacy entries are never pruned
+    legacy = MT.read_snapshot(spark, table, 1, prune=("nope", 0, 1))
+    assert len(legacy.inputFiles()) == len(full.inputFiles())
+    # empty intersection: zero rows, schema intact
+    nothing = MT.read_snapshot(spark, table, 1, prune=("id", 5000, 6000))
+    assert nothing.count() == 0 and nothing.columns == full.columns
