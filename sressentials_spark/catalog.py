@@ -7107,6 +7107,89 @@ def maintenance_snapshot_prune_scan(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "maintenance_snapshot_merge",
+    """
+WITH mx AS (SELECT CAST((MAX(event_id) + 1) // 10 AS BIGINT) AS band,
+                   CAST(MAX(event_id) AS BIGINT) AS m
+            FROM events),
+merged AS (
+  SELECT event_id,
+         CASE WHEN event_id <= (SELECT band FROM mx)
+              THEN 'restated' ELSE event_type END AS event_type
+  FROM events
+  UNION ALL
+  SELECT (SELECT m FROM mx) + i AS event_id, 'inserted' AS event_type
+  FROM (SELECT CAST(unnest(generate_series(1, 50)) AS BIGINT) AS i)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM merged GROUP BY event_type
+""",
+)
+def maintenance_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE as a snapshot commit (the Delta/Iceberg
+    MERGE INTO shape, operators/maintenance.py:snapshot_merge): v1
+    lands events range-clustered on event_id with per-file stats; the
+    update batch restates the lowest-decile band and inserts 50 new
+    rows; the merge rewrites ONLY the files whose stats range can
+    intersect the update keys — the rest carry into v2 by reference,
+    byte-identical (builder pins carried > rewritten; byte-identity is
+    pinned in tests/test_snapshot.py). The query reads the merged head
+    under the value gate; v1 still serves the pre-merge table until
+    vacuum."""
+    import os
+
+    from sressentials_spark.operators import maintenance as MT
+    from sressentials_spark.operators.dedup import get_or_build_disk_artifact
+    from sressentials_spark.scratch import scratch_dir
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    band = (max_id + 1) // 10
+
+    def _build() -> str:
+        d = scratch_dir("sressentials_snapshot_merge_")
+        table = os.path.join(d, "events_table")
+        MT.snapshot_write(
+            spark,
+            ev.repartitionByRange(10, "event_id"),
+            table,
+            mode="replace",
+            stats_cols=["event_id"],
+        )
+        restated = ev.filter(F.col("event_id") <= band).withColumn(
+            "event_type", F.lit("restated")
+        )
+        inserted = spark.range(1, 51).select(
+            (F.lit(max_id) + F.col("id")).cast("long").alias("event_id"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("ts"),
+            F.lit("inserted").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        stats = MT.snapshot_merge(
+            spark, table, restated.unionByName(inserted), key_col="event_id"
+        )
+        if not stats["files_carried"] > stats["files_rewritten"]:
+            raise ValueError(f"merge rewrote too much: {stats}")
+        return table
+
+    table = get_or_build_disk_artifact(
+        spark, ("snapshot_merge_events", sf_dir), _build
+    )
+    return (
+        MT.read_snapshot(spark, table, 2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+    )
+
+
+@register(
     "maintenance_compact_snapshot",
     """
 SELECT CAST(1 AS BIGINT) AS version,

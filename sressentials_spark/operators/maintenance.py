@@ -478,3 +478,135 @@ def snapshot_compact(
     n_out = max(1, -(-total // target_bytes))
     compacted = spark.read.parquet(*paths).coalesce(n_out)
     return snapshot_write(spark, compacted, table_dir, mode="replace")
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    *,
+    key_col: str,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Copy-on-write MERGE (the Delta/Iceberg ``MERGE INTO`` shape)
+    committed as a snapshot version: rows in ``updates`` replace
+    head-version rows with the same ``key_col`` and new keys append —
+    but only the files whose manifest ``key_col`` min/max range can
+    intersect the update keys are rewritten. Untouched files carry
+    over into the new manifest BY REFERENCE, byte-identical (pinned by
+    tests): at 100 TB a point-update batch rewrites a handful of files
+    out of a million, which is exactly what the per-file stats exist
+    for. Readers keep snapshot isolation — the parent version still
+    reads the pre-merge files until :func:`snapshot_vacuum`.
+
+    Requires the head commit to carry ``key_col`` stats (written with
+    ``stats_cols``); files without stats are conservatively treated as
+    affected (correctness never depends on pruning). Returns
+    ``{"version", "files_rewritten", "files_carried"}``."""
+    import json
+    import uuid
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots under {table_dir}")
+    head = versions[-1]
+    with open(_manifest_path(table_dir, head)) as fh:
+        entries = [_norm_entry(e) for e in json.load(fh)["files"]]
+    if updates.limit(1).count() == 0:
+        raise ValueError("empty updates batch")
+    data_dir = os.path.join(table_dir, "data")
+
+    # Exact file attribution: broadcast the (tiny, manifest-sized)
+    # file-range table against the update keys — one O(|updates|)
+    # pass; a file is affected iff SOME update key falls inside its
+    # recorded [min, max]. Inserted keys beyond every range touch
+    # nothing (a min/max envelope of the batch would smear them over
+    # the whole table). Stats-less files are conservatively rewritten.
+    ranged = [
+        (e["path"], e["stats"][key_col][0], e["stats"][key_col][1])
+        for e in entries
+        if e["stats"].get(key_col) is not None
+        and e["stats"][key_col][0] is not None
+        and e["stats"][key_col][1] is not None
+    ]
+    no_stats = {e["path"] for e in entries} - {p for p, _, _ in ranged}
+    hit: set[str] = set(no_stats)
+    if ranged:
+        # schema inferred from the JSON-round-tripped stat values, so
+        # string/float keys work as well as the common integer case
+        files_df = spark.createDataFrame(ranged, ["path", "mn", "mx"])
+        hits = (
+            updates.select(F.col(key_col).alias("_k"))
+            .join(
+                F.broadcast(files_df),
+                (F.col("_k") >= F.col("mn")) & (F.col("_k") <= F.col("mx")),
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
+        hit.update(r["path"] for r in hits)
+
+    touched = [e for e in entries if e["path"] in hit]
+    carried = [e for e in entries if e["path"] not in hit]
+
+    cols = (
+        spark.read.parquet(os.path.join(data_dir, entries[0]["path"]))
+        .limit(0)
+        .columns
+    )
+    if touched:
+        base = spark.read.parquet(
+            *[os.path.join(data_dir, e["path"]) for e in touched]
+        )
+        survivors = base.join(
+            updates.select(key_col), key_col, "left_anti"
+        )
+        merged = survivors.unionByName(updates.select(*cols))
+    else:
+        merged = updates.select(*cols)
+
+    scols = stats_cols if stats_cols is not None else [key_col]
+    commit_id = f"commit-{uuid.uuid4().hex[:16]}"
+    commit_dir = os.path.join(data_dir, commit_id)
+    merged.write.mode("error").parquet(commit_dir)
+    stats_rows = (
+        spark.read.parquet(commit_dir)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(
+            *[
+                f
+                for c in scols
+                for f in (F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}"))
+            ]
+        )
+        .collect()
+    )
+    new_entries = []
+    for f, _ in file_manifest(commit_dir):
+        rel = f"{commit_id}/{os.path.basename(f)}"
+        new_entries.append({"path": rel, "stats": {}})
+    by_base = {
+        os.path.basename(r["_f"].split("?")[0]): r for r in stats_rows
+    }
+    for e in new_entries:
+        r = by_base.get(os.path.basename(e["path"]))
+        if r is not None:
+            e["stats"] = {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in scols}
+
+    version = head + 1
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"version": version, "mode": "merge", "files": carried + new_entries},
+            fh,
+        )
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+    finally:
+        os.unlink(tmp)
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+    }

@@ -262,3 +262,50 @@ def test_manifest_stats_prune_files_not_rows(spark, table):
     # empty intersection: zero rows, schema intact
     nothing = MT.read_snapshot(spark, table, 1, prune=("id", 5000, 6000))
     assert nothing.count() == 0 and nothing.columns == full.columns
+
+
+def test_merge_rewrites_only_intersecting_files(spark, table):
+    # Copy-on-write MERGE: untouched files carry into the new version
+    # byte-identically; only stats-intersecting files rewrite; inserts
+    # beyond every range do not smear the rewrite set.
+    import os
+
+    MT.snapshot_write(
+        spark,
+        _df(spark, 0, 100).repartitionByRange(10, "id"),
+        table,
+        stats_cols=["id"],
+    )
+    pre = {
+        os.path.join(table, "data", p): (
+            os.path.getsize(os.path.join(table, "data", p)),
+            os.path.getmtime(os.path.join(table, "data", p)),
+        )
+        for p in MT.snapshot_files(table, 1)
+    }
+    # restate ids 0..9 (one file's range) + insert 200..204 (beyond all)
+    upd = spark.createDataFrame(
+        [(i, -1) for i in range(10)] + [(i, -2) for i in range(200, 205)],
+        "id long, v long",
+    )
+    stats = MT.snapshot_merge(spark, table, upd, key_col="id")
+    assert stats["version"] == 2
+    assert stats["files_rewritten"] <= 2
+    assert stats["files_carried"] >= 8
+    # carried files byte-identical on disk
+    carried_paths = [
+        os.path.join(table, "data", p)
+        for p in MT.snapshot_files(table, 2)
+        if os.path.join(table, "data", p) in pre
+    ]
+    assert len(carried_paths) == stats["files_carried"]
+    for p in carried_paths:
+        assert (os.path.getsize(p), os.path.getmtime(p)) == pre[p]
+    # merged contents: restated band, untouched middle, inserted tail
+    got = {r["id"]: r["v"] for r in MT.read_snapshot(spark, table, 2).collect()}
+    assert all(got[i] == -1 for i in range(10))
+    assert all(got[i] == 2 * i for i in range(10, 100))
+    assert all(got[i] == -2 for i in range(200, 205))
+    # snapshot isolation: v1 unchanged
+    v1 = {r["id"]: r["v"] for r in MT.read_snapshot(spark, table, 1).collect()}
+    assert v1 == {i: 2 * i for i in range(100)}
