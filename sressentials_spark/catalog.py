@@ -6150,6 +6150,34 @@ def streaming_cdc_upsert_foreachbatch(
 
 
 @register(
+    "streaming_cdc_snapshot_merge",
+    """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type
+FROM (SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+""",
+)
+def streaming_cdc_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC current-state table with REAL snapshot isolation: each
+    micro-batch commits as a copy-on-write MERGE version on a
+    manifest-snapshot table (atomic link-published manifest per batch;
+    only key-stats-intersecting files rewrite; the whole batch history
+    stays time-travelable) — the upgrade the pointer-swap twin's own
+    docstring defers to "the table format's snapshot commit".
+    Latest-wins resolves against the head's contested keys before the
+    merge, so arrival order never matters. Shares the relational
+    oracle with both other CDC faces — all three implementations must
+    agree exactly (streaming/cdc.py::run_latest_state_snapshot_merge)."""
+    from sressentials_spark.streaming.cdc import run_latest_state_snapshot_merge
+
+    return run_latest_state_snapshot_merge(spark, sf_dir)
+
+
+@register(
     "streaming_rollup_mv_foreachbatch",
     """
 SELECT CAST(ts AS DATE) AS day, event_type,

@@ -80,3 +80,43 @@ def test_replay_equals_one_shot_rollup(spark):
     )
     pd.testing.assert_frame_equal(got, exp)
     assert len(got) > 1
+
+
+def test_cdc_snapshot_merge_commits_versioned_history(spark):
+    """The snapshot-committed CDC stream must (a) agree exactly with
+    the pointer-swap foreachBatch twin, and (b) leave one
+    time-travelable version per micro-batch, with every version
+    readable after the replay (nothing vacuumed)."""
+    from sressentials_spark.catalog import QUERIES
+    from sressentials_spark.operators import maintenance as MT
+    from sressentials_spark.operators.dedup import (
+        _DISK_ARTIFACTS,
+        release_persisted,
+    )
+    from sressentials_spark.streaming.enrich import MULTIBATCH_FILES
+
+    snap = (
+        QUERIES["streaming_cdc_snapshot_merge"](spark, SF)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    twin = (
+        QUERIES["streaming_cdc_upsert_foreachbatch"](spark, SF)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    release_persisted()
+    pd.testing.assert_frame_equal(snap, twin, check_like=True)
+
+    table = next(
+        v
+        for k, v in _DISK_ARTIFACTS.items()
+        if "cdc_snapshot_merge" in str(k)
+    )
+    versions = MT.snapshot_versions(table)
+    assert len(versions) == MULTIBATCH_FILES
+    # every intermediate version still reads (snapshot isolation)
+    sizes = [MT.read_snapshot(spark, table, v).count() for v in versions]
+    assert sizes == sorted(sizes)  # keys only accumulate
