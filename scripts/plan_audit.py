@@ -147,6 +147,14 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sim_ivfpq_recall_at_k": {
         "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
     },
+    "sim_ivf_rebalance": {
+        "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
+    },
+    "cbo_join_events_orders_rollup": {
+        "Expand": "two COUNT(DISTINCT) in one agg (users + orders) - "
+                  "the standard x3 Expand; both distincts are the "
+                  "query's semantics, partials stay map-side"
+    },
     "tpch_q22_dormant_customer_balance": {
         "BroadcastNestedLoopJoin": "one-row (sum, count) scalar-average fold"
     },
