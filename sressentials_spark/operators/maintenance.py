@@ -451,6 +451,7 @@ def snapshot_compact(
     table_dir: str,
     *,
     target_bytes: int = DEFAULT_TARGET_BYTES,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Compaction AS a snapshot commit — the composition real table
     maintenance runs: rewrite the HEAD version's file set into
@@ -477,7 +478,12 @@ def snapshot_compact(
     total = sum(os.path.getsize(p) for p in paths)
     n_out = max(1, -(-total // target_bytes))
     compacted = spark.read.parquet(*paths).coalesce(n_out)
-    return snapshot_write(spark, compacted, table_dir, mode="replace")
+    # stats_cols keeps the rewritten files stats-carrying, so a later
+    # copy-on-write merge can still prune against the compacted files
+    # instead of conservatively rewriting everything.
+    return snapshot_write(
+        spark, compacted, table_dir, mode="replace", stats_cols=stats_cols
+    )
 
 
 def snapshot_merge(

@@ -309,3 +309,83 @@ def test_merge_rewrites_only_intersecting_files(spark, table):
     # snapshot isolation: v1 unchanged
     v1 = {r["id"]: r["v"] for r in MT.read_snapshot(spark, table, 1).collect()}
     assert v1 == {i: 2 * i for i in range(100)}
+
+
+def test_random_lifecycle_model_with_merge_and_compact(spark, table):
+    """Model-based check over the FULL snapshot verb set: a seeded
+    random interleaving of replace/append/merge/compact commits must
+    read back exactly the model's per-version (id -> v) maps, and
+    vacuum must preserve every kept version byte-for-row."""
+    import random
+
+    rng = random.Random(88)
+    model: dict[int, dict[int, int]] = {}
+    state: dict[int, int] = {}
+    nxt = 0
+
+    def df_for(pairs):
+        return spark.createDataFrame(
+            [(i, v) for i, v in pairs], "id long, v long"
+        )
+
+    # v1 must exist before merge/compact are legal
+    first = {i: 2 * i for i in range(0, 8)}
+    MT.snapshot_write(
+        spark, df_for(first.items()), table, stats_cols=["id"]
+    )
+    state = dict(first)
+    model[1] = dict(state)
+    nxt = 8
+    for _ in range(6):
+        verb = rng.choice(["replace", "append", "merge", "merge", "compact"])
+        if verb == "compact":
+            v = MT.snapshot_compact(spark, table, stats_cols=["id"])
+        elif verb == "replace":
+            lo, hi = nxt, nxt + rng.randint(1, 4)
+            nxt = hi
+            rows = {i: 2 * i for i in range(lo, hi)}
+            v = MT.snapshot_write(
+                spark, df_for(rows.items()), table, stats_cols=["id"]
+            )
+            state = dict(rows)
+        elif verb == "append":
+            lo, hi = nxt, nxt + rng.randint(1, 4)
+            nxt = hi
+            rows = {i: 2 * i for i in range(lo, hi)}
+            v = MT.snapshot_write(
+                spark,
+                df_for(rows.items()),
+                table,
+                mode="append",
+                stats_cols=["id"],
+            )
+            state.update(rows)
+        else:  # merge: restate a random slice of live keys + one insert
+            live = sorted(state)
+            picks = rng.sample(live, k=min(len(live), rng.randint(1, 3)))
+            ups = {i: -i for i in picks}
+            ups[nxt] = -nxt
+            nxt += 1
+            stats = MT.snapshot_merge(
+                spark, table, df_for(ups.items()), key_col="id"
+            )
+            v = stats["version"]
+            state.update(ups)
+        model[v] = dict(state)
+
+    for v, want in model.items():
+        got = {
+            r["id"]: r["v"]
+            for r in MT.read_snapshot(spark, table, v).collect()
+        }
+        assert got == want, f"v{v}"
+    keep = rng.randint(1, 3)
+    MT.snapshot_vacuum(table, keep_last=keep)
+    kept = sorted(model)[-keep:]
+    assert MT.snapshot_versions(table) == kept
+    for v in kept:
+        got = {
+            r["id"]: r["v"]
+            for r in MT.read_snapshot(spark, table, v).collect()
+        }
+        assert got == model[v], f"post-vacuum v{v}"
