@@ -1115,6 +1115,46 @@ def build_ivfpq_index(
     books = pq_train_codebooks(
         emb, m, k, iters=iters, id_col=id_col, residual_coarse=coarse
     )
+    lists = _encode_ivfpq_lists(emb, coarse, books, m=m, id_col=id_col)
+    sinks.write_partitioned(lists, base_path, ["cell"])
+    spark.createDataFrame(
+        [(int(cid), [int(x) for x in comp]) for cid, comp in sorted(coarse.items())],
+        "cid long, cq array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_coarse")
+    spark.createDataFrame(
+        [
+            (mi, int(cid), [int(x) for x in row])
+            for mi, (cids, C) in enumerate(books)
+            for cid, row in zip(cids.tolist(), C)
+        ],
+        "m int, cid long, cq array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_pq_books")
+    return base_path
+
+
+def _encode_ivfpq_lists(
+    emb: DataFrame,
+    coarse: dict,
+    books,
+    *,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode a vector set into IVF-PQ inverted-list rows under GIVEN
+    (frozen) artifacts: integer-L2 home-cell assignment against the
+    coarse centroids, exact residual vs the cell centroid, trained
+    integer-argmin PQ codes. Shared by the one-shot build and the
+    incremental ingest, so ingested rows are bit-identical to what a
+    build over the merged corpus with the SAME artifacts would encode
+    (pinned by tests)."""
+    from sressentials_spark.operators.cluster import (
+        QUANT_SCALE,
+        assign_clusters,
+        quantize_vec,
+    )
+    from sressentials_spark.operators.linalg import pq_encode_int_kernel
+
+    spark = emb.sparkSession
     cents = F.broadcast(
         spark.createDataFrame(
             [
@@ -1125,7 +1165,7 @@ def build_ivfpq_index(
         )
     )
     kern = pq_encode_int_kernel(books)
-    lists = (
+    return (
         assign_clusters(
             emb.withColumn("q", quantize_vec("embedding")), coarse
         )
@@ -1145,19 +1185,37 @@ def build_ivfpq_index(
             ],
         )
     )
-    sinks.write_partitioned(lists, base_path, ["cell"])
-    spark.createDataFrame(
-        [(int(cid), [int(x) for x in comp]) for cid, comp in sorted(coarse.items())],
-        "cid long, cq array<long>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_coarse")
-    spark.createDataFrame(
-        [
-            (mi, int(cid), [int(x) for x in row])
-            for mi, (cids, C) in enumerate(books)
-            for cid, row in zip(cids.tolist(), C)
-        ],
-        "m int, cid long, cq array<long>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_pq_books")
+
+
+def ingest_ivfpq_index(
+    emb_batch: DataFrame,
+    base_path: str,
+    *,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+) -> str:
+    """Append a new vector batch into a persisted IVF-PQ index WITHOUT
+    retraining or rebuild: the batch is encoded under the FROZEN
+    ``_coarse`` centroids and ``_pq_books`` codebooks (one assignment
+    + encode pass over the batch only) and appended as new cell
+    partitions — existing list files and both sidecars are never read
+    into tasks or rewritten. The ANN twin of the dedup index's
+    incremental ingest, completing the trained-index lifecycle
+    (build -> ingest; rebalance covers the cosine-IVF tier). The
+    trade is the standard one: frozen quantizers drift from the data
+    over time, degrading recall; periodic retrain-rebuild remains the
+    maintenance verb, amortized across many ingests."""
+    from sressentials_spark import sinks
+
+    spark = emb_batch.sparkSession
+    coarse = load_ivfpq_coarse(spark, base_path)
+    books = load_pq_books(spark, base_path)
+    sinks.write_partitioned(
+        _encode_ivfpq_lists(emb_batch, coarse, books, m=m, id_col=id_col),
+        base_path,
+        ["cell"],
+        mode="append",
+    )
     return base_path
 
 

@@ -431,3 +431,60 @@ class TestRebalance:
         assert stats["n_centroids"] == len(ids1)
         assert set(ids0) - split <= set(ids1)
         assert len(ids1) >= len(ids0)  # each split adds >= 1 net id
+
+
+class TestIvfPqIngest:
+    def test_ingest_appends_only_and_matches_frozen_encode(
+        self, spark, tmp_path
+    ):
+        """IVF-PQ ingest contract: appending a batch under the FROZEN
+        artifacts (a) never touches an existing list file or sidecar —
+        sizes and mtimes survive byte-identically — and (b) leaves
+        exactly the table a one-shot encode of the merged corpus under
+        the same artifacts would, so serving from the ingested index
+        is bit-identical to serving from it."""
+        import glob as globmod
+        import os
+
+        from sressentials_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        max_id = emb.agg(F.max("vec_id")).first()[0]
+        split = (max_id + 1) * 7 // 10
+        hist = emb.filter(F.col("vec_id") < split)
+        batch = emb.filter(F.col("vec_id") >= split)
+
+        base = S.build_ivfpq_index(hist, str(tmp_path / "ivfpq"))
+        pre = {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in globmod.glob(f"{base}/cell=*/*.parquet")
+            + globmod.glob(f"{base}/_coarse/*.parquet")
+            + globmod.glob(f"{base}/_pq_books/*.parquet")
+        }
+        S.ingest_ivfpq_index(batch, base)
+        for p, sig in pre.items():
+            assert os.path.exists(p) and (
+                os.path.getsize(p), os.path.getmtime(p)) == sig, p
+        post = globmod.glob(f"{base}/cell=*/*.parquet")
+        assert len(post) > sum("cell=" in p for p in pre)
+
+        coarse = S.load_ivfpq_coarse(spark, base)
+        books = S.load_pq_books(spark, base)
+        expect = (
+            S._encode_ivfpq_lists(emb, coarse, books)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            spark.read.parquet(base)
+            .select(expect.columns.tolist())
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got, expect.astype(got.dtypes), check_like=True
+        )
