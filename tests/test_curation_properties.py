@@ -86,3 +86,57 @@ def test_packing_shards_are_deterministic_across_runs(spark):
     b = {r["doc_id"]: (r["shard"], r["chunk_id"]) for r in
          pack_token_budget(docs.repartition(7), budget=30, n_shards=4).collect()}
     assert a == b  # membership survives arbitrary repartitioning
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    docs_paras=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters="\n", blacklist_categories=("Cs",)
+                ),
+                min_size=1,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_docs=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_paragraph_dedup_matches_python_model(spark, docs_paras, min_docs):
+    """paragraph_dedup vs a direct Python model on arbitrary unicode
+    paragraphs: same doc frequencies, same removals, same ordered
+    rebuild (the model splits the JOINED text, as the operator does)."""
+    import hashlib
+    from collections import Counter
+
+    from sressentials_spark.operators.curation import paragraph_dedup
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(docs_paras)]
+    out = (
+        paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_docs=min_docs,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    split_docs = {i: t.split("\n\n") for i, t in rows}
+    freq = Counter()
+    for ps in split_docs.values():
+        for para in set(ps):
+            freq[para] += 1
+    for i, ps in split_docs.items():
+        kept = [para for para in ps if freq[para] < min_docs]
+        assert out.loc[i, "n_paras"] == len(ps)
+        assert out.loc[i, "n_removed"] == len(ps) - len(kept)
+        want = hashlib.md5("\n\n".join(kept).encode()).hexdigest()
+        assert out.loc[i, "clean_md5"] == want, (i, ps, kept)

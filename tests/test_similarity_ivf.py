@@ -488,3 +488,30 @@ class TestIvfPqIngest:
         pd.testing.assert_frame_equal(
             got, expect.astype(got.dtypes), check_like=True
         )
+
+
+def test_quantize_exact_matches_spark_round(spark):
+    """Close the three-engine triangle: quantize_exact (numpy, used by
+    the PQ kernels and driver-side training) must equal quantize_vec
+    (Spark F.round, used by k-means/assignment) on the same doubles —
+    including adversarial near-half grid values."""
+    import random
+
+    import numpy as np
+
+    from sressentials_spark.operators.cluster import QUANT_SCALE, quantize_vec
+    from sressentials_spark.operators.linalg import quantize_exact
+
+    rng = random.Random(13)
+    vals = [rng.uniform(-1.5, 1.5) for _ in range(300)]
+    vals += [(k + 0.5) / QUANT_SCALE for k in range(-30, 30)]
+    vals += [
+        float(np.nextafter(k + 0.5, -np.inf)) / QUANT_SCALE
+        for k in range(-30, 30)
+    ]
+    A = np.array(vals, dtype=np.float64)
+    got = quantize_exact(A[None, :])[0].tolist()
+    row = spark.createDataFrame(
+        [( [float(x) for x in vals],)], "v array<double>"
+    ).select(quantize_vec("v").alias("q")).first()
+    assert row["q"] == got
