@@ -1713,6 +1713,47 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 
 @register(
+    "sim_ivfpq_rerank_topk",
+    f"""
+WITH sl AS (
+  SELECT query_id, neighbor_id FROM (
+    {ORACLE_SQL["sim_pq_adc_topk_ivf"].replace("WHERE rank <= 10", "WHERE rank <= 50")}
+  )
+),
+scored AS (SELECT sl.query_id, sl.neighbor_id,
+                  {_cos_sql('q.embedding', 'n.embedding')} AS cosine
+           FROM sl JOIN embeddings q ON q.vec_id = sl.query_id
+                   JOIN embeddings n ON n.vec_id = sl.neighbor_id),
+r AS (SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+""",
+)
+def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving — THE production pattern: the IVFADC
+    compressed-domain scan keeps a 50-candidate shortlist per query
+    (no raw vector touched), then ONLY the shortlist is re-ranked by
+    exact cosine against the raw vectors (an id-pushdown fetch of
+    queries x 50 rows). Recall@10 at sf0.01 jumps 400‰ (pure IVFADC)
+    -> 780‰, right under the 840‰ probed-cell ceiling — quantization
+    error can shuffle a shortlist but no longer decides the top-k —
+    while raw-vector I/O stays O(queries x shortlist), a few KB per
+    query at any corpus size
+    (operators/similarity.py:pq_adc_rerank_topk; docs/ANN_EVAL.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_adc_rerank_topk(
+        spark,
+        emb,
+        _ivfpq_index_path(spark, sf_dir),
+        _TOPK_QUERY_IDS,
+        topk=10,
+        shortlist=50,
+    )
+
+
+@register(
     "sim_ivfpq_recall_at_k",
     None,  # composed from the exact and IVF-PQ oracles below
 )

@@ -1374,3 +1374,72 @@ def pq_adc_topk_ivf_from_index(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= topk)
     )
+
+
+def pq_adc_rerank_topk(
+    spark,
+    emb: DataFrame,
+    ivfpq_path: str,
+    query_ids: list[int],
+    topk: int = 10,
+    shortlist: int = 50,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Two-stage serving (the production vector-search pattern):
+    stage 1 ranks the probed cells' PQ codes by ADC and keeps a
+    ``shortlist`` of candidates per query (compressed-domain, no raw
+    vector touched); stage 2 re-ranks ONLY the shortlist by exact
+    cosine against the raw vectors. Raw-vector I/O is
+    O(queries x shortlist) — a few KB per query — while recall
+    recovers to the cell ceiling: quantization error can reorder a
+    shortlist but no longer decides the top-k
+    (measured in docs/ANN_EVAL.md). The re-rank join is an
+    id-equi-join against the corpus (pushed-down ``isin`` fetch), and
+    the final rank is the usual per-query window."""
+    short = pq_adc_topk_ivf_from_index(
+        spark,
+        emb,
+        ivfpq_path,
+        query_ids,
+        topk=shortlist,
+        nprobe=nprobe,
+        m=m,
+        k=k,
+        id_col=id_col,
+    ).select("query_id", "neighbor_id")
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col("embedding").alias("qv"))
+        .collect()
+    )
+    queries = F.broadcast(
+        spark.createDataFrame(
+            qrows, emb.select(id_col, "embedding").schema
+        ).select(
+            F.col(id_col).alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    cand = short.join(
+        emb.select(F.col(id_col).alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    ).join(queries, "query_id")
+    qn = F.sqrt(dot(F.col("qv"), F.col("qv"), dim))
+    nn = F.sqrt(dot(F.col("embedding"), F.col("embedding"), dim))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("embedding"), dim) / (qn * nn)).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )

@@ -515,3 +515,28 @@ def test_quantize_exact_matches_spark_round(spark):
         [( [float(x) for x in vals],)], "v array<double>"
     ).select(quantize_vec("v").alias("q")).first()
     assert row["q"] == got
+
+
+def test_rerank_is_exact_cosine_over_the_adc_shortlist(spark, tmp_path):
+    """Two-stage contract: the re-ranked top-k is contained in the ADC
+    shortlist and ordered by exact cosine (ties to the lowest id)."""
+    from sressentials_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = S.build_ivfpq_index(emb, str(tmp_path / "ivfpq"))
+    qids = [0, 1, 2]
+    short = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_adc_topk_ivf_from_index(
+            spark, emb, base, qids, topk=25
+        ).collect()
+    }
+    got = S.pq_adc_rerank_topk(
+        spark, emb, base, qids, topk=10, shortlist=25
+    ).toPandas()
+    assert set(zip(got["query_id"], got["neighbor_id"])) <= short
+    for _, g in got.groupby("query_id"):
+        g = g.sort_values("rank")
+        key = list(zip(-g["cosine"], g["neighbor_id"]))
+        assert key == sorted(key)
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
