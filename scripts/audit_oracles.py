@@ -55,7 +55,11 @@ def _uncast_int_divs(sql: str) -> list[int]:
         ch = sql[i]
         if ch == "(":
             before = sql[:i].rstrip()
-            stack.append(bool(re.search(r"CAST$", before, re.IGNORECASE)))
+            # word-boundary anchored: broadcast(...) / recast(...) must
+            # NOT open a CAST scope and swallow `//` notes inside.
+            stack.append(
+                bool(re.search(r"\b(TRY_)?CAST$", before, re.IGNORECASE))
+            )
             i += 1
         elif ch == ")":
             if stack:

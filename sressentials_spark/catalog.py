@@ -7215,10 +7215,12 @@ def maintenance_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["event_id", "user_id", "ts", "event_type", "value"]
     ev = load_table(spark, sf_dir, "events").select(*cols)
-    max_id = ev.agg(F.max("event_id")).first()[0]
-    band = (max_id + 1) // 10
 
     def _build() -> str:
+        # max/band only feed the fixture build — computed here so the
+        # cached-artifact fast path pays no full-table aggregate.
+        max_id = ev.agg(F.max("event_id")).first()[0]
+        band = (max_id + 1) // 10
         d = scratch_dir("sressentials_snapshot_merge_")
         table = os.path.join(d, "events_table")
         MT.snapshot_write(

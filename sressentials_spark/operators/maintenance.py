@@ -226,6 +226,105 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFEST_FMT.format(version=version))
 
 
+def _enc_stat(v):
+    """Manifest-storable stat value: JSON-native types pass through;
+    datetime/date encode as ISO-8601 strings (fixed-width, so string
+    comparison preserves order — what pruning needs). Anything else
+    fails FAST, before any data is written."""
+    import datetime
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    raise ValueError(
+        f"stats_cols value of type {type(v).__name__} is not manifest-"
+        "storable (use int/float/str/timestamp/date columns)"
+    )
+
+
+def _commit_data(
+    spark: SparkSession,
+    df: DataFrame,
+    data_dir: str,
+    stats_cols: list[str] | None,
+) -> list[dict]:
+    """Write ``df`` under a unique ``commit-<id>/`` dir and return the
+    manifest entries (with per-file min/max stats when requested) —
+    the commit half shared by snapshot_write and snapshot_merge."""
+    import uuid
+
+    if stats_cols:
+        # Fail fast on un-storable stat column types BEFORE writing.
+        from pyspark.sql import types as T
+
+        ok = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+            T.TimestampType, T.DateType,
+        )
+        for c in stats_cols:
+            dt = df.schema[c].dataType
+            if not isinstance(dt, ok):
+                raise ValueError(
+                    f"stats_cols column {c!r} has type {dt.simpleString()} "
+                    "— not manifest-storable (numeric/string/timestamp/"
+                    "date only)"
+                )
+    commit_id = f"commit-{uuid.uuid4().hex[:16]}"
+    commit_dir = os.path.join(data_dir, commit_id)
+    # errorifexists: a uuid collision must fail loudly, never merge.
+    df.write.mode("error").parquet(commit_dir)
+    entries = [
+        {"path": f"{commit_id}/{os.path.basename(f)}", "stats": {}}
+        for f, _ in file_manifest(commit_dir)
+    ]
+    if stats_cols:
+        rows = (
+            spark.read.parquet(commit_dir)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(
+                *[
+                    f
+                    for c in stats_cols
+                    for f in (
+                        F.min(c).alias(f"_mn_{c}"),
+                        F.max(c).alias(f"_mx_{c}"),
+                    )
+                ]
+            )
+            .collect()
+        )
+        by_base = {
+            os.path.basename(r["_f"].split("?")[0]): r for r in rows
+        }
+        for e in entries:
+            r = by_base.get(os.path.basename(e["path"]))
+            if r is not None:
+                e["stats"] = {
+                    c: [_enc_stat(r[f"_mn_{c}"]), _enc_stat(r[f"_mx_{c}"])]
+                    for c in stats_cols
+                }
+    return entries
+
+
+def _publish_manifest(
+    table_dir: str, version: int, mode: str, files: list
+) -> None:
+    """Write + atomically link-publish one version manifest (refuses
+    to overwrite: the optimistic-concurrency loser gets
+    FileExistsError) — shared by every committing verb."""
+    import json
+
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "mode": mode, "files": files}, fh)
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+    finally:
+        os.unlink(tmp)
+
+
 def snapshot_versions(table_dir: str) -> list[int]:
     """Committed versions, ascending (empty for a fresh table)."""
     out = []
@@ -279,65 +378,20 @@ def snapshot_write(
     tiny JSON files — the same economics as Delta's _delta_log.
     """
     import json
-    import uuid
 
     if mode not in ("replace", "append"):
         raise ValueError(f"mode must be replace|append, got {mode!r}")
     data_dir = os.path.join(table_dir, "data")
-    commit_id = f"commit-{uuid.uuid4().hex[:16]}"
-    commit_dir = os.path.join(data_dir, commit_id)
-    # errorifexists: a uuid collision must fail loudly, never merge.
-    df.write.mode("error").parquet(commit_dir)
-    new_files = [
-        f"{commit_id}/{os.path.basename(f)}" for f, _ in file_manifest(commit_dir)
-    ]
-    stats: dict[str, dict] = {}
-    if stats_cols:
-        # One pass over the fresh commit only: per-file min/max for the
-        # manifest (Iceberg-style file stats) keyed by input file.
-        from pyspark.sql import functions as _F
-
-        rows = (
-            spark.read.parquet(commit_dir)
-            .groupBy(_F.input_file_name().alias("_f"))
-            .agg(
-                *[
-                    f
-                    for c in stats_cols
-                    for f in (
-                        _F.min(c).alias(f"_mn_{c}"),
-                        _F.max(c).alias(f"_mx_{c}"),
-                    )
-                ]
-            )
-            .collect()
-        )
-        for r in rows:
-            base = os.path.basename(r["_f"].split("?")[0])
-            stats[f"{commit_id}/{base}"] = {
-                c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in stats_cols
-            }
-    entries = [{"path": f, "stats": stats.get(f, {})} for f in new_files]
+    entries = _commit_data(spark, df, data_dir, stats_cols)
     versions = snapshot_versions(table_dir)
     version = (versions[-1] if versions else 0) + 1
     visible = list(entries)
     if mode == "append" and versions:
-        import json as _json
-
         with open(_manifest_path(table_dir, versions[-1])) as fh:
             visible = [
-                _norm_entry(e) for e in _json.load(fh)["files"]
+                _norm_entry(e) for e in json.load(fh)["files"]
             ] + visible
-    tmp = _manifest_path(table_dir, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "mode": mode, "files": visible}, fh)
-    try:
-        # Atomic publish that REFUSES to overwrite: link(2) fails with
-        # EEXIST if another writer already committed this version —
-        # optimistic concurrency, loser retries against the new head.
-        os.link(tmp, _manifest_path(table_dir, version))
-    finally:
-        os.unlink(tmp)
+    _publish_manifest(table_dir, version, mode, visible)
     return version
 
 
@@ -510,7 +564,6 @@ def snapshot_merge(
     affected (correctness never depends on pruning). Returns
     ``{"version", "files_rewritten", "files_carried"}``."""
     import json
-    import uuid
 
     versions = snapshot_versions(table_dir)
     if not versions:
@@ -573,44 +626,9 @@ def snapshot_merge(
         merged = updates.select(*cols)
 
     scols = stats_cols if stats_cols is not None else [key_col]
-    commit_id = f"commit-{uuid.uuid4().hex[:16]}"
-    commit_dir = os.path.join(data_dir, commit_id)
-    merged.write.mode("error").parquet(commit_dir)
-    stats_rows = (
-        spark.read.parquet(commit_dir)
-        .groupBy(F.input_file_name().alias("_f"))
-        .agg(
-            *[
-                f
-                for c in scols
-                for f in (F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}"))
-            ]
-        )
-        .collect()
-    )
-    new_entries = []
-    for f, _ in file_manifest(commit_dir):
-        rel = f"{commit_id}/{os.path.basename(f)}"
-        new_entries.append({"path": rel, "stats": {}})
-    by_base = {
-        os.path.basename(r["_f"].split("?")[0]): r for r in stats_rows
-    }
-    for e in new_entries:
-        r = by_base.get(os.path.basename(e["path"]))
-        if r is not None:
-            e["stats"] = {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in scols}
-
+    new_entries = _commit_data(spark, merged, data_dir, scols)
     version = head + 1
-    tmp = _manifest_path(table_dir, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"version": version, "mode": "merge", "files": carried + new_entries},
-            fh,
-        )
-    try:
-        os.link(tmp, _manifest_path(table_dir, version))
-    finally:
-        os.unlink(tmp)
+    _publish_manifest(table_dir, version, "merge", carried + new_entries)
     return {
         "version": version,
         "files_rewritten": len(touched),

@@ -311,6 +311,17 @@ def build_ivf_index(
     return base_path
 
 
+def _write_centroid_sidecar(spark, base_path: str, cents: dict) -> None:
+    """(Re)write the ``_centroids`` sidecar from a {cid: vector} map."""
+    spark.createDataFrame(
+        [
+            (int(cid), [float(x) for x in row])
+            for cid, row in sorted(cents.items())
+        ],
+        "cid long, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_centroids")
+
+
 def load_ivf_centroids(spark, base_path: str):
     """The frozen centroids persisted by :func:`build_ivf_index`, as
     the same ``(ids, (K, dim) float64 matrix)`` shape
@@ -383,11 +394,23 @@ def rebalance_ivf_index(
     O(oversized cells' rows) — the rest of the index is neither read
     nor rewritten (pinned by tests via file sizes + mtimes), which is
     the whole point at 100 TB where ingest skew concentrates in a few
-    hot cells. Queries against the rebalanced index compute probe
-    lists from the updated sidecar at query time
-    (``cosine_topk_ivf_from_index(probe_from_centroids=True)``);
-    recall parity vs the pre-split index is measured by
-    ``sim_ivf_rebalance`` (docs/ANN_EVAL.md)."""
+    hot cells. A ``_rebalanced`` marker is written beside the sidecar,
+    and :func:`cosine_topk_ivf_from_index` AUTO-switches to query-time
+    probes when it sees one — the per-row ``cells`` arrays stored
+    before a split are stale (they may reference the retired parent),
+    so trusting them on a rebalanced index would silently degrade
+    recall; recall parity vs the pre-split index is measured by
+    ``sim_ivf_rebalance`` (docs/ANN_EVAL.md).
+
+    Crash posture: the split publishes in the safest order a bare
+    directory layout allows (children staged to a temp dir; sidecar
+    updated per split; source retired by rename before children move
+    in; temp removed last) but is NOT crash-atomic — a kill between
+    the retire and the child renames leaves that cell's rows staged
+    under an underscore dir Spark ignores. The repair is an idempotent
+    index rebuild; crash-atomic maintenance belongs to the
+    manifest-snapshot tier (operators/maintenance.py), not this bare
+    layout."""
     import shutil
 
     import numpy as np
@@ -432,7 +455,18 @@ def rebalance_ivf_index(
         sinks.write_partitioned(
             ivf_annotate_frozen(members, ch_ids, ch_mat, nprobe), tmp, ["cell"]
         )
-        shutil.rmtree(os.path.join(base_path, f"cell={c}"))
+        # Sidecar first (per split, not once at the end): a crash
+        # after this point can leave a cell staged, never a sidecar
+        # pointing at partitions that belonged to a LATER split.
+        cents.pop(c, None)
+        for cid, row in zip(ch_ids, ch_mat):
+            cents[cid] = row
+        _write_centroid_sidecar(spark, base_path, cents)
+        # Retire the source by rename (not delete) so the destructive
+        # step is last; also frees the cell=<c> name for a child whose
+        # seed id equals the parent centroid id.
+        retired = os.path.join(tmp, "_retired_source")
+        os.rename(os.path.join(base_path, f"cell={c}"), retired)
         for d in globmod.glob(os.path.join(tmp, "cell=*")):
             dest = os.path.join(base_path, os.path.basename(d))
             if os.path.isdir(dest):
@@ -443,14 +477,12 @@ def rebalance_ivf_index(
             else:
                 os.rename(d, dest)
         shutil.rmtree(tmp, ignore_errors=True)
-        cents.pop(c, None)
-        for cid, row in zip(ch_ids, ch_mat):
-            cents[cid] = row
 
-    spark.createDataFrame(
-        [(int(cid), [float(x) for x in row]) for cid, row in sorted(cents.items())],
-        "cid long, cv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_centroids")
+    if oversized:
+        # Marker: per-row probe arrays written before the split are
+        # stale; readers must derive probes from the sidecar.
+        with open(os.path.join(base_path, "_rebalanced"), "w") as fh:
+            fh.write("\n".join(str(c) for c in oversized))
     return {
         "cells_split": len(oversized),
         "split_cells": oversized,
@@ -477,6 +509,14 @@ def cosine_topk_ivf_from_index(
     vector store pays per query batch once the index exists."""
     annotated = spark.read.parquet(index_path)
     queries_src = None
+    if not probe_from_centroids and os.path.exists(
+        os.path.join(index_path, "_rebalanced")
+    ):
+        # The index was rebalanced: per-row probe arrays stored before
+        # the split are stale (they can reference retired cells), so
+        # trusting them would SILENTLY degrade recall — switch to
+        # sidecar-derived query-time probes instead.
+        probe_from_centroids = True
     if probe_from_centroids:
         # Probe lists computed at QUERY time against the centroid
         # sidecar (the post-rebalance truth) — one tiny Arrow pass

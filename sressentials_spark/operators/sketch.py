@@ -893,6 +893,18 @@ FROM exact, est
 """
 
 
+def _cms_joinsize_est(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """min over hash rows of the aligned counter dot product — the
+    one-row estimate shared by the standalone estimator and the
+    estimator-driven join planner."""
+    return (
+        ca.join(cb.withColumnRenamed("n", "nb"), ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("n") * F.col("nb")).cast("long").alias("s"))
+        .agg(F.min("s").cast("long").alias("cms_joinsize_estimate"))
+    )
+
+
 def cms_joinsize_estimate(
     df_a: DataFrame,
     col_a: str,
@@ -918,12 +930,7 @@ def cms_joinsize_estimate(
     """
     ca = cms_counters(df_a, col_a, seed)
     cb = cms_counters(df_b, col_b, seed)
-    est = (
-        ca.join(cb.withColumnRenamed("n", "nb"), ["r", "c"])
-        .groupBy("r")
-        .agg(F.sum(F.col("n") * F.col("nb")).cast("long").alias("s"))
-        .agg(F.min("s").cast("long").alias("cms_joinsize_estimate"))
-    )
+    est = _cms_joinsize_est(ca, cb)
     fa = (
         df_a.filter(F.col(col_a).isNotNull())
         .groupBy(F.col(col_a).alias("k"))
@@ -1035,11 +1042,7 @@ def cms_join_strategy(
     ca = cms_counters(df_a, col_a, seed)
     cb = cms_counters(df_b, col_b, seed)
     est = int(
-        ca.join(cb.withColumnRenamed("n", "nb"), ["r", "c"])
-        .groupBy("r")
-        .agg(F.sum(F.col("n") * F.col("nb")).cast("long").alias("s"))
-        .agg(F.min("s").cast("long").alias("est"))
-        .collect()[0]["est"]
+        _cms_joinsize_est(ca, cb).collect()[0]["cms_joinsize_estimate"]
     )
     return est, ("broadcast" if est <= broadcast_threshold else "merge")
 

@@ -540,3 +540,36 @@ def test_rerank_is_exact_cosine_over_the_adc_shortlist(spark, tmp_path):
         key = list(zip(-g["cosine"], g["neighbor_id"]))
         assert key == sorted(key)
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_rebalanced_index_auto_switches_to_sidecar_probes(spark, tmp_path):
+    """After a rebalance, stored per-row probe arrays are stale — the
+    default read path must auto-switch to sidecar-derived probes and
+    return exactly what the explicit probe_from_centroids path does."""
+    from sressentials_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = S.build_ivf_index(emb, str(tmp_path / "idx"))
+    stats = S.rebalance_ivf_index(spark, base)
+    assert stats["cells_split"] >= 1
+    import os
+
+    assert os.path.exists(os.path.join(base, "_rebalanced"))
+    qids = [0, 1, 2]
+    auto = (
+        S.cosine_topk_ivf_from_index(spark, base, qids, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    explicit = (
+        S.cosine_topk_ivf_from_index(
+            spark, base, qids, k=10, probe_from_centroids=True
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(auto, explicit)

@@ -389,3 +389,34 @@ def test_random_lifecycle_model_with_merge_and_compact(spark, table):
             for r in MT.read_snapshot(spark, table, v).collect()
         }
         assert got == model[v], f"post-vacuum v{v}"
+
+
+def test_stats_cols_timestamp_roundtrip_and_bad_type_fails_fast(spark, table):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1 + i)) for i in range(10)],
+        "id long, ts timestamp",
+    ).repartitionByRange(5, "ts")
+    MT.snapshot_write(spark, df, table, stats_cols=["ts"])
+    full = MT.read_snapshot(spark, table, 1)
+    pruned = MT.read_snapshot(
+        spark,
+        table,
+        1,
+        prune=("ts", "2024-01-01T00:00:00", "2024-01-02T23:59:59"),
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = sorted(r["id"] for r in pruned.filter("id <= 1").collect())
+    assert got == [0, 1]
+    # un-storable stat type fails BEFORE any data lands
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    arr = spark.createDataFrame([(1, [1.0])], "id long, v array<double>")
+    before = len(glob.glob(os.path.join(table, "data", "commit-*")))
+    with _pytest.raises(ValueError, match="not manifest-storable"):
+        MT.snapshot_write(spark, arr, table, mode="append", stats_cols=["v"])
+    assert len(glob.glob(os.path.join(table, "data", "commit-*"))) == before
