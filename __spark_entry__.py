@@ -25,29 +25,14 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 #: Queries that must be re-rowed this round regardless of ledger
-#: freshness (cleared once their fresh green row lands). r8: the
-#: queries whose SEMANTICS changed this round — the PQ family moved to
-#: trained codebooks + residual IVF-PQ over a trained coarse
-#: quantizer, the drift family's PSI accumulation went 128-bit exact
-#: with an integer alarm, and snapshot commits moved to per-commit
-#: data directories — each re-verified locally at sf0.01, and pinned
-#: here so the DRIVER's artifact re-warrants them at their new
-#: semantics. Budget math (tests/test_entry_rotation.py): 10 forced +
-#: 4 never-rowed + all 31 stale-r4 rows = 45 of the 50-row budget, so
-#: the entire r4 backlog refreshes this round as the r7 verdict
-#: required.
-_FORCE_FIRST: tuple[str, ...] = (
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_pq_recall_at_k",
-    "sim_pq_adc_topk_ivf",
-    "sim_ivfpq_recall_at_k",
-    "streaming_ivfpq_topk_serving",
-    "audit_distribution_drift",
-    "audit_drift_daily_trend",
-    "streaming_drift_monitor",
-    "maintenance_snapshot_time_travel",
-)
+#: freshness (cleared once their fresh green row lands). r9: empty —
+#: the 10 r8 changed-semantics queries landed green in
+#: CORRECTNESS_r08.json, so the force list's job is done. Budget math
+#: (tests/test_entry_rotation.py): 0 forced + new registrations +
+#: the 46 stale-r5 rows must fit the 50-row budget, so r9 caps new
+#: registrations at ≤4 and the entire r5 backlog refreshes via the
+#: stalest-first ordering.
+_FORCE_FIRST: tuple[str, ...] = ()
 
 
 def _last_rowed_round() -> dict[str, int]:

@@ -1146,13 +1146,15 @@ _PQ_SCALE = "1048576.0"  # QUANT_SCALE as an exact double literal
 #: -> pq_books(m, cid, cq) + pq_codes(vec_id, m, code). Must match
 #: similarity.pq_train_codebooks / pq_codes bit-for-bit (integer math
 #: end to end; argmin ties to the lowest surviving centroid id).
-def _km_ctes(k: int, iters: int, dim: int) -> str:
+def _km_ctes(k: int, iters: int, dim: int, table: str = "embeddings") -> str:
     """Trained-coarse-quantizer CTE fragment: the shared integer
     k-means chain (cluster.kmeans_oracle_ctes) WITHOUT the leading
-    WITH, so it composes into larger oracles (IVF-PQ)."""
+    WITH, so it composes into larger oracles (IVF-PQ). ``table`` may
+    be an earlier CTE name, restricting training to a corpus slice
+    (the frozen-artifact ingest restatement trains on history only)."""
     from sressentials_spark.operators.cluster import kmeans_oracle_ctes
 
-    return kmeans_oracle_ctes(k=k, iters=iters, dim=dim)[len("WITH ") :]
+    return kmeans_oracle_ctes(k=k, iters=iters, dim=dim, table=table)[len("WITH ") :]
 
 
 _PQ_TRAIN_SQL = S.pq_train_sql_ctes(src="embeddings")
@@ -1798,6 +1800,223 @@ SELECT e.query_id,
          // COUNT(*) AS BIGINT) AS recall_permille
 FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
 LEFT JOIN ({ORACLE_SQL["sim_pq_adc_topk_ivf"]}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "sim_ivfpq_rerank_recall_at_k",
+    None,  # composed from the exact and rerank oracles below
+)
+def sim_ivfpq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage serving quality as a first-class query: recall@10 of
+    the shortlist-then-exact-rerank search against the exact cosine
+    top-k, per query (integer permille). This puts the rerank tier's
+    headline number (docs/ANN_EVAL.md: 780‰ at sf0.01, vs 400‰ pure
+    IVFADC and the 840‰ probed-cell ceiling) under the same oracle
+    gate as every other ANN eval — the residual gap to the ceiling is
+    pure shortlist truncation (an exact-cosine neighbor whose ADC rank
+    fell below the 50-candidate cut), the (shortlist, nprobe) tuning
+    signal."""
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        QUERIES["sim_ivfpq_rerank_topk"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+ORACLE_SQL["sim_ivfpq_rerank_recall_at_k"] = f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_permille
+FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
+LEFT JOIN ({ORACLE_SQL["sim_ivfpq_rerank_topk"]}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "sim_ivfpq_index_ingest",
+    None,  # composed oracle appended below
+)
+def sim_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance — completing the trained
+    compressed index's lifecycle under the oracle gate the plain-IVF
+    stack already has (``sim_ivf_index_ingest``): the first 70% of the
+    corpus (by vec_id) trains and builds the persisted IVF-PQ index
+    (coarse quantizer + residual codebooks frozen at build time), the
+    newest 30% arrives as an ingest batch and is encoded under those
+    FROZEN artifacts and appended as new cell-partition files
+    (:func:`similarity.ingest_ivfpq_index` — one assign + encode pass
+    over the batch; existing list files and both sidecars are never
+    read into tasks or rewritten, enforced here by a size+mtime
+    snapshot and pinned independently in
+    tests/test_similarity_ivf.py::TestIvfPqIngest). Serving then runs
+    the normal IVFADC scan over the merged lists. Returns recall@10
+    against the exact top-k over the FULL corpus — the quantizer-drift
+    gauge that tells an operator when to schedule the periodic
+    retrain-rebuild. Per-ingest cost at 100 TB: O(batch), never
+    O(index)."""
+    import glob as _glob
+    import os as _os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+
+    def _build() -> str:
+        from sressentials_spark.scratch import scratch_dir
+
+        base = S.build_ivfpq_index(
+            emb.filter(F.col("vec_id") < split),
+            scratch_dir("sressentials_ivfpq_ingest_"),
+        )
+        pre = {
+            p: (_os.path.getsize(p), _os.path.getmtime(p))
+            for p in _glob.glob(f"{base}/**/*.parquet", recursive=True)
+        }
+        S.ingest_ivfpq_index(emb.filter(F.col("vec_id") >= split), base)
+        post = {
+            p: (_os.path.getsize(p), _os.path.getmtime(p))
+            for p in _glob.glob(f"{base}/**/*.parquet", recursive=True)
+        }
+        changed = [p for p in pre if post.get(p) != pre[p]]
+        if changed or len(post) <= len(pre):
+            raise ValueError(
+                f"ingest must only append new list files: changed="
+                f"{changed[:3]} pre={len(pre)} post={len(post)}"
+            )
+        return base
+
+    path = D.get_or_build_disk_artifact(
+        spark, ("ivfpq_ingest_index", sf_dir, split), _build
+    )
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        S.pq_adc_topk_ivf_from_index(spark, emb, path, _TOPK_QUERY_IDS, topk=10)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+# Restatement: BOTH quantizers trained on the HISTORY slice only
+# (coarse k-means over hist; residual codebooks sampled from history
+# residuals), then every vector — history and ingested batch alike —
+# assigned and residual-encoded under those frozen artifacts, IVFADC
+# scoring as in the full-corpus IVF-PQ oracle, recall joined against
+# the exact top-k over the full corpus.
+ORACLE_SQL["sim_ivfpq_index_ingest"] = f"""
+WITH split AS (SELECT CAST((max(vec_id) + 1) * 7 // 10 AS BIGINT) AS s FROM embeddings),
+hist AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id < (SELECT s FROM split)),
+{_km_ctes(k=S.IVF_CELLS, iters=S.PQ_ITERS, dim=64, table="hist")},
+tcents AS (SELECT cid, cq FROM c{S.PQ_ITERS}),
+allq AS (SELECT vec_id,
+                [CAST(ROUND(x * {_PQ_SCALE}) AS BIGINT) for x in embedding] AS q
+         FROM embeddings),
+icells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum([(e.q[j] - c.cq[j]) * (e.q[j] - c.cq[j])
+                            for j in generate_series(1, 64)]) AS BIGINT),
+             c.cid) AS rn
+    FROM allq e CROSS JOIN tcents c)
+  WHERE rn = 1),
+iprobes AS (
+  SELECT vec_id AS query_id, cid AS pcell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum([(e.q[j] - c.cq[j]) * (e.q[j] - c.cq[j])
+                            for j in generate_series(1, 64)]) AS BIGINT),
+             c.cid) AS rn
+    FROM allq e CROSS JOIN tcents c
+    WHERE e.vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))}))
+  WHERE rn <= {S.IVF_NPROBE}),
+cand AS (SELECT p.query_id, p.pcell, c.vec_id AS neighbor_id
+         FROM iprobes p JOIN icells c
+           ON c.cell = p.pcell AND c.vec_id <> p.query_id),
+allresid AS (
+  SELECT e2.vec_id,
+         [CAST(e2.embedding[i] AS DOUBLE) - CAST(t.cq[i] AS DOUBLE) / {_PQ_SCALE}
+          for i in generate_series(1, 64)] AS rv
+  FROM embeddings e2
+  JOIN icells c ON c.vec_id = e2.vec_id
+  JOIN tcents t ON t.cid = c.cell
+),
+histresid AS (SELECT vec_id, rv FROM allresid
+              WHERE vec_id < (SELECT s FROM split)),
+{S.pq_train_sql_ctes(src="allresid", vec="rv", prefix="pqr", train_src="histresid")},
+rqd AS (SELECT p.query_id, p.pcell, b.m, b.cid AS k,
+               {_pq_resid_term_sql('q.embedding', 't.cq', 'b')} AS dq
+        FROM iprobes p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN tcents t ON t.cid = p.pcell
+        CROSS JOIN pqr_books b),
+p2 AS (SELECT cand.query_id, cand.neighbor_id, rqd.m, rqd.dq
+       FROM cand
+       JOIN pqr_codes c ON c.vec_id = cand.neighbor_id
+       JOIN rqd ON rqd.query_id = cand.query_id
+              AND rqd.pcell = cand.pcell
+              AND rqd.m = c.m AND rqd.k = c.code),
+g AS (SELECT query_id, neighbor_id,
+             {', '.join(
+                 f'MAX(CASE WHEN m = {i} THEN dq END) AS d{i}'
+                 for i in range(S.PQ_M)
+             )}
+      FROM p2 GROUP BY query_id, neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+             ((d0 + d1) + d2) + d3 AS adc_dist FROM g),
+rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       FROM r),
+approx AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 10)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_permille
+FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
+LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """

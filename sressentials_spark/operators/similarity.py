@@ -917,6 +917,7 @@ def pq_train_sql_ctes(
     train_n: int = PQ_TRAIN_N,
     seed: str = PQ_SEED,
     prefix: str = "pq",
+    train_src: str | None = None,
 ) -> str:
     """DuckDB CTE fragment (comma-joined, no leading WITH) restating
     the trained-PQ pipeline bit-for-bit: hash-ordered training sample
@@ -927,7 +928,12 @@ def pq_train_sql_ctes(
     ``{prefix}_codes(vec_id, m, code)``.
 
     ``src`` must expose ``(vec_id, {vec})`` with DOUBLE-castable list
-    elements (raw embeddings or residual lists alike)."""
+    elements (raw embeddings or residual lists alike). ``train_src``
+    (default ``src``) restricts the TRAINING sample to a subset while
+    codes still cover all of ``src`` — the frozen-codebook ingest
+    restatement trains on the history slice and encodes history +
+    ingested batch alike (mirrors build-then-ingest under frozen
+    ``_pq_books``)."""
     from sressentials_spark.operators.cluster import QUANT_SCALE
 
     dsub = dim // m
@@ -953,7 +959,7 @@ def pq_train_sql_ctes(
         )
 
     parts = [
-        f"{p}_tr AS (SELECT vec_id, {vec} FROM {src} "
+        f"{p}_tr AS (SELECT vec_id, {vec} FROM {train_src or src} "
         f"ORDER BY ('0x' || substring(md5('{seed}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id "
         f"LIMIT {train_n})",
         f"{p}_subs AS (SELECT unnest(generate_series(0, {m - 1})) AS m)",
