@@ -17,7 +17,11 @@ import sys
 import time
 
 from sressentials_spark import get_spark, loggen
-from sressentials_spark.catalog import QUERIES, clear_sheets_cache
+from sressentials_spark.catalog import (
+    INDEX_BUILDERS,
+    QUERIES,
+    clear_sheets_cache,
+)
 from sressentials_spark.operators.dedup import release_persisted
 
 #: Headline benchmark set: every shipped catalog query. The quadratic
@@ -87,6 +91,29 @@ def main() -> None:
         # Let the C2 compile queue drain so the timed pass runs compiled.
         time.sleep(20)
 
+    # Persisted-index builds run ONCE, before the timed region, each
+    # reported as its own line (``index_builds``). At scale these are
+    # scheduled warehouse jobs amortized across every query batch; the
+    # per-query timings below are therefore steady-state SERVE costs —
+    # previously the first query to touch an index paid its build
+    # inside the timed pass (min-of-3 hid it from the reported number
+    # but the cost itself was invisible; r8 verdict asked for the
+    # split).
+    index_builds: dict[str, float] = {}
+    for name, builder in INDEX_BUILDERS.items():
+        start = time.perf_counter()
+        try:
+            builder(spark, sf_dir)
+        except Exception as exc:  # pre-warm must never fail the bench
+            print(f"[bench] index build {name} failed: {exc}", file=sys.stderr)
+            continue
+        index_builds[name] = round(time.perf_counter() - start, 3)
+        print(
+            f"[bench] {name}: {index_builds[name]:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
     # THREE independent timed passes, per-query MINIMUM reported. This
     # box shows 2-3× one-off spikes on individual queries (compile-queue
     # / code-cache hiccups) even after warmup, and the big-codegen
@@ -120,6 +147,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "index_builds": index_builds,
         "sf": sf,
     }
     # The full per-query map goes to a FILE, never stdout: at 160
@@ -147,6 +175,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: times[n] for n in headline if n in times},
         "n_queries": len(times),
+        "index_build_seconds": round(sum(index_builds.values()), 3),
         "sf": sf,
     }
     print(json.dumps(summary))

@@ -52,6 +52,15 @@ def main() -> int:
     ]
     for delta, k in sorted(improved, reverse=True)[:5]:
         print(f"improved {k}: {qo[k]:.2f}s -> {qn[k]:.2f}s (-{delta:.2f}s)")
+    # Index builds are timed outside the per-query region (r9+); list
+    # them so build-cost moves stay visible without polluting the
+    # regression scan.
+    ib = new.get("index_builds") or {}
+    if ib:
+        print(
+            f"index builds ({len(ib)}, {sum(ib.values()):.1f}s): "
+            + ", ".join(f"{k}={v:.2f}s" for k, v in sorted(ib.items()))
+        )
     print(f"regressions: {len(regs)}")
     return 1 if regs else 0
 
