@@ -32,7 +32,11 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 #: the 46 stale-r5 rows must fit the 50-row budget, so r9 caps new
 #: registrations at ≤4 and the entire r5 backlog refreshes via the
 #: stalest-first ordering.
-_FORCE_FIRST: tuple[str, ...] = ()
+#: r9: sim_ivfpq_rerank_topk moved to the M=8 rerank-tier index (the
+#: M sweep, docs/ANN_EVAL.md) — its r8 row is for the old M=4
+#: semantics, so it must re-row this round. Budget: 1 forced + 2 new
+#: + 46 stale-r5 = 49 <= 50.
+_FORCE_FIRST: tuple[str, ...] = ("sim_ivfpq_rerank_topk",)
 
 
 def _last_rowed_round() -> dict[str, int]:

@@ -1193,19 +1193,22 @@ def _km_ctes(k: int, iters: int, dim: int, table: str = "embeddings") -> str:
 _PQ_TRAIN_SQL = S.pq_train_sql_ctes(src="embeddings")
 
 
-def _pq_resid_term_sql(q: str, coarse_cq: str, books: str) -> str:
+def _pq_resid_term_sql(
+    q: str, coarse_cq: str, books: str, dsub: int = _PQ_DSUB
+) -> str:
     """Fold-exact ADC distance of one query RESIDUAL subspace
     (query minus probed-cell TRAINED centroid — integer grid back to
     floats via the exact /2^20 shift — computed first: the same IEEE
     ops, in the same order, as the driver-side table builder) against
-    one trained residual centroid list."""
+    one trained residual centroid list. ``dsub`` is the subspace width
+    (64 // M — the rerank tier runs a finer M=8 grid)."""
     t = (
-        f"((CAST({q}[{books}.m*{_PQ_DSUB}+j] AS DOUBLE)"
-        f" - CAST({coarse_cq}[{books}.m*{_PQ_DSUB}+j] AS DOUBLE) / {_PQ_SCALE})"
+        f"((CAST({q}[{books}.m*{dsub}+j] AS DOUBLE)"
+        f" - CAST({coarse_cq}[{books}.m*{dsub}+j] AS DOUBLE) / {_PQ_SCALE})"
         f" - CAST({books}.cq[j] AS DOUBLE) / {_PQ_SCALE})"
     )
     return (
-        f"list_sum([{t} * {t} for j in generate_series(1, {_PQ_DSUB})])"
+        f"list_sum([{t} * {t} for j in generate_series(1, {dsub})])"
     )
 
 
@@ -1677,9 +1680,21 @@ GROUP BY e.query_id
 
 
 
-@register(
-    "sim_pq_adc_topk_ivf",
-    f"""
+def _ivfpq_adc_sql(*, m: int = S.PQ_M, limit: int = 10) -> str:
+    """Full IVFADC restatement, parameterized on the PQ subspace count
+    ``m`` and the per-query rank cut ``limit``: trained coarse k-means
+    cells -> integer-L2 probe selection -> residuals vs the probed
+    cell's centroid -> m residual-trained codebooks -> per-(query,
+    cell, subspace) distance terms -> fixed left-associated sum. The
+    default (m=PQ_M) IS the ``sim_pq_adc_topk_ivf`` oracle; the rerank
+    tier composes a finer m=8 grid at limit=50 (docs/ANN_EVAL.md: the
+    M sweep — ADC ranking inside probed cells is the knob that moves
+    shortlist quality, so only the rerank index pays the finer grid)."""
+    dsub = 64 // m
+    total = "d0"
+    for i in range(1, m):
+        total = f"({total} + d{i})"
+    return f"""
 WITH {_km_ctes(k=S.IVF_CELLS, iters=S.PQ_ITERS, dim=64)},
 tcents AS (SELECT cid, cq FROM c{S.PQ_ITERS}),
 icells AS (SELECT vec_id, cluster AS cell FROM afin),
@@ -1704,9 +1719,9 @@ pqr_src AS (
   JOIN icells c ON c.vec_id = e2.vec_id
   JOIN tcents t ON t.cid = c.cell
 ),
-{S.pq_train_sql_ctes(src="pqr_src", vec="rv", prefix="pqr")},
+{S.pq_train_sql_ctes(src="pqr_src", vec="rv", prefix="pqr", m=m)},
 rqd AS (SELECT p.query_id, p.pcell, b.m, b.cid AS k,
-               {_pq_resid_term_sql('q.embedding', 't.cq', 'b')} AS dq
+               {_pq_resid_term_sql('q.embedding', 't.cq', 'b', dsub=dsub)} AS dq
         FROM iprobes p
         JOIN embeddings q ON q.vec_id = p.query_id
         JOIN tcents t ON t.cid = p.pcell
@@ -1720,16 +1735,21 @@ p2 AS (SELECT cand.query_id, cand.neighbor_id, rqd.m, rqd.dq
 g AS (SELECT query_id, neighbor_id,
              {', '.join(
                  f'MAX(CASE WHEN m = {i} THEN dq END) AS d{i}'
-                 for i in range(S.PQ_M)
+                 for i in range(m)
              )}
       FROM p2 GROUP BY query_id, neighbor_id),
 r AS (SELECT query_id, neighbor_id,
-             ((d0 + d1) + d2) + d3 AS adc_dist FROM g),
+             {total} AS adc_dist FROM g),
 rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
        FROM r)
-SELECT query_id, neighbor_id, adc_dist, rank FROM rr WHERE rank <= 10
-""",
+SELECT query_id, neighbor_id, adc_dist, rank FROM rr WHERE rank <= {limit}
+"""
+
+
+@register(
+    "sim_pq_adc_topk_ivf",
+    _ivfpq_adc_sql(m=S.PQ_M, limit=10),
 )
 def sim_pq_adc_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search (IVFADC — Jégou et al. 2011 §IV, the FAISS
@@ -1773,12 +1793,37 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
 INDEX_BUILDERS["ivfpq_index_build"] = _ivfpq_index_path
 
 
+def _ivfpq_rerank_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once handle for the RERANK-tier IVF-PQ index: same layout
+    as the main index but a finer M=8 x K=16 grid (8-dim subspaces,
+    ~16x payload vs the main tier's ~32x). The M sweep in
+    docs/ANN_EVAL.md picked this point: finer subspaces sharpen the
+    ADC *shortlist* (rerank recall 780‰ -> 820‰ at equal shortlist)
+    while pure-ADC top-k barely moves, so only the rerank tier — whose
+    final ranking is exact anyway — pays the 2x code payload."""
+    from sressentials_spark.scratch import scratch_dir
+
+    def _build() -> str:
+        return S.build_ivfpq_index(
+            load_table(spark, sf_dir, "embeddings"),
+            scratch_dir("sressentials_ivfpq_m8_index_"),
+            m=S.PQ_RERANK_M,
+        )
+
+    return D.get_or_build_disk_artifact(
+        spark, ("ivfpq_m8_index", sf_dir), _build
+    )
+
+
+INDEX_BUILDERS["ivfpq_rerank_index_build"] = _ivfpq_rerank_index_path
+
+
 @register(
     "sim_ivfpq_rerank_topk",
     f"""
 WITH sl AS (
   SELECT query_id, neighbor_id FROM (
-    {ORACLE_SQL["sim_pq_adc_topk_ivf"].replace("WHERE rank <= 10", "WHERE rank <= 50")}
+    {_ivfpq_adc_sql(m=S.PQ_RERANK_M, limit=50)}
   )
 ),
 scored AS (SELECT sl.query_id, sl.neighbor_id,
@@ -1797,9 +1842,10 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed-domain scan keeps a 50-candidate shortlist per query
     (no raw vector touched), then ONLY the shortlist is re-ranked by
     exact cosine against the raw vectors (an id-pushdown fetch of
-    queries x 50 rows). Recall@10 at sf0.01 jumps 400‰ (pure IVFADC)
-    -> 780‰, right under the 840‰ probed-cell ceiling — quantization
-    error can shuffle a shortlist but no longer decides the top-k —
+    queries x 50 rows). Served from the rerank-tier M=8 index (the r9
+    M sweep: finer subspaces move shortlist quality, 780‰ -> 820‰ at
+    equal shortlist, vs the 840‰ probed-cell ceiling — quantization
+    error can shuffle a shortlist but no longer decides the top-k)
     while raw-vector I/O stays O(queries x shortlist), a few KB per
     query at any corpus size
     (operators/similarity.py:pq_adc_rerank_topk; docs/ANN_EVAL.md)."""
@@ -1807,10 +1853,11 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_rerank_topk(
         spark,
         emb,
-        _ivfpq_index_path(spark, sf_dir),
+        _ivfpq_rerank_index_path(spark, sf_dir),
         _TOPK_QUERY_IDS,
         topk=10,
         shortlist=50,
+        m=S.PQ_RERANK_M,
     )
 
 
@@ -1872,12 +1919,12 @@ def sim_ivfpq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage serving quality as a first-class query: recall@10 of
     the shortlist-then-exact-rerank search against the exact cosine
     top-k, per query (integer permille). This puts the rerank tier's
-    headline number (docs/ANN_EVAL.md: 780‰ at sf0.01, vs 400‰ pure
-    IVFADC and the 840‰ probed-cell ceiling) under the same oracle
-    gate as every other ANN eval — the residual gap to the ceiling is
-    pure shortlist truncation (an exact-cosine neighbor whose ADC rank
-    fell below the 50-candidate cut), the (shortlist, nprobe) tuning
-    signal."""
+    headline number (docs/ANN_EVAL.md: 820‰ at sf0.01 on the M=8
+    rerank index, vs 400‰ pure IVFADC and the 840‰ probed-cell
+    ceiling) under the same oracle gate as every other ANN eval — the
+    residual gap to the ceiling is pure shortlist truncation (an
+    exact-cosine neighbor whose ADC rank fell below the 50-candidate
+    cut), the (shortlist, nprobe) tuning signal."""
     exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
         "query_id", "neighbor_id"
     )

@@ -408,9 +408,12 @@ def rebalance_ivf_index(
     in; temp removed last) but is NOT crash-atomic — a kill between
     the retire and the child renames leaves that cell's rows staged
     under an underscore dir Spark ignores. The repair is an idempotent
-    index rebuild; crash-atomic maintenance belongs to the
-    manifest-snapshot tier (operators/maintenance.py), not this bare
-    layout."""
+    index rebuild. Tables that need a zero-window guarantee use the
+    MANIFEST-VERSIONED tier instead
+    (operators/ivf_versioned.py::rebalance_ivf_index_versioned): same
+    split semantics, committed as one atomically-linked manifest
+    version, kill-between-steps model-tested — at the cost of
+    manifest-resolution on every read."""
     import shutil
 
     import numpy as np
@@ -774,6 +777,12 @@ def cosine_topk_lsh_multiprobe(
 #: SIV "IVFADC with residual quantization" layout.
 PQ_M = 4
 PQ_K = 16
+#: Rerank-tier subspace count: the M sweep (docs/ANN_EVAL.md) shows
+#: finer subspaces sharpen the ADC SHORTLIST (two-stage recall 780‰ ->
+#: 820‰ at equal shortlist) while pure-ADC top-k barely moves — so
+#: only the rerank tier, whose final ranking is exact anyway, pays the
+#: 2x code payload (~16x compression instead of ~32x).
+PQ_RERANK_M = 8
 PQ_SEED = "pq-v1"
 #: Training-sample size: the PQ_TRAIN_N corpus vectors whose ids hash
 #: smallest under the shared md5 recipe (one TakeOrdered scan at any

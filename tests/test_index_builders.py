@@ -26,6 +26,7 @@ def test_registry_names() -> None:
         "ivf_rebalance_index_build",
         "ivfpq_index_build",
         "ivfpq_ingest_index_build",
+        "ivfpq_rerank_index_build",
     }
 
 

@@ -542,6 +542,38 @@ def test_rerank_is_exact_cosine_over_the_adc_shortlist(spark, tmp_path):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
 
 
+def test_rerank_tier_m8_index_layout_and_contract(spark, tmp_path):
+    """The rerank tier's finer grid (PQ_RERANK_M=8, docs/ANN_EVAL.md M
+    sweep): the index carries 8 code columns (8-dim subspaces), the
+    books sidecar has 8 subspace groups, and the two-stage contract
+    (shortlist containment + exact-cosine order) holds unchanged."""
+    from sressentials_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = S.build_ivfpq_index(emb, str(tmp_path / "m8"), m=S.PQ_RERANK_M)
+    cols = spark.read.parquet(base).columns
+    assert [f"code_{i}" for i in range(8)] == [
+        c for c in cols if c.startswith("code_")
+    ]
+    books = S.load_pq_books(spark, base)
+    assert len(books) == 8 and books[0][1].shape[1] == 8
+    qids = [0, 1, 2]
+    short = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_adc_topk_ivf_from_index(
+            spark, emb, base, qids, topk=25, m=S.PQ_RERANK_M
+        ).collect()
+    }
+    got = S.pq_adc_rerank_topk(
+        spark, emb, base, qids, topk=10, shortlist=25, m=S.PQ_RERANK_M
+    ).toPandas()
+    assert set(zip(got["query_id"], got["neighbor_id"])) <= short
+    for _, g in got.groupby("query_id"):
+        g = g.sort_values("rank")
+        key = list(zip(-g["cosine"], g["neighbor_id"]))
+        assert key == sorted(key)
+
+
 def test_rebalanced_index_auto_switches_to_sidecar_probes(spark, tmp_path):
     """After a rebalance, stored per-row probe arrays are stale — the
     default read path must auto-switch to sidecar-derived probes and
