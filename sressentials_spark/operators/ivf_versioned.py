@@ -1,0 +1,391 @@
+"""Crash-atomic (manifest-versioned) IVF index lifecycle.
+
+The bare cell-partitioned IVF index (operators/similarity.py) documents
+one honesty boundary: its REBALANCE publishes through directory renames
+and is not crash-atomic — a kill between the retire and the child moves
+leaves that cell's rows staged (repair = idempotent rebuild). This
+module closes that boundary by giving the IVF index the same commit
+discipline the snapshot tables already have (operators/maintenance.py):
+
+- data files are IMMUTABLE and append-only under ``data/commit-<id>/``
+  (a parquet writer never reuses a part-file name);
+- what makes an index version is a tiny JSON MANIFEST listing, per
+  visible file, its cell and row count — plus the centroid set itself
+  (K x dim doubles, small enough to live inline, so one atomic publish
+  covers lists AND centroids: no sidecar can ever be newer than the
+  lists it describes, the race the bare layout's ``_rebalanced`` marker
+  papers over);
+- the manifest link-lands with an exclusive ``os.link`` — a crashed
+  writer leaves orphan commit dirs (reclaimed by
+  :func:`vacuum_ivf_index`), NEVER a half-split index, and two racing
+  rebalances resolve as optimistic concurrency (loser gets
+  ``FileExistsError``, retries against the new latest).
+
+At 100 TB the economics are the snapshot tier's: the rebalance job
+reads and writes O(oversized cells' rows), the publish is O(files)
+JSON, readers resolve a version by reading one small file, and the
+per-file row counts in the manifest make the SPLIT DECISION itself a
+manifest-only computation — no count scan over the index at all (the
+bare layout pays a full groupBy-count). Per-file cell attribution
+doubles as manifest-level scan pruning: a query batch plans only its
+probed cells' files, the same whole-directories-skipped effect as
+partition pruning but decided driver-side from the manifest.
+
+Kill-between-steps model test: tests/test_ivf_versioned.py injects a
+crash after every mutation step and asserts readers always see exactly
+the pre-split or the post-split index, never a mix.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import json
+import os
+import shutil
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from sressentials_spark.operators.similarity import (
+    DEFAULT_DIM,
+    IVF_CELLS,
+    IVF_NPROBE,
+    IVF_REBALANCE_PCT,
+    IVF_SPLIT_SEED,
+    _ivf_query,
+    ivf_annotate_frozen,
+    ivf_seed_centroids,
+)
+from sressentials_spark.operators.dedup import md5_long
+
+_MANIFEST_FMT = "index-manifest-v{version}.json"
+
+
+def _manifest_path(base_path: str, version: int) -> str:
+    return os.path.join(base_path, _MANIFEST_FMT.format(version=version))
+
+
+def ivf_index_versions(base_path: str) -> list[int]:
+    """Committed index versions, ascending (empty for a fresh path)."""
+    out = []
+    for p in globmod.glob(os.path.join(base_path, "index-manifest-v*.json")):
+        base = os.path.basename(p)
+        out.append(int(base[len("index-manifest-v"):-len(".json")]))
+    return sorted(out)
+
+
+def read_ivf_manifest(base_path: str, version: int) -> dict:
+    """One committed version: ``{"version", "centroids": {cid: [f64]},
+    "files": [{"path", "cell", "rows"}]}`` (cid keys back to int)."""
+    with open(_manifest_path(base_path, version)) as fh:
+        man = json.load(fh)
+    man["centroids"] = {int(c): v for c, v in man["centroids"].items()}
+    return man
+
+
+def _publish_ivf_manifest(base_path: str, version: int, payload: dict) -> None:
+    """Atomic exclusive publish (the maintenance.py idiom): write a tmp
+    file, ``os.link`` it onto the version name — exactly one of two
+    racing writers wins the link; the loser raises FileExistsError with
+    its commit dirs left orphaned for vacuum."""
+    tmp = _manifest_path(base_path, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    try:
+        os.link(tmp, _manifest_path(base_path, version))
+    finally:
+        os.unlink(tmp)
+
+
+def _commit_lists(df: DataFrame, data_dir: str) -> list[dict]:
+    """Write annotated list rows under a fresh ``commit-<id>/``,
+    one directory per cell (``cellp=<c>`` — a DUPLICATE of the real
+    ``cell`` column, so the data files themselves keep ``cell`` and
+    manifest-listed files read back standalone, no partition-discovery
+    dependence). Returns manifest entries with per-file cell + row
+    count — attribution lists only THIS commit dir, so a racing
+    writer's files can never be absorbed (the maintenance.py rule)."""
+    import uuid
+
+    spark = df.sparkSession
+    commit_id = f"commit-{uuid.uuid4().hex[:16]}"
+    commit_dir = os.path.join(data_dir, commit_id)
+    (
+        df.withColumn("cellp", F.col("cell"))
+        .write.partitionBy("cellp")
+        .mode("error")
+        .parquet(commit_dir)
+    )
+    # Keyed by commit-relative path (cellp=<c>/<part-file>), NOT by
+    # basename: one dynamic-partition task writes the SAME part-file
+    # name under every cell dir it touches, so basenames collide.
+    counts = {}
+    for r in (
+        spark.read.parquet(commit_dir)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        f = r["_f"].split("?")[0]
+        f = f[len("file:"):] if f.startswith("file:") else f
+        counts[os.path.relpath(f, commit_dir)] = int(r["n"])
+    entries = []
+    for d in sorted(globmod.glob(os.path.join(commit_dir, "cellp=*"))):
+        cell = int(os.path.basename(d).split("=", 1)[1])
+        for f in sorted(globmod.glob(os.path.join(d, "*.parquet"))):
+            rel = os.path.join(os.path.basename(d), os.path.basename(f))
+            entries.append(
+                {
+                    "path": f"{commit_id}/{rel}",
+                    "cell": cell,
+                    "rows": counts[rel],
+                }
+            )
+    return entries
+
+
+def build_ivf_index_versioned(
+    emb: DataFrame,
+    base_path: str,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+) -> int:
+    """Commit version 1 of a manifest-versioned IVF index: the same
+    hash-seeded centroids and Arrow assignment pass as
+    :func:`similarity.build_ivf_index` (results are pinned identical by
+    tests), but lists land as immutable commit files and the centroid
+    set rides INSIDE the manifest. Per-row probe arrays are NOT stored
+    — the manifest centroids are the single probe truth, so the bare
+    layout's stale-probe hazard (its ``_rebalanced`` marker) cannot
+    exist here by construction."""
+    ids, mat = ivf_seed_centroids(emb, n_cells, id_col=id_col)
+    annotated = ivf_annotate_frozen(emb, ids, mat, nprobe).drop("cells")
+    entries = _commit_lists(annotated, os.path.join(base_path, "data"))
+    _publish_ivf_manifest(
+        base_path,
+        1,
+        {
+            "version": 1,
+            "centroids": {
+                str(int(i)): [float(x) for x in row] for i, row in zip(ids, mat)
+            },
+            "files": entries,
+        },
+    )
+    return 1
+
+
+def _load_centroids(man: dict):
+    import numpy as np
+
+    ids = sorted(man["centroids"])
+    mat = np.stack(
+        [np.asarray(man["centroids"][i], dtype=np.float64) for i in ids]
+    )
+    return ids, mat
+
+
+def read_ivf_index_version(
+    spark,
+    base_path: str,
+    version: int | None = None,
+    cells: list[int] | None = None,
+) -> DataFrame:
+    """The index lists exactly as of ``version`` (default latest),
+    optionally pruned to ``cells`` at the MANIFEST level — only the
+    named cells' files are handed to the scan, the driver-side twin of
+    partition pruning."""
+    version = version or ivf_index_versions(base_path)[-1]
+    man = read_ivf_manifest(base_path, version)
+    entries = man["files"]
+    if cells is not None:
+        want = set(cells)
+        entries = [e for e in entries if e["cell"] in want]
+    all_paths = [
+        os.path.join(base_path, "data", e["path"]) for e in man["files"]
+    ]
+    if not entries:
+        return spark.read.parquet(*all_paths).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(base_path, "data", e["path"]) for e in entries]
+    )
+
+
+def cosine_topk_ivf_versioned(
+    spark,
+    base_path: str,
+    query_ids: list[int],
+    k: int = 10,
+    version: int | None = None,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """IVF top-k served from a committed version: probes derive from
+    the MANIFEST centroid set (query rows re-annotated by the same
+    Arrow kernel as the build — always consistent with the lists the
+    same manifest names), and the corpus scan plans only the probed
+    cells' files. Bit-identical to the bare index's
+    ``probe_from_centroids`` path at the same centroid set (pinned by
+    tests)."""
+    version = version or ivf_index_versions(base_path)[-1]
+    man = read_ivf_manifest(base_path, version)
+    ids, mat = _load_centroids(man)
+    full = read_ivf_index_version(spark, base_path, version)
+    qcols = [id_col, "embedding"]
+    qrows = (
+        full.filter(F.col(id_col).isin(query_ids)).select(*qcols).collect()
+    )
+    qsrc = spark.createDataFrame(qrows, full.select(*qcols).schema)
+    qann = ivf_annotate_frozen(qsrc, ids, mat, nprobe)
+    qann_rows = qann.collect()
+    probed = sorted({int(c) for r in qann_rows for c in r["cells"]})
+    corpus = read_ivf_index_version(spark, base_path, version, cells=probed)
+    queries_src = spark.createDataFrame(qann_rows, qann.schema)
+    return _ivf_query(
+        corpus, query_ids, k, id_col, dim,
+        filter_col=None, prune_cells=False, queries_src=queries_src,
+    )
+
+
+def rebalance_ivf_index_versioned(
+    spark,
+    base_path: str,
+    *,
+    factor_pct: int = IVF_REBALANCE_PCT,
+    split_seed: str = IVF_SPLIT_SEED,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    fault: Callable[[str], None] | None = None,
+) -> dict:
+    """CRASH-ATOMIC rebalance: same split semantics as
+    :func:`similarity.rebalance_ivf_index` (cells over
+    ``rows * factor_pct // (n_centroids * 100)`` split into two
+    hash-picked child seeds; members re-pointed to the nearer child by
+    the build's own kernel) — but committed as one manifest version.
+
+    Ordering: every split's child lists land as immutable commit files
+    first; the new manifest (old entries minus split cells' files, plus
+    child files, centroids swapped) publishes LAST via one atomic
+    exclusive link. A crash anywhere before the link leaves the
+    previous version fully intact and readable — orphan commit dirs are
+    reclaimed by :func:`vacuum_ivf_index`; there is no window where a
+    reader can observe retired lists, missing rows, or a centroid set
+    that disagrees with the lists (the model test kills the job after
+    every step and checks exactly this).
+
+    The split DECISION reads only the manifest (per-file row counts):
+    at 100 TB, deciding costs one JSON read; the job itself costs
+    O(oversized cells' rows), never O(index).
+
+    ``fault`` is the test seam: called with a step label after each
+    mutation (``staged:<cell>``, ``prepared``, ``published``); a hook
+    that raises simulates a kill at that point.
+    """
+    import numpy as np
+
+    fault = fault or (lambda step: None)
+    versions = ivf_index_versions(base_path)
+    version = versions[-1]
+    man = read_ivf_manifest(base_path, version)
+    sizes: dict[int, int] = {}
+    for e in man["files"]:
+        sizes[e["cell"]] = sizes.get(e["cell"], 0) + e["rows"]
+    n_rows = sum(sizes.values())
+    cents = dict(man["centroids"])
+    threshold = n_rows * factor_pct // (len(cents) * 100)
+    oversized = sorted(c for c, n in sizes.items() if n > threshold)
+
+    data_dir = os.path.join(base_path, "data")
+    new_entries: list[dict] = []
+    for c in oversized:
+        members = read_ivf_index_version(
+            spark, base_path, version, cells=[c]
+        ).drop("norm", "cell")
+        h = md5_long(
+            F.concat(F.lit(split_seed + ":"), F.col(id_col).cast("string"))
+        )
+        seed_rows = (
+            members.withColumn("_h", h)
+            .orderBy("_h", id_col)
+            .limit(2)
+            .select(id_col, "embedding")
+            .collect()
+        )
+        ch_ids = [int(r[id_col]) for r in seed_rows]
+        ch_mat = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+        )
+        new_entries += _commit_lists(
+            ivf_annotate_frozen(members, ch_ids, ch_mat, nprobe).drop("cells"),
+            data_dir,
+        )
+        cents.pop(c, None)
+        for cid, row in zip(ch_ids, ch_mat):
+            cents[int(cid)] = [float(x) for x in row]
+        fault(f"staged:{c}")
+
+    if oversized:
+        split = set(oversized)
+        files = [e for e in man["files"] if e["cell"] not in split]
+        files += new_entries
+        fault("prepared")
+        _publish_ivf_manifest(
+            base_path,
+            version + 1,
+            {
+                "version": version + 1,
+                "centroids": {str(c): v for c, v in sorted(cents.items())},
+                "files": files,
+            },
+        )
+        fault("published")
+    return {
+        "cells_split": len(oversized),
+        "split_cells": oversized,
+        "threshold": int(threshold),
+        "n_centroids": len(cents),
+        "version": version + 1 if oversized else version,
+    }
+
+
+def vacuum_ivf_index(base_path: str, *, keep_last: int = 1) -> dict:
+    """Reclaim data files unreachable from the ``keep_last`` newest
+    manifests, drop expired manifests, and sweep stray ``.tmp``
+    manifests (a writer killed inside publish). Surviving versions read
+    exactly as committed — the snapshot tier's vacuum contract."""
+    versions = ivf_index_versions(base_path)
+    keep = versions[-keep_last:] if keep_last else []
+    live: set[str] = set()
+    for v in keep:
+        for e in read_ivf_manifest(base_path, v)["files"]:
+            live.add(os.path.normpath(e["path"]))
+    data_dir = os.path.join(base_path, "data")
+    removed_files = 0
+    for f in globmod.glob(os.path.join(data_dir, "commit-*", "*", "*.parquet")):
+        rel = os.path.normpath(os.path.relpath(f, data_dir))
+        if rel not in live:
+            os.unlink(f)
+            removed_files += 1
+    # Drop now-empty cell dirs and commit dirs.
+    for d in globmod.glob(os.path.join(data_dir, "commit-*", "*")):
+        if os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+    for d in globmod.glob(os.path.join(data_dir, "commit-*")):
+        if os.path.isdir(d) and not any(
+            globmod.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        ):
+            shutil.rmtree(d)
+    removed_manifests = 0
+    for v in versions:
+        if v not in keep:
+            os.unlink(_manifest_path(base_path, v))
+            removed_manifests += 1
+    for t in globmod.glob(os.path.join(base_path, "index-manifest-v*.tmp")):
+        os.unlink(t)
+    return {
+        "removed_files": removed_files,
+        "removed_manifests": removed_manifests,
+        "kept_versions": keep,
+    }
