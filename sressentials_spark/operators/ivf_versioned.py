@@ -249,6 +249,40 @@ def cosine_topk_ivf_versioned(
     )
 
 
+def ingest_ivf_index_versioned(
+    emb_batch: DataFrame,
+    base_path: str,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+) -> int:
+    """Append a batch as a new committed version: the batch is assigned
+    under the LATEST manifest's centroids (frozen — one Arrow pass over
+    the batch only), its lists land as a fresh immutable commit, and
+    the new manifest = parent's files + the batch's files, centroids
+    unchanged, published by one atomic link. A crashed ingest leaves
+    orphan commit files and the parent version fully intact (same
+    warranty as the rebalance); concurrent readers of the parent
+    version are never disturbed. Cost O(batch), never O(index)."""
+    spark = emb_batch.sparkSession
+    version = ivf_index_versions(base_path)[-1]
+    man = read_ivf_manifest(base_path, version)
+    ids, mat = _load_centroids(man)
+    entries = _commit_lists(
+        ivf_annotate_frozen(emb_batch, ids, mat, nprobe).drop("cells"),
+        os.path.join(base_path, "data"),
+    )
+    _publish_ivf_manifest(
+        base_path,
+        version + 1,
+        {
+            "version": version + 1,
+            "centroids": {str(c): v for c, v in sorted(man["centroids"].items())},
+            "files": man["files"] + entries,
+        },
+    )
+    return version + 1
+
+
 def rebalance_ivf_index_versioned(
     spark,
     base_path: str,

@@ -175,6 +175,51 @@ def test_kill_between_steps_never_exposes_half_split(spark, tmp_path):
         )
 
 
+def test_ingest_commits_a_version_matching_the_bare_twin(spark, tmp_path):
+    """Build on the oldest 70%, ingest the newest 30%: results match
+    the bare index's build+ingest path exactly; the build version still
+    time-travels; history files are byte-untouched (O(batch) cost)."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    split = int(emb.agg(F.max("vec_id")).first()[0] * 7 // 10)
+    hist, batch = (
+        emb.filter(F.col("vec_id") < split),
+        emb.filter(F.col("vec_id") >= split),
+    )
+    bare = str(tmp_path / "bare")
+    S.build_ivf_index(hist, bare)
+    S.ingest_ivf_index(batch, bare)
+    want = (
+        S.cosine_topk_ivf_from_index(
+            spark, bare, QIDS, k=10, probe_from_centroids=True
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(hist, base)
+    pre = _topk(spark, base, version=1)
+    man1 = V.read_ivf_manifest(base, 1)
+    stats1 = {
+        e["path"]: os.stat(os.path.join(base, "data", e["path"]))
+        for e in man1["files"]
+    }
+    assert V.ingest_ivf_index_versioned(batch, base) == 2
+    pd.testing.assert_frame_equal(_topk(spark, base), want, check_exact=True)
+    pd.testing.assert_frame_equal(
+        _topk(spark, base, version=1), pre, check_exact=True
+    )
+    man2 = V.read_ivf_manifest(base, 2)
+    assert man1["centroids"] == man2["centroids"]  # frozen quantizer
+    assert set(stats1) < {e["path"] for e in man2["files"]}
+    for p, st in stats1.items():
+        now = os.stat(os.path.join(base, "data", p))
+        assert (now.st_size, now.st_mtime_ns) == (st.st_size, st.st_mtime_ns)
+    assert sum(e["rows"] for e in man2["files"]) == emb.count()
+
+
 def test_racing_publisher_loses_cleanly(spark, tmp_path):
     """Optimistic concurrency: if another writer claims the next
     version between prepare and publish, the rebalance FAILS (atomic
