@@ -34,8 +34,9 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 #: stalest-first ordering.
 #: r9: sim_ivfpq_rerank_topk moved to the M=8 rerank-tier index (the
 #: M sweep, docs/ANN_EVAL.md) — its r8 row is for the old M=4
-#: semantics, so it must re-row this round. Budget: 1 forced + 2 new
-#: + 46 stale-r5 = 49 <= 50.
+#: semantics, so it must re-row this round. Budget: 1 forced + 3 new
+#: (sim_ivfpq_index_ingest, sim_ivfpq_rerank_recall_at_k,
+#: sim_ivf_versioned_lifecycle_topk) + 46 stale-r5 = 50 <= 50.
 _FORCE_FIRST: tuple[str, ...] = ("sim_ivfpq_rerank_topk",)
 
 

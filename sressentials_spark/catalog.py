@@ -30,6 +30,7 @@ from sressentials_spark import loggen
 from sressentials_spark.operators import curation as C
 from sressentials_spark.operators import dedup as D
 from sressentials_spark.operators import pipeline as P
+from sressentials_spark.operators import ivf_versioned as IV
 from sressentials_spark.operators import similarity as S
 from sressentials_spark.operators import rangejoin as _RJ
 from sressentials_spark.operators import rownum as _RN
@@ -1678,6 +1679,145 @@ LEFT JOIN approx a
 GROUP BY e.query_id
 """
 
+
+
+def _ivf_versioned_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once handle for the CRASH-ATOMIC (manifest-versioned) IVF
+    index exercised across its whole lifecycle: v1 = build on the
+    oldest 70% of the corpus, v2 = ingest the newest 30% under the
+    frozen v1 centroids, v3 = rebalance (every oversized cell split).
+    Every transition is one atomically-linked manifest commit
+    (operators/ivf_versioned.py — kill-between-steps model-tested in
+    tests/test_ivf_versioned.py), so a reader can never observe a
+    half-applied lifecycle step; the guard asserts all three versions
+    committed and at least one cell actually split."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+
+    def _build() -> str:
+        from sressentials_spark.scratch import scratch_dir
+
+        base = scratch_dir("sressentials_ivf_versioned_")
+        IV.build_ivf_index_versioned(emb.filter(F.col("vec_id") < split), base)
+        IV.ingest_ivf_index_versioned(emb.filter(F.col("vec_id") >= split), base)
+        stats = IV.rebalance_ivf_index_versioned(spark, base)
+        if stats["cells_split"] < 1:
+            raise ValueError(f"fixture produced no oversized cell: {stats}")
+        if IV.ivf_index_versions(base) != [1, 2, 3]:
+            raise ValueError(
+                f"lifecycle must commit 3 versions: {IV.ivf_index_versions(base)}"
+            )
+        return base
+
+    return D.get_or_build_disk_artifact(
+        spark, ("ivf_versioned_index", sf_dir, split), _build
+    )
+
+
+INDEX_BUILDERS["ivf_versioned_index_build"] = _ivf_versioned_index_path
+
+
+# Restatement of the full versioned lifecycle: centroids seeded from
+# the HISTORY slice only (frozen at v1), every vector — history and
+# ingested batch alike — assigned to them (the ingest), oversized cells
+# split into two hash-picked child seeds with members re-pointed (the
+# rebalance), probes ranked against the POST-split centroid set, exact
+# cosine scoring inside probed cells.
+@register(
+    "sim_ivf_versioned_lifecycle_topk",
+    f"""
+WITH split AS (SELECT CAST((max(vec_id) + 1) * 7 // 10 AS BIGINT) AS s FROM embeddings),
+seeds AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings
+  WHERE vec_id < (SELECT s FROM split)
+  ORDER BY ('0x' || substring(md5('{S.IVF_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           vec_id
+  LIMIT {S.IVF_CELLS}
+),
+assign AS (
+  SELECT vec_id, embedding, cid, ccos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM (SELECT e.vec_id, e.embedding, s.cid,
+               {_cos_sql('e.embedding', 's.cv')} AS ccos
+        FROM embeddings e CROSS JOIN seeds s)
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+thresh AS (SELECT CAST(COUNT(*) * {S.IVF_REBALANCE_PCT}
+                       // ({S.IVF_CELLS} * 100) AS BIGINT) AS t
+           FROM embeddings),
+oversized AS (
+  SELECT cell FROM cells, thresh GROUP BY cell, t HAVING COUNT(*) > t
+),
+chseeds AS (
+  SELECT cell AS parent, vec_id AS cid, embedding AS cv FROM (
+    SELECT c.cell, c.vec_id, c.embedding,
+           ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY
+             ('0x' || substring(md5('{S.IVF_SPLIT_SEED}:' || CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+             c.vec_id) AS rn
+    FROM cells c JOIN oversized o ON o.cell = c.cell)
+  WHERE rn <= 2
+),
+moved AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT m.vec_id, m.embedding, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY ccos DESC, s.cid ASC) AS rn
+    FROM (SELECT c.* FROM cells c JOIN oversized o ON o.cell = c.cell) m
+    JOIN chseeds s ON s.parent = m.cell
+    JOIN LATERAL (SELECT {_cos_sql('m.embedding', 's.cv')} AS ccos) x ON TRUE)
+  WHERE rn = 1
+),
+cells2 AS (
+  SELECT vec_id, cell FROM cells
+  WHERE cell NOT IN (SELECT cell FROM oversized)
+  UNION ALL
+  SELECT vec_id, cell FROM moved
+),
+cents2 AS (
+  SELECT DISTINCT ON (cid) cid, cv FROM (
+    SELECT cid, cv FROM seeds WHERE cid NOT IN (SELECT cell FROM oversized)
+    UNION ALL
+    SELECT cid, cv FROM chseeds
+  ) ORDER BY cid
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS pcell FROM (
+    SELECT e.vec_id, e.embedding, c2.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, c2.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents2 c2
+    JOIN LATERAL (SELECT {_cos_sql('e.embedding', 'c2.cv')} AS ccos) x ON TRUE
+    WHERE e.vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))}))
+  WHERE rn <= {S.IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('p.qv', 'emb2.embedding')} AS cosine
+  FROM probes p
+  JOIN cells2 c ON c.cell = p.pcell AND c.vec_id <> p.query_id
+  JOIN embeddings emb2 ON emb2.vec_id = c.vec_id
+),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+""",
+)
+def sim_ivf_versioned_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from the CRASH-ATOMIC manifest-versioned index
+    after its full lifecycle (build 70% -> ingest 30% -> rebalance),
+    putting the versioned tier under the oracle gate end-to-end: the
+    result must equal a relational restatement of all three lifecycle
+    steps composed. Versioned-tier properties on the hook: centroids
+    ride INSIDE the atomically-published manifest (probes derive from
+    the same committed object as the lists — no sidecar race), the
+    split decision reads only manifest row counts, and the query scan
+    plans only the probed cells' files (manifest-level pruning). The
+    crash semantics themselves are model-tested by killing the
+    rebalance after every mutation step (tests/test_ivf_versioned.py);
+    this query pins the VALUES the surviving commits serve."""
+    path = _ivf_versioned_index_path(spark, sf_dir)
+    return IV.cosine_topk_ivf_versioned(spark, path, _TOPK_QUERY_IDS, k=10)
 
 
 def _ivfpq_adc_sql(*, m: int = S.PQ_M, limit: int = 10) -> str:
