@@ -75,11 +75,17 @@ def ivf_index_versions(base_path: str) -> list[int]:
 
 
 def read_ivf_manifest(base_path: str, version: int) -> dict:
-    """One committed version: ``{"version", "centroids": {cid: [f64]},
-    "files": [{"path", "cell", "rows"}]}`` (cid keys back to int)."""
+    """One committed version: ``{"version", "files": [{"path", "cell",
+    "rows"}]}`` plus the quantizer — ``centroids: {cid: [f64]}`` for
+    the cosine-IVF tier, or ``coarse: {cid: [i64]}`` + ``books``
+    (per-subspace ``[cid, [i64]]`` lists) for the IVF-PQ tier (cid
+    keys back to int either way)."""
     with open(_manifest_path(base_path, version)) as fh:
         man = json.load(fh)
-    man["centroids"] = {int(c): v for c, v in man["centroids"].items()}
+    if "centroids" in man:
+        man["centroids"] = {int(c): v for c, v in man["centroids"].items()}
+    if "coarse" in man:
+        man["coarse"] = {int(c): v for c, v in man["coarse"].items()}
     return man
 
 
@@ -254,6 +260,7 @@ def ingest_ivf_index_versioned(
     base_path: str,
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
+    fault: Callable[[str], None] | None = None,
 ) -> int:
     """Append a batch as a new committed version: the batch is assigned
     under the LATEST manifest's centroids (frozen — one Arrow pass over
@@ -263,6 +270,7 @@ def ingest_ivf_index_versioned(
     orphan commit files and the parent version fully intact (same
     warranty as the rebalance); concurrent readers of the parent
     version are never disturbed. Cost O(batch), never O(index)."""
+    fault = fault or (lambda step: None)
     spark = emb_batch.sparkSession
     version = ivf_index_versions(base_path)[-1]
     man = read_ivf_manifest(base_path, version)
@@ -271,6 +279,7 @@ def ingest_ivf_index_versioned(
         ivf_annotate_frozen(emb_batch, ids, mat, nprobe).drop("cells"),
         os.path.join(base_path, "data"),
     )
+    fault("staged")
     _publish_ivf_manifest(
         base_path,
         version + 1,
@@ -382,6 +391,149 @@ def rebalance_ivf_index_versioned(
         "n_centroids": len(cents),
         "version": version + 1 if oversized else version,
     }
+
+
+# ---- IVF-PQ on the same commit discipline --------------------------------
+
+
+def _books_to_json(books) -> list:
+    """``pq_train_codebooks`` shape -> manifest-storable nested lists
+    (per subspace: ``[[cid, [i64 components]], ...]``). Integer-exact:
+    the codebooks live on the QUANT_SCALE integer grid, so JSON
+    round-trips them losslessly."""
+    return [
+        [[int(cid), [int(x) for x in row]] for cid, row in zip(cids.tolist(), C)]
+        for cids, C in books
+    ]
+
+
+def _books_from_json(js) -> list:
+    import numpy as np
+
+    out = []
+    for sub in js:
+        cids = np.array([c for c, _ in sub], dtype=np.int64)
+        C = np.stack([np.asarray(v, dtype=np.int64) for _, v in sub])
+        out.append((cids, C))
+    return out
+
+
+def build_ivfpq_index_versioned(
+    emb: DataFrame,
+    base_path: str,
+    n_cells: int = IVF_CELLS,
+    m: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+    id_col: str = "vec_id",
+) -> int:
+    """Commit version 1 of a manifest-versioned IVF-PQ index: the same
+    trained coarse quantizer + residual codebooks + encode pass as
+    :func:`similarity.build_ivfpq_index` (results pinned bit-identical
+    by tests), but BOTH frozen artifacts ride inside the
+    atomically-published manifest instead of sidecar parquet dirs — so
+    there is no window where lists and quantizers can disagree, the
+    exact hazard sidecars re-introduce on every maintenance write."""
+    from sressentials_spark.operators import similarity as S
+    from sressentials_spark.operators.cluster import kmeans_fit_centroids
+
+    m = m if m is not None else S.PQ_M
+    k = k if k is not None else S.PQ_K
+    iters = iters if iters is not None else S.PQ_ITERS
+    coarse = kmeans_fit_centroids(emb, k=n_cells, iters=iters, id_col=id_col)
+    books = S.pq_train_codebooks(
+        emb, m, k, iters=iters, id_col=id_col, residual_coarse=coarse
+    )
+    entries = _commit_lists(
+        S._encode_ivfpq_lists(emb, coarse, books, m=m, id_col=id_col),
+        os.path.join(base_path, "data"),
+    )
+    _publish_ivf_manifest(
+        base_path,
+        1,
+        {
+            "version": 1,
+            "coarse": {
+                str(int(c)): [int(x) for x in v] for c, v in sorted(coarse.items())
+            },
+            "books": _books_to_json(books),
+            "files": entries,
+        },
+    )
+    return 1
+
+
+def ingest_ivfpq_index_versioned(
+    emb_batch: DataFrame,
+    base_path: str,
+    id_col: str = "vec_id",
+    fault: Callable[[str], None] | None = None,
+) -> int:
+    """Append a batch under the latest manifest's FROZEN coarse
+    centroids and residual codebooks as one committed version (encode
+    the batch only; parent files untouched; publish last, atomically).
+    Same drift trade as the bare ingest: the manifest pins exactly
+    which quantizers encoded every visible row."""
+    fault = fault or (lambda step: None)
+    from sressentials_spark.operators import similarity as S
+
+    version = ivf_index_versions(base_path)[-1]
+    man = read_ivf_manifest(base_path, version)
+    books = _books_from_json(man["books"])
+    entries = _commit_lists(
+        S._encode_ivfpq_lists(
+            emb_batch, man["coarse"], books, m=len(books), id_col=id_col
+        ),
+        os.path.join(base_path, "data"),
+    )
+    fault("staged")
+    _publish_ivf_manifest(
+        base_path,
+        version + 1,
+        {
+            "version": version + 1,
+            "coarse": {str(c): v for c, v in sorted(man["coarse"].items())},
+            "books": man["books"],
+            "files": man["files"] + entries,
+        },
+    )
+    return version + 1
+
+
+def pq_adc_topk_ivfpq_versioned(
+    spark,
+    emb: DataFrame,
+    base_path: str,
+    query_ids: list[int],
+    topk: int = 10,
+    version: int | None = None,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC search served from a committed IVF-PQ version: probes,
+    distance tables and codes all derive from ONE manifest (quantizers
+    inline), and the candidate scan plans only the probed cells' files
+    — bit-identical to the bare store's search at equal artifacts
+    (shared scoring core: similarity._ivfpq_adc_search)."""
+    from sressentials_spark.operators import similarity as S
+
+    version = version or ivf_index_versions(base_path)[-1]
+    man = read_ivf_manifest(base_path, version)
+    books = _books_from_json(man["books"])
+    return S._ivfpq_adc_search(
+        spark,
+        emb,
+        man["coarse"],
+        books,
+        lambda probed: read_ivf_index_version(
+            spark, base_path, version, cells=probed
+        ),
+        query_ids,
+        topk=topk,
+        nprobe=nprobe,
+        m=len(books),
+        id_col=id_col,
+    )
 
 
 def vacuum_ivf_index(base_path: str, *, keep_last: int = 1) -> dict:

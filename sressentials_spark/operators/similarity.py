@@ -1326,14 +1326,49 @@ def pq_adc_topk_ivf_from_index(
     join resolves every lookup. Distances re-associate in the fixed
     ``((d0+d1)+d2)+d3`` order, so the doubles are bit-identical to the
     DuckDB restatement. One shuffle (the per-query rank window)."""
+    books = load_pq_books(spark, ivfpq_path)
+    coarse = load_ivfpq_coarse(spark, ivfpq_path)
+    return _ivfpq_adc_search(
+        spark,
+        emb,
+        coarse,
+        books,
+        lambda probed: spark.read.parquet(ivfpq_path).filter(
+            F.col("cell").isin(probed)
+        ),
+        query_ids,
+        topk=topk,
+        nprobe=nprobe,
+        m=m,
+        id_col=id_col,
+    )
+
+
+def _ivfpq_adc_search(
+    spark,
+    emb: DataFrame,
+    coarse: dict,
+    books,
+    lists_for,
+    query_ids: list[int],
+    *,
+    topk: int = 10,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVFADC scoring core against GIVEN frozen artifacts:
+    ``coarse`` / ``books`` in their loader shapes and ``lists_for``, a
+    callable returning the inverted-list rows for the probed cells —
+    the seam that lets the bare cell-partitioned store and the
+    manifest-versioned store (operators/ivf_versioned.py) share one
+    bit-identical search."""
     import numpy as np
 
     from sressentials_spark.operators.cluster import QUANT_SCALE
     from sressentials_spark.operators.linalg import quantize_exact
 
-    books = load_pq_books(spark, ivfpq_path)
     fbooks = pq_books_float(books)
-    coarse = load_ivfpq_coarse(spark, ivfpq_path)
     cids_c = sorted(coarse)
     Cc = np.array([coarse[c] for c in cids_c], dtype=np.int64)
     Cf = Cc.astype(np.float64) / float(QUANT_SCALE)
@@ -1373,7 +1408,7 @@ def pq_adc_topk_ivf_from_index(
     )
     probed = sorted({c for _, c in probe_pairs})
 
-    lists = spark.read.parquet(ivfpq_path).filter(F.col("cell").isin(probed))
+    lists = lists_for(probed)
     cand = (
         F.broadcast(probes)
         .join(lists, F.col("pcell") == F.col("cell"))

@@ -255,6 +255,176 @@ def test_racing_publisher_loses_cleanly(spark, tmp_path):
     )
 
 
+def test_random_lifecycle_model(spark, tmp_path):
+    """Randomized lifecycle model (the snapshot tier's warranty, on the
+    ANN index): a seeded interleaving of ingest / rebalance / vacuum /
+    kill-injected ops. After EVERY step the latest committed version
+    must expose exactly the model's id set (every op is all-or-nothing:
+    a killed op changes nothing, a committed op changes everything it
+    promised), manifest row counts must equal the real row count, every
+    manifest-listed file must exist, and versions only ever grow."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    all_ids = [
+        r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").collect()
+    ]
+    slices = [all_ids[i::6] for i in range(6)]
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id").isin(slices[0])), base)
+    model_ids = set(slices[0])
+    next_batch = 1
+    rng = random.Random(94)
+
+    class Kill(RuntimeError):
+        pass
+
+    def killer(step):
+        raise Kill(step)
+
+    def check() -> int:
+        v = V.ivf_index_versions(base)[-1]
+        man = V.read_ivf_manifest(base, v)
+        for e in man["files"]:
+            assert os.path.exists(os.path.join(base, "data", e["path"]))
+        assert sum(e["rows"] for e in man["files"]) == len(model_ids)
+        got = {
+            r["vec_id"]
+            for r in V.read_ivf_index_version(spark, base, v)
+            .select("vec_id")
+            .collect()
+        }
+        assert got == model_ids
+        return v
+
+    v_prev = check()
+    for _ in range(12):
+        op = rng.choice(
+            ["ingest", "ingest_kill", "rebalance", "rebalance_kill", "vacuum"]
+        )
+        if op.startswith("ingest"):
+            if next_batch >= len(slices):
+                continue
+            batch = emb.filter(F.col("vec_id").isin(slices[next_batch]))
+            if op == "ingest_kill":
+                with pytest.raises(Kill):
+                    V.ingest_ivf_index_versioned(batch, base, fault=killer)
+            else:
+                V.ingest_ivf_index_versioned(batch, base)
+                model_ids |= set(slices[next_batch])
+                next_batch += 1
+        elif op == "rebalance":
+            V.rebalance_ivf_index_versioned(spark, base)
+        elif op == "rebalance_kill":
+            try:
+                V.rebalance_ivf_index_versioned(spark, base, fault=killer)
+            except Kill:
+                pass  # killed mid-flight: the check proves nothing leaked
+        elif op == "vacuum":
+            V.vacuum_ivf_index(base, keep_last=1)
+        v_now = check()
+        assert v_now >= v_prev
+        v_prev = v_now
+    assert next_batch > 1  # the sequence actually grew the index
+
+
+def _adc_topk(spark, emb, base, version=None):
+    return (
+        V.pq_adc_topk_ivfpq_versioned(spark, emb, base, QIDS, topk=10, version=version)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_ivfpq_versioned_build_matches_bare_index(spark, tmp_path):
+    """The versioned IVF-PQ tier serves bit-identically to the bare
+    sidecar store at equal trained artifacts (shared scoring core) —
+    and the manifest carries BOTH quantizers inline."""
+    emb = _emb(spark)
+    bare = S.build_ivfpq_index(emb, str(tmp_path / "bare"))
+    base = str(tmp_path / "ver")
+    assert V.build_ivfpq_index_versioned(emb, base) == 1
+    want = (
+        S.pq_adc_topk_ivf_from_index(spark, emb, bare, QIDS, topk=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base), want, check_exact=True
+    )
+    man = V.read_ivf_manifest(base, 1)
+    assert man["coarse"] == S.load_ivfpq_coarse(spark, bare)
+    bare_books = S.load_pq_books(spark, bare)
+    ver_books = V._books_from_json(man["books"])
+    assert len(ver_books) == len(bare_books)
+    for (ac, aC), (bc, bC) in zip(ver_books, bare_books):
+        assert ac.tolist() == bc.tolist() and (aC == bC).all()
+
+
+def test_ivfpq_versioned_ingest_frozen_and_atomic(spark, tmp_path):
+    """70/30 build-then-ingest on the versioned IVF-PQ tier: results
+    match the bare twin, quantizers are frozen across the commit, the
+    pre-ingest version time-travels, history files are byte-untouched,
+    and a kill before publish commits nothing."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    split = int(emb.agg(F.max("vec_id")).first()[0] * 7 // 10)
+    hist, batch = (
+        emb.filter(F.col("vec_id") < split),
+        emb.filter(F.col("vec_id") >= split),
+    )
+    bare = str(tmp_path / "bare")
+    S.build_ivfpq_index(hist, bare)
+    S.ingest_ivfpq_index(batch, bare)
+    want = (
+        S.pq_adc_topk_ivf_from_index(spark, emb, bare, QIDS, topk=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    base = str(tmp_path / "ver")
+    V.build_ivfpq_index_versioned(hist, base)
+    pre = _adc_topk(spark, emb, base, version=1)
+    man1 = V.read_ivf_manifest(base, 1)
+    stats1 = {
+        e["path"]: os.stat(os.path.join(base, "data", e["path"]))
+        for e in man1["files"]
+    }
+
+    class Kill(RuntimeError):
+        pass
+
+    def killer(step):
+        raise Kill(step)
+
+    with pytest.raises(Kill):
+        V.ingest_ivfpq_index_versioned(batch, base, fault=killer)
+    assert V.ivf_index_versions(base) == [1]
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base), pre, check_exact=True
+    )
+
+    assert V.ingest_ivfpq_index_versioned(batch, base) == 2
+    pd.testing.assert_frame_equal(_adc_topk(spark, emb, base), want, check_exact=True)
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base, version=1), pre, check_exact=True
+    )
+    man2 = V.read_ivf_manifest(base, 2)
+    assert man1["coarse"] == man2["coarse"]
+    assert man1["books"] == man2["books"]
+    for p, st in stats1.items():
+        now = os.stat(os.path.join(base, "data", p))
+        assert (now.st_size, now.st_mtime_ns) == (st.st_size, st.st_mtime_ns)
+    V.vacuum_ivf_index(base, keep_last=1)
+    assert V.ivf_index_versions(base) == [2]
+    pd.testing.assert_frame_equal(_adc_topk(spark, emb, base), want, check_exact=True)
+
+
 def test_vacuum_reclaims_expired_versions_and_orphans(spark, tmp_path):
     emb = _emb(spark)
     base = str(tmp_path / "ver")
