@@ -255,6 +255,91 @@ def test_racing_publisher_loses_cleanly(spark, tmp_path):
     )
 
 
+def test_streaming_serve_snapshot_isolation_across_midstream_ingest(
+    spark, tmp_path
+):
+    """Online serving against the versioned index while a WRITER lands
+    an ingest commit mid-stream: each micro-batch resolves the latest
+    manifest at batch start and is internally consistent against
+    exactly that committed version — batch 0 serves the pre-ingest
+    corpus, batch 1 the post-ingest corpus, and each batch's rows equal
+    a batch-mode query pinned to that version. The isolation comes from
+    the manifest itself (immutable files + atomic link), not from any
+    coordination with the writer."""
+    import glob as globmod
+    import time
+
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    split = int(emb.agg(F.max("vec_id")).first()[0] * 7 // 10)
+    hist, batch_df = (
+        emb.filter(F.col("vec_id") < split),
+        emb.filter(F.col("vec_id") >= split),
+    )
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(hist, base)
+
+    stage = str(tmp_path / "stage")
+    (
+        spark.createDataFrame([(q,) for q in [0, 1, 2, 3]], "query_id long")
+        .repartitionByRange(2, "query_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    t0 = time.time() - 3600
+    for i, p in enumerate(sorted(globmod.glob(f"{stage}/part-*.parquet"))):
+        os.utime(p, (t0 + i, t0 + i))
+
+    out = str(tmp_path / "out")
+    seen: list[tuple[int, int, tuple[int, ...]]] = []
+
+    def serve(b, bid):
+        qids = sorted(int(r["query_id"]) for r in b.select("query_id").collect())
+        if not qids:
+            return
+        v = V.ivf_index_versions(base)[-1]
+        seen.append((bid, v, tuple(qids)))
+        (
+            V.cosine_topk_ivf_versioned(spark, base, qids, k=5, version=v)
+            .withColumn("ver", F.lit(v))
+            .write.mode("append")
+            .parquet(out)
+        )
+        if bid == 0:
+            # The concurrent writer: an ingest commit lands between
+            # micro-batches, with zero coordination with the reader.
+            V.ingest_ivf_index_versioned(batch_df, base)
+
+    q = (
+        spark.readStream.schema("query_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .writeStream.foreachBatch(serve)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert [(b, v) for b, v, _ in sorted(seen)] == [(0, 1), (1, 2)]
+    got = pd.read_parquet(out)
+    for bid, v, qids in seen:
+        part = (
+            got[got["ver"] == v]
+            .drop(columns=["ver"])
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = (
+            V.cosine_topk_ivf_versioned(spark, base, list(qids), k=5, version=v)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(part, want, check_exact=True)
+
+
 def test_random_lifecycle_model(spark, tmp_path):
     """Randomized lifecycle model (the snapshot tier's warranty, on the
     ANN index): a seeded interleaving of ingest / rebalance / vacuum /
