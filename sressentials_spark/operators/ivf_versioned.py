@@ -325,6 +325,14 @@ def rebalance_ivf_index_versioned(
     ``fault`` is the test seam: called with a step label after each
     mutation (``staged:<cell>``, ``prepared``, ``published``); a hook
     that raises simulates a kill at that point.
+
+    The split loop is one staging job per oversized cell, and the
+    threshold arithmetic bounds how many that can be: a cell must hold
+    >115% of the uniform share, so fewer than ``n_cells * 100/115``
+    cells can qualify — and in the skew regime this op exists for
+    (ingest heat concentrated in a FEW cells) the loop is a handful of
+    O(cell) jobs. If most cells qualify, the index is mis-sized, and
+    the honest verb is a re-seeded rebuild, not a rebalance.
     """
     import numpy as np
 
