@@ -122,6 +122,12 @@ def _commit_lists(df: DataFrame, data_dir: str) -> list[dict]:
         .mode("error")
         .parquet(commit_dir)
     )
+    if not globmod.glob(os.path.join(commit_dir, "cellp=*")):
+        # Empty input: the write leaves a fileless commit dir (only
+        # _SUCCESS), which a read-back for stats would choke on. No
+        # entries -> the caller's publish is a no-op or a pure-parent
+        # version; the stray dir is vacuum fodder either way.
+        return []
     # Keyed by commit-relative path (cellp=<c>/<part-file>), NOT by
     # basename: one dynamic-partition task writes the SAME part-file
     # name under every cell dir it touches, so basenames collide.
@@ -279,6 +285,8 @@ def ingest_ivf_index_versioned(
         ivf_annotate_frozen(emb_batch, ids, mat, nprobe).drop("cells"),
         os.path.join(base_path, "data"),
     )
+    if not entries:
+        return version  # empty batch: nothing to commit
     fault("staged")
     _publish_ivf_manifest(
         base_path,
@@ -494,6 +502,8 @@ def ingest_ivfpq_index_versioned(
         ),
         os.path.join(base_path, "data"),
     )
+    if not entries:
+        return version  # empty batch: nothing to commit
     fault("staged")
     _publish_ivf_manifest(
         base_path,

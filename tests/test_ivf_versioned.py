@@ -510,6 +510,53 @@ def test_ivfpq_versioned_ingest_frozen_and_atomic(spark, tmp_path):
     pd.testing.assert_frame_equal(_adc_topk(spark, emb, base), want, check_exact=True)
 
 
+def test_empty_ingest_is_a_graceful_noop(spark, tmp_path):
+    """Ingesting an empty batch commits nothing on either tier: same
+    latest version, identical manifest, identical answers; the stray
+    fileless commit dir (if any) is vacuum fodder, not a crash."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    empty = emb.filter(F.col("vec_id") < 0)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb, base)
+    pre = _topk(spark, base)
+    assert V.ingest_ivf_index_versioned(empty, base) == 1
+    assert V.ivf_index_versions(base) == [1]
+    pd.testing.assert_frame_equal(_topk(spark, base), pre, check_exact=True)
+
+    pq = str(tmp_path / "pq")
+    V.build_ivfpq_index_versioned(emb, pq)
+    pre_pq = _adc_topk(spark, emb, pq)
+    assert V.ingest_ivfpq_index_versioned(empty, pq) == 1
+    assert V.ivf_index_versions(pq) == [1]
+    pd.testing.assert_frame_equal(_adc_topk(spark, emb, pq), pre_pq, check_exact=True)
+    V.vacuum_ivf_index(pq, keep_last=1)
+    pd.testing.assert_frame_equal(_adc_topk(spark, emb, pq), pre_pq, check_exact=True)
+
+
+def test_manifest_float_round_trip_is_lossless():
+    """The IVF manifest stores float64 centroids as JSON: repr-based
+    encoding must round-trip every double bit-for-bit (adversarial
+    values: subnormals, huge/tiny magnitudes, ulp neighbors)."""
+    import json
+    import math
+    import random
+    import struct
+
+    rng = random.Random(9)
+    vals = [0.0, -0.0, 1e-308, -1e-308, 5e-324, 1e308, math.pi, -math.e]
+    vals += [rng.uniform(-1, 1) for _ in range(200)]
+    vals += [struct.unpack("<d", struct.pack("<Q", rng.getrandbits(63)))[0]
+             for _ in range(200)]  # random finite bit patterns (sign off)
+    vals = [v for v in vals if math.isfinite(v)]
+    out = json.loads(json.dumps({"centroids": {"0": vals}}))
+    got = out["centroids"]["0"]
+    assert len(got) == len(vals)
+    for a, b in zip(got, vals):
+        assert struct.pack("<d", a) == struct.pack("<d", b)
+
+
 def test_vacuum_reclaims_expired_versions_and_orphans(spark, tmp_path):
     emb = _emb(spark)
     base = str(tmp_path / "ver")
