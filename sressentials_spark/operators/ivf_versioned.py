@@ -90,17 +90,14 @@ def read_ivf_manifest(base_path: str, version: int) -> dict:
 
 
 def _publish_ivf_manifest(base_path: str, version: int, payload: dict) -> None:
-    """Atomic exclusive publish (the maintenance.py idiom): write a tmp
-    file, ``os.link`` it onto the version name — exactly one of two
-    racing writers wins the link; the loser raises FileExistsError with
-    its commit dirs left orphaned for vacuum."""
-    tmp = _manifest_path(base_path, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(payload, fh)
-    try:
-        os.link(tmp, _manifest_path(base_path, version))
-    finally:
-        os.unlink(tmp)
+    """Atomic exclusive durable publish — shared with the snapshot
+    tables (maintenance.atomic_publish_json: writer-unique staging
+    name, fsync file + directory, exclusive link; exactly one of two
+    racing writers wins, the loser raises FileExistsError with its
+    commit dirs left orphaned for vacuum)."""
+    from sressentials_spark.operators.maintenance import atomic_publish_json
+
+    atomic_publish_json(_manifest_path(base_path, version), payload)
 
 
 def _commit_lists(df: DataFrame, data_dir: str) -> list[dict]:
@@ -113,7 +110,6 @@ def _commit_lists(df: DataFrame, data_dir: str) -> list[dict]:
     writer's files can never be absorbed (the maintenance.py rule)."""
     import uuid
 
-    spark = df.sparkSession
     commit_id = f"commit-{uuid.uuid4().hex[:16]}"
     commit_dir = os.path.join(data_dir, commit_id)
     (
@@ -122,25 +118,11 @@ def _commit_lists(df: DataFrame, data_dir: str) -> list[dict]:
         .mode("error")
         .parquet(commit_dir)
     )
-    if not globmod.glob(os.path.join(commit_dir, "cellp=*")):
-        # Empty input: the write leaves a fileless commit dir (only
-        # _SUCCESS), which a read-back for stats would choke on. No
-        # entries -> the caller's publish is a no-op or a pure-parent
-        # version; the stray dir is vacuum fodder either way.
-        return []
-    # Keyed by commit-relative path (cellp=<c>/<part-file>), NOT by
-    # basename: one dynamic-partition task writes the SAME part-file
-    # name under every cell dir it touches, so basenames collide.
-    counts = {}
-    for r in (
-        spark.read.parquet(commit_dir)
-        .groupBy(F.input_file_name().alias("_f"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    ):
-        f = r["_f"].split("?")[0]
-        f = f[len("file:"):] if f.startswith("file:") else f
-        counts[os.path.relpath(f, commit_dir)] = int(r["n"])
+    # Row counts come from the parquet FOOTERS (metadata pages only —
+    # no data read): the commit cost stays one write pass over the
+    # batch, not write + full read-back.
+    import pyarrow.parquet as pq
+
     entries = []
     for d in sorted(globmod.glob(os.path.join(commit_dir, "cellp=*"))):
         cell = int(os.path.basename(d).split("=", 1)[1])
@@ -150,7 +132,7 @@ def _commit_lists(df: DataFrame, data_dir: str) -> list[dict]:
                 {
                     "path": f"{commit_id}/{rel}",
                     "cell": cell,
-                    "rows": counts[rel],
+                    "rows": int(pq.ParquetFile(f).metadata.num_rows),
                 }
             )
     return entries
@@ -210,15 +192,16 @@ def read_ivf_index_version(
     partition pruning."""
     version = version or ivf_index_versions(base_path)[-1]
     man = read_ivf_manifest(base_path, version)
+    if not man["files"]:
+        raise ValueError(f"version {version} of {base_path} lists no files")
     entries = man["files"]
     if cells is not None:
         want = set(cells)
         entries = [e for e in entries if e["cell"] in want]
-    all_paths = [
-        os.path.join(base_path, "data", e["path"]) for e in man["files"]
-    ]
     if not entries:
-        return spark.read.parquet(*all_paths).limit(0)
+        # All pruned: ONE footer read for the schema, not O(index).
+        first = os.path.join(base_path, "data", man["files"][0]["path"])
+        return spark.read.parquet(first).limit(0)
     return spark.read.parquet(
         *[os.path.join(base_path, "data", e["path"]) for e in entries]
     )
@@ -554,31 +537,56 @@ def pq_adc_topk_ivfpq_versioned(
     )
 
 
-def vacuum_ivf_index(base_path: str, *, keep_last: int = 1) -> dict:
+def vacuum_ivf_index(
+    base_path: str, *, keep_last: int = 1, orphan_min_age_s: float = 3600.0
+) -> dict:
     """Reclaim data files unreachable from the ``keep_last`` newest
-    manifests, drop expired manifests, and sweep stray ``.tmp``
+    manifests, drop expired manifests, and sweep stray staging
     manifests (a writer killed inside publish). Surviving versions read
-    exactly as committed — the snapshot tier's vacuum contract."""
+    exactly as committed — the snapshot tier's vacuum contract,
+    including its in-flight-writer grace window: files referenced by an
+    EXPIRED manifest were durably committed and delete freely, but
+    files no manifest explains may be a live writer's staged commit and
+    delete only once quiesced for ``orphan_min_age_s`` (pass 0 only
+    when no writer can be live)."""
+    import time
+
+    from sressentials_spark.operators.maintenance import _quiesced
+
     versions = ivf_index_versions(base_path)
     keep = versions[-keep_last:] if keep_last else []
     live: set[str] = set()
     for v in keep:
         for e in read_ivf_manifest(base_path, v)["files"]:
             live.add(os.path.normpath(e["path"]))
+    committed: set[str] = set()  # referenced by an expired manifest
+    for v in versions:
+        if v not in keep:
+            for e in read_ivf_manifest(base_path, v)["files"]:
+                committed.add(os.path.normpath(e["path"]))
     data_dir = os.path.join(base_path, "data")
     removed_files = 0
+    now = time.time()
     for f in globmod.glob(os.path.join(data_dir, "commit-*", "*", "*.parquet")):
         rel = os.path.normpath(os.path.relpath(f, data_dir))
-        if rel not in live:
+        if rel in live:
+            continue
+        if rel in committed or _quiesced(f, orphan_min_age_s, now):
             os.unlink(f)
             removed_files += 1
-    # Drop now-empty cell dirs and commit dirs.
+    # Drop now-empty cell dirs and quiesced parquet-free commit dirs (a
+    # live writer's staging — _temporary/ or a fresh fileless commit —
+    # must never be swept).
     for d in globmod.glob(os.path.join(data_dir, "commit-*", "*")):
         if os.path.isdir(d) and not os.listdir(d):
             os.rmdir(d)
     for d in globmod.glob(os.path.join(data_dir, "commit-*")):
-        if os.path.isdir(d) and not any(
-            globmod.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        if (
+            os.path.isdir(d)
+            and not any(
+                globmod.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            )
+            and _quiesced(d, orphan_min_age_s, now)
         ):
             shutil.rmtree(d)
     removed_manifests = 0
@@ -586,8 +594,11 @@ def vacuum_ivf_index(base_path: str, *, keep_last: int = 1) -> dict:
         if v not in keep:
             os.unlink(_manifest_path(base_path, v))
             removed_manifests += 1
-    for t in globmod.glob(os.path.join(base_path, "index-manifest-v*.tmp")):
-        os.unlink(t)
+    for t in globmod.glob(
+        os.path.join(base_path, "index-manifest-v*.json.tmp-*")
+    ):
+        if _quiesced(t, orphan_min_age_s, now):
+            os.unlink(t)
     return {
         "removed_files": removed_files,
         "removed_manifests": removed_manifests,

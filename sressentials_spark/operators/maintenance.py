@@ -308,21 +308,53 @@ def _commit_data(
     return entries
 
 
+def atomic_publish_json(path: str, payload: dict) -> None:
+    """Exclusive, DURABLE json publish — the one commit idiom every
+    manifest tier shares (snapshot tables here; the versioned ANN
+    indexes in operators/ivf_versioned.py):
+
+    * the staging file name is WRITER-UNIQUE (uuid suffix): two racers
+      must never share a staging inode, or the winner's ``os.link``
+      can publish the loser's half-written bytes as a committed
+      version;
+    * the bytes are fsync'd before the link and the DIRECTORY after
+      it: without both, a power loss can leave the committed name
+      durable while its contents are not — "crash-atomic" must mean
+      machine crashes, not just process kills;
+    * ``os.link`` onto the final name is exclusive: exactly one racer
+      wins, the loser raises ``FileExistsError`` and must retry
+      against the new latest (the Delta/Iceberg commit-conflict
+      rule)."""
+    import json
+    import uuid
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.link(tmp, path)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    finally:
+        os.unlink(tmp)
+
+
 def _publish_manifest(
     table_dir: str, version: int, mode: str, files: list
 ) -> None:
     """Write + atomically link-publish one version manifest (refuses
     to overwrite: the optimistic-concurrency loser gets
     FileExistsError) — shared by every committing verb."""
-    import json
-
-    tmp = _manifest_path(table_dir, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "mode": mode, "files": files}, fh)
-    try:
-        os.link(tmp, _manifest_path(table_dir, version))
-    finally:
-        os.unlink(tmp)
+    atomic_publish_json(
+        _manifest_path(table_dir, version),
+        {"version": version, "mode": mode, "files": files},
+    )
 
 
 def snapshot_versions(table_dir: str) -> list[int]:
@@ -453,45 +485,96 @@ def snapshot_files(table_dir: str, version: int) -> list[str]:
         return [_norm_entry(e)["path"] for e in json.load(fh)["files"]]
 
 
-def snapshot_vacuum(table_dir: str, *, keep_last: int = 1) -> dict:
+def _quiesced(path: str, min_age_s: float, now: float) -> bool:
+    """True when nothing under ``path`` (itself, or any entry below a
+    directory) was modified within ``min_age_s`` — the in-flight-writer
+    guard vacuum needs before touching files no manifest explains."""
+    try:
+        if now - os.path.getmtime(path) < min_age_s:
+            return False
+    except FileNotFoundError:
+        return True
+    if os.path.isdir(path):
+        for root, dirs, files in os.walk(path):
+            for name in dirs + files:
+                try:
+                    if now - os.path.getmtime(os.path.join(root, name)) < min_age_s:
+                        return False
+                except FileNotFoundError:
+                    continue
+    return True
+
+
+def snapshot_vacuum(
+    table_dir: str, *, keep_last: int = 1, orphan_min_age_s: float = 3600.0
+) -> dict:
     """Reclaim data files unreachable from the ``keep_last`` newest
     manifests (and drop the expired manifests). Returns counts; the
     surviving versions still read exactly as committed. The 100 TB
     retention job: deletes are manifest-driven file unlinks, never a
-    data scan."""
+    data scan.
+
+    Two reclamation classes (the Iceberg split): files referenced by
+    an EXPIRED manifest were durably committed, so they delete freely;
+    files referenced by NO manifest at all may belong to an IN-FLIGHT
+    writer that has staged its commit but not yet published — those
+    delete only once quiesced for ``orphan_min_age_s`` (default 1 h).
+    Without the grace window, a vacuum racing a writer deletes the
+    staged files and the writer's subsequent publish commits a
+    manifest pointing at nothing. Pass ``orphan_min_age_s=0`` only
+    when no writer can be live (tests; single-writer maintenance)."""
     import json
+    import time
 
     versions = snapshot_versions(table_dir)
     if not versions:
         raise ValueError(f"no snapshots under {table_dir}")
     keep = versions[-keep_last:]
+    expired = [v for v in versions if v not in keep]
     live: set[str] = set()
     for v in keep:
         with open(_manifest_path(table_dir, v)) as fh:
             live.update(
                 _norm_entry(e)["path"] for e in json.load(fh)["files"]
             )
+    committed: set[str] = set()  # referenced by an expired manifest
+    for v in expired:
+        with open(_manifest_path(table_dir, v)) as fh:
+            committed.update(
+                _norm_entry(e)["path"] for e in json.load(fh)["files"]
+            )
     data_dir = os.path.join(table_dir, "data")
     removed = 0
+    now = time.time()
     # Manifest paths are data_dir-relative (commit-<id>/part-... for
     # r8+ commits, bare part-... for pre-r8 flat tables).
     for f, _ in file_manifest(data_dir):
-        if os.path.relpath(f, data_dir) not in live:
+        rel = os.path.relpath(f, data_dir)
+        if rel in live:
+            continue
+        if rel in committed or _quiesced(f, orphan_min_age_s, now):
             os.remove(f)
             removed += 1
     # Drop commit directories with no live part files left (loser-retry
     # or expired-version leftovers — only marker files like _SUCCESS
-    # remain) so the data dir stays list-cheap.
+    # remain) so the data dir stays list-cheap. Quiesced-only: a live
+    # writer's staging (_temporary/...) must never be swept.
     import shutil
 
     for d in globmod.glob(os.path.join(data_dir, "commit-*")):
-        if os.path.isdir(d) and not globmod.glob(
-            os.path.join(d, "part-*.parquet")
+        if (
+            os.path.isdir(d)
+            and not globmod.glob(os.path.join(d, "part-*.parquet"))
+            and _quiesced(d, orphan_min_age_s, now)
         ):
             shutil.rmtree(d)
-    expired = [v for v in versions if v not in keep]
     for v in expired:
         os.remove(_manifest_path(table_dir, v))
+    # Stray staging manifests (a writer killed inside publish): unique
+    # per writer, so quiesced ones are dead.
+    for t in globmod.glob(os.path.join(table_dir, "manifest-v*.json.tmp-*")):
+        if _quiesced(t, orphan_min_age_s, now):
+            os.unlink(t)
     return {
         "files_removed": removed,
         "files_live": len(live),

@@ -557,6 +557,42 @@ def test_manifest_float_round_trip_is_lossless():
         assert struct.pack("<d", a) == struct.pack("<d", b)
 
 
+def test_vacuum_grace_window_protects_inflight_staging(spark, tmp_path):
+    """A killed (or merely slow) writer's staged commit is referenced
+    by NO manifest — the default vacuum must leave it alone (it cannot
+    distinguish dead from mid-commit), and only reclaim it once the
+    grace window is explicitly waived."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < 25), base)
+    before = set(globmod.glob(os.path.join(base, "data", "commit-*")))
+
+    class Kill(RuntimeError):
+        pass
+
+    def killer(step):
+        raise Kill(step)
+
+    with pytest.raises(Kill):
+        V.ingest_ivf_index_versioned(
+            emb.filter(F.col("vec_id") >= 25), base, fault=killer
+        )
+    staged = set(globmod.glob(os.path.join(base, "data", "commit-*"))) - before
+    assert len(staged) == 1
+    pre = _topk(spark, base)
+    out = V.vacuum_ivf_index(base, keep_last=1)
+    assert out["removed_files"] == 0  # grace window held
+    assert all(os.path.isdir(d) for d in staged)
+    out = V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
+    assert out["removed_files"] > 0
+    assert not any(os.path.isdir(d) for d in staged)
+    pd.testing.assert_frame_equal(_topk(spark, base), pre, check_exact=True)
+
+
 def test_vacuum_reclaims_expired_versions_and_orphans(spark, tmp_path):
     emb = _emb(spark)
     base = str(tmp_path / "ver")

@@ -88,7 +88,11 @@ def test_uncommitted_data_files_are_invisible_and_reclaimed(spark, table):
         os.path.join(table, "data")
     )
     assert MT.read_snapshot(spark, table, 1).count() == 10
+    # Default vacuum protects the unexplained files (grace window —
+    # the writer might be live and mid-commit); waiving it reclaims.
     stats = MT.snapshot_vacuum(table, keep_last=1)
+    assert stats["files_removed"] == 0
+    stats = MT.snapshot_vacuum(table, keep_last=1, orphan_min_age_s=0)
     assert stats["files_removed"] > 0
     assert MT.read_snapshot(spark, table, 1).count() == 10
 
@@ -121,20 +125,70 @@ def test_concurrent_commit_loses_race(spark, table, monkeypatch):
     import json
     import os
 
+    import glob as globmod
+
     MT.snapshot_write(spark, _df(spark, 0, 5), table, mode="replace")
     with open(os.path.join(table, "manifest-v2.json"), "w") as fh:
         json.dump({"version": 2, "mode": "replace", "files": []}, fh)
+    before = set(globmod.glob(os.path.join(table, "data", "commit-*")))
     monkeypatch.setattr(MT, "snapshot_versions", lambda d: [1])
     with pytest.raises(FileExistsError):
         MT.snapshot_write(spark, _df(spark, 5, 8), table, mode="replace")
     monkeypatch.undo()
     # The winner's manifest is untouched; the loser left only orphan
-    # data files, which vacuum reclaims.
+    # data files — referenced by NO manifest, so the default vacuum
+    # PROTECTS them (for all vacuum knows the loser is a live writer
+    # mid-commit); with the grace window waived (known-dead loser)
+    # they reclaim.
     with open(os.path.join(table, "manifest-v2.json")) as fh:
         assert json.load(fh)["files"] == []
-    stats = MT.snapshot_vacuum(table, keep_last=1)
+    loser = set(globmod.glob(os.path.join(table, "data", "commit-*"))) - before
+    assert len(loser) == 1
+    MT.snapshot_vacuum(table, keep_last=1)
+    assert all(os.path.isdir(d) for d in loser)  # grace window held
+    stats = MT.snapshot_vacuum(table, keep_last=1, orphan_min_age_s=0)
     assert stats["files_removed"] > 0
+    assert not any(os.path.isdir(d) for d in loser)
     assert MT.snapshot_versions(table) == [2]
+
+
+def test_atomic_publish_many_racers_one_intact_winner(tmp_path):
+    """N threads race to publish the same manifest name with DISTINCT
+    payloads: exactly one link wins, every loser gets FileExistsError,
+    and the committed file is one writer's payload INTACT — never torn,
+    never a mix (the writer-unique staging name is what guarantees
+    this; a shared tmp name lets the winner link a loser's
+    half-written bytes)."""
+    import json
+    import threading
+
+    path = str(tmp_path / "manifest-v1.json")
+    outcomes: list[tuple[int, str]] = []
+    lock = threading.Lock()
+
+    def racer(i: int) -> None:
+        payload = {"version": 1, "writer": i, "files": [f"f{i}"] * 50}
+        try:
+            MT.atomic_publish_json(path, payload)
+            res = "won"
+        except FileExistsError:
+            res = "lost"
+        with lock:
+            outcomes.append((i, res))
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [i for i, r in outcomes if r == "won"]
+    assert len(wins) == 1 and len(outcomes) == 8
+    with open(path) as fh:
+        got = json.load(fh)
+    assert got["writer"] == wins[0]
+    assert got["files"] == [f"f{wins[0]}"] * 50
+    # No staging litter left behind by winners or losers.
+    assert not list(tmp_path.glob("*.tmp-*"))
 
 
 def test_random_commit_model(spark, table):
@@ -189,9 +243,12 @@ def test_racing_writers_files_never_cross_attributed(spark, table):
     assert not any("stranger" in f for f in files)
     ids = sorted(r["id"] for r in MT.read_snapshot(spark, table, v2).collect())
     assert ids == list(range(8))
-    # Vacuum reclaims the stray (unreachable from any manifest) and
-    # clears emptied commit dirs.
+    # The stray is referenced by NO manifest, so the default vacuum
+    # protects it (could be a live writer's staging); waiving the
+    # grace window reclaims it and clears emptied commit dirs.
     MT.snapshot_vacuum(table, keep_last=1)
+    assert os.path.exists(stray)
+    MT.snapshot_vacuum(table, keep_last=1, orphan_min_age_s=0)
     assert not os.path.exists(stray)
 
 
