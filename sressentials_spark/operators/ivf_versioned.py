@@ -250,6 +250,7 @@ def ingest_ivf_index_versioned(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     fault: Callable[[str], None] | None = None,
+    retries: int = 5,
 ) -> int:
     """Append a batch as a new committed version: the batch is assigned
     under the LATEST manifest's centroids (frozen — one Arrow pass over
@@ -258,9 +259,19 @@ def ingest_ivf_index_versioned(
     unchanged, published by one atomic link. A crashed ingest leaves
     orphan commit files and the parent version fully intact (same
     warranty as the rebalance); concurrent readers of the parent
-    version are never disturbed. Cost O(batch), never O(index)."""
+    version are never disturbed. Cost O(batch), never O(index).
+
+    Losing a publish race is RECOVERED here, not documented away (the
+    Iceberg fast-append retry): on ``FileExistsError`` the ingest
+    re-reads the new latest and re-publishes on top of it — reusing its
+    already-staged commit files when the winner left the centroid set
+    unchanged (another ingest: the encode is centroid-determined, so
+    the staged rows are still exactly right), and RE-ENCODING the batch
+    when the winner was a rebalance (its split retired cells; appending
+    rows under a retired cell id would make them invisible to every
+    probe). ``retries`` bounds pathological contention; the staged
+    files of abandoned attempts are vacuum fodder."""
     fault = fault or (lambda step: None)
-    spark = emb_batch.sparkSession
     version = ivf_index_versions(base_path)[-1]
     man = read_ivf_manifest(base_path, version)
     ids, mat = _load_centroids(man)
@@ -271,16 +282,37 @@ def ingest_ivf_index_versioned(
     if not entries:
         return version  # empty batch: nothing to commit
     fault("staged")
-    _publish_ivf_manifest(
-        base_path,
-        version + 1,
-        {
-            "version": version + 1,
-            "centroids": {str(c): v for c, v in sorted(man["centroids"].items())},
-            "files": man["files"] + entries,
-        },
+    for _ in range(retries + 1):
+        try:
+            _publish_ivf_manifest(
+                base_path,
+                version + 1,
+                {
+                    "version": version + 1,
+                    "centroids": {
+                        str(c): v for c, v in sorted(man["centroids"].items())
+                    },
+                    "files": man["files"] + entries,
+                },
+            )
+            return version + 1
+        except FileExistsError:
+            version = ivf_index_versions(base_path)[-1]
+            man = read_ivf_manifest(base_path, version)
+            new_ids, new_mat = _load_centroids(man)
+            if new_ids != ids or (new_mat != mat).any():
+                # A rebalance won the race: re-encode under its cells.
+                ids, mat = new_ids, new_mat
+                entries = _commit_lists(
+                    ivf_annotate_frozen(emb_batch, ids, mat, nprobe).drop(
+                        "cells"
+                    ),
+                    os.path.join(base_path, "data"),
+                )
+            fault("retrying")
+    raise RuntimeError(
+        f"ingest lost the publish race {retries + 1} times under {base_path}"
     )
-    return version + 1
 
 
 def rebalance_ivf_index_versioned(
@@ -467,38 +499,64 @@ def ingest_ivfpq_index_versioned(
     base_path: str,
     id_col: str = "vec_id",
     fault: Callable[[str], None] | None = None,
+    retries: int = 5,
 ) -> int:
     """Append a batch under the latest manifest's FROZEN coarse
     centroids and residual codebooks as one committed version (encode
     the batch only; parent files untouched; publish last, atomically).
     Same drift trade as the bare ingest: the manifest pins exactly
-    which quantizers encoded every visible row."""
+    which quantizers encoded every visible row. A lost publish race
+    retries on top of the new latest, reusing the staged files while
+    the winner kept the quantizers (always, between ingests — they are
+    frozen at build) and re-encoding defensively if some future
+    maintenance verb ever swaps them."""
     fault = fault or (lambda step: None)
     from sressentials_spark.operators import similarity as S
 
     version = ivf_index_versions(base_path)[-1]
     man = read_ivf_manifest(base_path, version)
-    books = _books_from_json(man["books"])
-    entries = _commit_lists(
-        S._encode_ivfpq_lists(
-            emb_batch, man["coarse"], books, m=len(books), id_col=id_col
-        ),
-        os.path.join(base_path, "data"),
-    )
+
+    def _encode() -> list[dict]:
+        return _commit_lists(
+            S._encode_ivfpq_lists(
+                emb_batch,
+                man["coarse"],
+                _books_from_json(man["books"]),
+                m=len(man["books"]),
+                id_col=id_col,
+            ),
+            os.path.join(base_path, "data"),
+        )
+
+    entries = _encode()
     if not entries:
         return version  # empty batch: nothing to commit
     fault("staged")
-    _publish_ivf_manifest(
-        base_path,
-        version + 1,
-        {
-            "version": version + 1,
-            "coarse": {str(c): v for c, v in sorted(man["coarse"].items())},
-            "books": man["books"],
-            "files": man["files"] + entries,
-        },
+    for _ in range(retries + 1):
+        try:
+            _publish_ivf_manifest(
+                base_path,
+                version + 1,
+                {
+                    "version": version + 1,
+                    "coarse": {
+                        str(c): v for c, v in sorted(man["coarse"].items())
+                    },
+                    "books": man["books"],
+                    "files": man["files"] + entries,
+                },
+            )
+            return version + 1
+        except FileExistsError:
+            prev_coarse, prev_books = man["coarse"], man["books"]
+            version = ivf_index_versions(base_path)[-1]
+            man = read_ivf_manifest(base_path, version)
+            if man["coarse"] != prev_coarse or man["books"] != prev_books:
+                entries = _encode()
+            fault("retrying")
+    raise RuntimeError(
+        f"ingest lost the publish race {retries + 1} times under {base_path}"
     )
-    return version + 1
 
 
 def pq_adc_topk_ivfpq_versioned(

@@ -220,6 +220,87 @@ def test_ingest_commits_a_version_matching_the_bare_twin(spark, tmp_path):
     assert sum(e["rows"] for e in man2["files"]) == emb.count()
 
 
+def test_ingest_retries_lost_race_reusing_staged_files(spark, tmp_path):
+    """Optimistic concurrency RECOVERED, not just detected: ingest A
+    stages its commit, ingest B wins the version race, and A's retry
+    lands on top of B reusing its already-staged files (same centroid
+    set -> the staged encode is still exactly right; no re-encode).
+    All three row sets are visible at the final version."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    a, b, c = ids[: len(ids) // 2], ids[len(ids) // 2 : -5], ids[-5:]
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id").isin(a)), base)
+
+    def racer(step):
+        if step == "staged":
+            V.ingest_ivf_index_versioned(
+                emb.filter(F.col("vec_id").isin(c)), base
+            )
+
+    assert (
+        V.ingest_ivf_index_versioned(
+            emb.filter(F.col("vec_id").isin(b)), base, fault=racer
+        )
+        == 3
+    )
+    assert V.ivf_index_versions(base) == [1, 2, 3]
+    got = {
+        r["vec_id"]
+        for r in V.read_ivf_index_version(spark, base, 3)
+        .select("vec_id")
+        .collect()
+    }
+    assert got == set(a) | set(b) | set(c)
+    # Exactly three commit dirs (build, B, A): A's staged files were
+    # REUSED on retry, not re-encoded.
+    assert len(globmod.glob(os.path.join(base, "data", "commit-*"))) == 3
+
+
+def test_ingest_retry_reencodes_when_a_rebalance_wins(spark, tmp_path):
+    """When the race winner was a REBALANCE, the loser's staged rows
+    may reference retired cells — the retry must re-encode the batch
+    under the post-split centroid set, and every visible row's cell
+    must be explained by the final manifest's centroids."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    split = int(emb.agg(F.max("vec_id")).first()[0] * 6 // 10)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < split), base)
+
+    stats = {}
+
+    def racer(step):
+        if step == "staged":
+            stats.update(V.rebalance_ivf_index_versioned(spark, base))
+
+    v = V.ingest_ivf_index_versioned(
+        emb.filter(F.col("vec_id") >= split), base, fault=racer
+    )
+    assert stats["cells_split"] >= 1 and v == 3
+    man = V.read_ivf_manifest(base, 3)
+    cells_seen = {e["cell"] for e in man["files"]}
+    assert cells_seen <= set(man["centroids"])  # no orphaned cell ids
+    got = {
+        r["vec_id"]
+        for r in V.read_ivf_index_version(spark, base, 3)
+        .select("vec_id")
+        .collect()
+    }
+    assert got == {r["vec_id"] for r in emb.select("vec_id").collect()}
+    # The recovered commit serves: full top-k for every query, and
+    # probes derived from the post-split centroid set can reach the
+    # re-encoded batch rows (an ingested row ranks for some query).
+    topk = _topk(spark, base, version=3)
+    assert (topk.groupby("query_id")["rank"].count() == 10).all()
+    assert (topk["neighbor_id"] >= split).any()
+
+
 def test_racing_publisher_loses_cleanly(spark, tmp_path):
     """Optimistic concurrency: if another writer claims the next
     version between prepare and publish, the rebalance FAILS (atomic
