@@ -324,6 +324,7 @@ def rebalance_ivf_index_versioned(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     fault: Callable[[str], None] | None = None,
+    retries: int = 5,
 ) -> dict:
     """CRASH-ATOMIC rebalance: same split semantics as
     :func:`similarity.rebalance_ivf_index` (cells over
@@ -405,15 +406,36 @@ def rebalance_ivf_index_versioned(
         files = [e for e in man["files"] if e["cell"] not in split]
         files += new_entries
         fault("prepared")
-        _publish_ivf_manifest(
-            base_path,
-            version + 1,
-            {
-                "version": version + 1,
-                "centroids": {str(c): v for c, v in sorted(cents.items())},
-                "files": files,
-            },
-        )
+        try:
+            _publish_ivf_manifest(
+                base_path,
+                version + 1,
+                {
+                    "version": version + 1,
+                    "centroids": {str(c): v for c, v in sorted(cents.items())},
+                    "files": files,
+                },
+            )
+        except FileExistsError:
+            # Lost the version race. Unlike ingest, the staged work is
+            # NOT reusable: the winner changed the file set (and maybe
+            # the centroids), so the split decision's inputs are stale.
+            # The correct retry is a full re-run against the new
+            # latest — a fresh decision over fresh sizes. Abandoned
+            # stages are vacuum fodder.
+            if retries <= 0:
+                raise
+            fault("retrying")
+            return rebalance_ivf_index_versioned(
+                spark,
+                base_path,
+                factor_pct=factor_pct,
+                split_seed=split_seed,
+                nprobe=nprobe,
+                id_col=id_col,
+                fault=fault,
+                retries=retries - 1,
+            )
         fault("published")
     return {
         "cells_split": len(oversized),

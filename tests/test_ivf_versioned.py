@@ -311,8 +311,11 @@ def test_racing_publisher_loses_cleanly(spark, tmp_path):
     V.build_ivf_index_versioned(emb, base)
     man1 = V.read_ivf_manifest(base, 1)
 
+    fired = []
+
     def racer(step):
-        if step == "prepared":
+        if step == "prepared" and not fired:
+            fired.append(step)
             V._publish_ivf_manifest(
                 base,
                 2,
@@ -325,8 +328,10 @@ def test_racing_publisher_loses_cleanly(spark, tmp_path):
                 },
             )
 
+    # retries=0 pins the raw conflict semantics: the atomic exclusive
+    # link refuses to clobber; the loser surfaces FileExistsError.
     with pytest.raises(FileExistsError):
-        V.rebalance_ivf_index_versioned(spark, base, fault=racer)
+        V.rebalance_ivf_index_versioned(spark, base, fault=racer, retries=0)
     assert V.ivf_index_versions(base) == [1, 2]
     # v2 is the racer's (identical content to v1) — intact, readable.
     pd.testing.assert_frame_equal(
@@ -334,6 +339,31 @@ def test_racing_publisher_loses_cleanly(spark, tmp_path):
         _topk(spark, base, version=1),
         check_exact=True,
     )
+    # With retries, the same lost race RECOVERS: a fresh decision over
+    # the new latest lands one version past the racer's and splits the
+    # (unchanged) oversized cells of its file set.
+    fired.clear()
+
+    def racer2(step):
+        if step == "prepared" and not fired:
+            fired.append(step)
+            v = V.ivf_index_versions(base)[-1]
+            m = V.read_ivf_manifest(base, v)
+            V._publish_ivf_manifest(
+                base,
+                v + 1,
+                {
+                    "version": v + 1,
+                    "centroids": {
+                        str(c): cv for c, cv in m["centroids"].items()
+                    },
+                    "files": m["files"],
+                },
+            )
+
+    stats = V.rebalance_ivf_index_versioned(spark, base, fault=racer2)
+    assert stats["version"] == 4 and stats["cells_split"] >= 1
+    assert V.ivf_index_versions(base) == [1, 2, 3, 4]
 
 
 def test_streaming_serve_snapshot_isolation_across_midstream_ingest(
