@@ -628,13 +628,17 @@ def vacuum_ivf_index(
     EXPIRED manifest were durably committed and delete freely, but
     files no manifest explains may be a live writer's staged commit and
     delete only once quiesced for ``orphan_min_age_s`` (pass 0 only
-    when no writer can be live)."""
+    when no writer can be live). ``keep_last`` must be >= 1: an index
+    with zero versions is unreadable, so "expire everything" is not a
+    vacuum verb (the snapshot tier enforces the same floor)."""
     import time
 
     from sressentials_spark.operators.maintenance import _quiesced
 
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = ivf_index_versions(base_path)
-    keep = versions[-keep_last:] if keep_last else []
+    keep = versions[-keep_last:]
     live: set[str] = set()
     for v in keep:
         for e in read_ivf_manifest(base_path, v)["files"]:
@@ -647,6 +651,17 @@ def vacuum_ivf_index(
     data_dir = os.path.join(base_path, "data")
     removed_files = 0
     now = time.time()
+    # ``touched`` = dirs whose mtime THIS vacuum bumps by deleting dead
+    # entries inside them. Commit dirs are writer-unique, so a dir we
+    # emptied held only expired-committed or quiesced-orphan files —
+    # its writer is provably done, and the dir counts as quiesced no
+    # matter what its (our own) fresh mtime says. Without this, the
+    # dir sweeps race vacuum's own pass-1 mutations: the old code's
+    # single entry-time ``now`` made ``_quiesced(d, 0, now)`` see
+    # ``now - mtime < 0`` whenever the unlink landed a clock tick
+    # later, and the explicitly-waived grace window silently held
+    # (flaky test_vacuum_grace_window_protects_inflight_staging).
+    touched: set[str] = set()
     for f in globmod.glob(os.path.join(data_dir, "commit-*", "*", "*.parquet")):
         rel = os.path.normpath(os.path.relpath(f, data_dir))
         if rel in live:
@@ -654,19 +669,42 @@ def vacuum_ivf_index(
         if rel in committed or _quiesced(f, orphan_min_age_s, now):
             os.unlink(f)
             removed_files += 1
-    # Drop now-empty cell dirs and quiesced parquet-free commit dirs (a
-    # live writer's staging — _temporary/ or a fresh fileless commit —
-    # must never be swept).
+            cell_dir = os.path.dirname(f)
+            touched.add(cell_dir)
+            touched.add(os.path.dirname(cell_dir))
+    # A writer killed mid-Spark-write leaves its parquet under
+    # commit-*/_temporary/... — unreachable by the two-level glob above
+    # and (being parquet) keeping the commit-dir sweep below from ever
+    # reclaiming the dir. A quiesced _temporary means no task attempt
+    # has touched staging within the grace window: the job is dead, so
+    # the subtree reclaims explicitly.
+    for t in globmod.glob(os.path.join(data_dir, "commit-*", "_temporary")):
+        if os.path.isdir(t) and _quiesced(t, orphan_min_age_s, now):
+            shutil.rmtree(t)
+            touched.add(os.path.dirname(t))
+    # Re-capture now so vacuum's own pass-1 mutations are in the past;
+    # with the grace window waived (orphan_min_age_s=0) the sweeps
+    # below are then deterministic.
+    now = time.time()
+    # Drop now-empty cell dirs and parquet-free commit dirs — but only
+    # our own leftovers (``touched``) or quiesced ones: a live writer's
+    # job-commit has momentarily-empty destination cellp= dirs before
+    # task files move in, and sweeping one would fail that writer.
     for d in globmod.glob(os.path.join(data_dir, "commit-*", "*")):
-        if os.path.isdir(d) and not os.listdir(d):
+        if (
+            os.path.isdir(d)
+            and not os.listdir(d)
+            and (d in touched or _quiesced(d, orphan_min_age_s, now))
+        ):
             os.rmdir(d)
+            touched.add(os.path.dirname(d))
     for d in globmod.glob(os.path.join(data_dir, "commit-*")):
         if (
             os.path.isdir(d)
             and not any(
                 globmod.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
             )
-            and _quiesced(d, orphan_min_age_s, now)
+            and (d in touched or _quiesced(d, orphan_min_age_s, now))
         ):
             shutil.rmtree(d)
     removed_manifests = 0

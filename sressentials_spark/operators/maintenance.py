@@ -522,10 +522,15 @@ def snapshot_vacuum(
     Without the grace window, a vacuum racing a writer deletes the
     staged files and the writer's subsequent publish commits a
     manifest pointing at nothing. Pass ``orphan_min_age_s=0`` only
-    when no writer can be live (tests; single-writer maintenance)."""
+    when no writer can be live (tests; single-writer maintenance).
+    ``keep_last`` must be >= 1: a table with zero snapshots is
+    unreadable, so "expire everything" is not a vacuum verb (the IVF
+    index tier enforces the same floor)."""
     import json
     import time
 
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = snapshot_versions(table_dir)
     if not versions:
         raise ValueError(f"no snapshots under {table_dir}")
@@ -546,6 +551,17 @@ def snapshot_vacuum(
     data_dir = os.path.join(table_dir, "data")
     removed = 0
     now = time.time()
+    # ``touched`` = commit dirs whose mtime THIS vacuum bumps by
+    # unlinking dead files inside them. Commit dirs are writer-unique,
+    # so a dir we emptied held only expired-committed or
+    # quiesced-orphan files — its writer is provably done, and the dir
+    # counts as quiesced regardless of its (our own) fresh mtime.
+    # Without this the sweep races vacuum's own unlink pass: a single
+    # entry-time ``now`` makes ``_quiesced(d, 0, now)`` see
+    # ``now - mtime < 0`` whenever the unlink lands a clock tick later,
+    # and the explicitly-waived grace window silently holds (the race
+    # that made the IVF twin's grace-window test flaky).
+    touched: set[str] = set()
     # Manifest paths are data_dir-relative (commit-<id>/part-... for
     # r8+ commits, bare part-... for pre-r8 flat tables).
     for f, _ in file_manifest(data_dir):
@@ -555,17 +571,30 @@ def snapshot_vacuum(
         if rel in committed or _quiesced(f, orphan_min_age_s, now):
             os.remove(f)
             removed += 1
+            # A _temporary file can be one job's long-dead task attempt
+            # while the JOB is still live — unlinking it says nothing
+            # about the commit dir's writer, so only post-commit files
+            # mark their ancestors self-emptied.
+            if "_temporary" not in rel.split(os.sep):
+                d = os.path.dirname(f)
+                while d != data_dir and os.path.dirname(d) != d:
+                    touched.add(d)
+                    d = os.path.dirname(d)
+    # Re-capture now so vacuum's own unlinks are in the past; with the
+    # grace window waived the sweep below is then deterministic.
+    now = time.time()
     # Drop commit directories with no live part files left (loser-retry
     # or expired-version leftovers — only marker files like _SUCCESS
-    # remain) so the data dir stays list-cheap. Quiesced-only: a live
-    # writer's staging (_temporary/...) must never be swept.
+    # remain) so the data dir stays list-cheap. Our own leftovers
+    # (``touched``) or quiesced-only: a live writer's staging
+    # (_temporary/...) must never be swept.
     import shutil
 
     for d in globmod.glob(os.path.join(data_dir, "commit-*")):
         if (
             os.path.isdir(d)
             and not globmod.glob(os.path.join(d, "part-*.parquet"))
-            and _quiesced(d, orphan_min_age_s, now)
+            and (d in touched or _quiesced(d, orphan_min_age_s, now))
         ):
             shutil.rmtree(d)
     for v in expired:

@@ -723,3 +723,99 @@ def test_vacuum_reclaims_expired_versions_and_orphans(spark, tmp_path):
         assert not os.path.exists(os.path.join(base, "data", p))
     assert V.ivf_index_versions(base) == [2]
     pd.testing.assert_frame_equal(_topk(spark, base), post, check_exact=True)
+
+
+def test_vacuum_rejects_keep_last_below_one(spark, tmp_path):
+    """keep_last<1 would expire every manifest and leave an unreadable
+    index — both vacuum tiers refuse it up front (same contract as
+    maintenance.snapshot_vacuum, pinned by tests/test_snapshot.py)."""
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(_emb(spark), base)
+    with pytest.raises(ValueError, match="keep_last"):
+        V.vacuum_ivf_index(base, keep_last=0)
+    with pytest.raises(ValueError, match="keep_last"):
+        V.vacuum_ivf_index(base, keep_last=-1)
+    assert V.ivf_index_versions(base) == [1]
+
+
+def test_vacuum_reclaims_quiesced_temporary_subtree(spark, tmp_path):
+    """A writer killed mid-Spark-write leaves parquet under
+    commit-*/_temporary/... — unreachable by the two-level data glob
+    and, being parquet, formerly pinning the commit dir forever. Once
+    the subtree is quiesced the vacuum reclaims it (and then the
+    emptied commit dir), without disturbing the committed index."""
+    import glob as globmod
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb, base)
+    pre = _topk(spark, base)
+    staged = os.path.join(
+        base, "data", "commit-deadbeefdeadbeef",
+        "_temporary", "0", "_temporary", "attempt_1", "cellp=0",
+    )
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    # Default grace: the maybe-live writer's staging survives.
+    V.vacuum_ivf_index(base, keep_last=1)
+    assert os.path.isdir(staged)
+    # Grace waived (writer provably dead): the whole commit dir goes.
+    V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
+    assert not os.path.isdir(
+        os.path.join(base, "data", "commit-deadbeefdeadbeef")
+    )
+    assert len(globmod.glob(os.path.join(base, "data", "commit-*"))) == 1
+    pd.testing.assert_frame_equal(_topk(spark, base), pre, check_exact=True)
+
+
+def test_vacuum_keeps_live_writers_empty_cell_dir(spark, tmp_path):
+    """During a live writer's Spark job-commit the destination cellp=
+    dirs exist momentarily EMPTY before task files move in; a racing
+    default-grace vacuum must not rmdir them out from under the commit
+    (it may only sweep empty dirs it emptied itself, or quiesced
+    ones)."""
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb, base)
+    fresh = os.path.join(base, "data", "commit-feedfacefeedface", "cellp=9")
+    os.makedirs(fresh)
+    V.vacuum_ivf_index(base, keep_last=1)
+    assert os.path.isdir(fresh)  # grace window held for the live commit
+    V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
+    assert not os.path.isdir(os.path.dirname(fresh))
+
+
+def test_vacuum_zero_grace_is_deterministic(spark, tmp_path):
+    """Regression for the r9 flake: vacuum's own pass-1 unlinks bump
+    staged-dir mtimes past a single entry-time ``now``, and the
+    zero-grace sweep then intermittently skipped the rmtree. Ten
+    back-to-back kill+vacuum cycles must each reclaim the staged
+    commit on the first zero-grace pass."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < 25), base)
+
+    class Kill(RuntimeError):
+        pass
+
+    def killer(step):
+        raise Kill(step)
+
+    for _ in range(10):
+        before = set(globmod.glob(os.path.join(base, "data", "commit-*")))
+        with pytest.raises(Kill):
+            V.ingest_ivf_index_versioned(
+                emb.filter(F.col("vec_id") >= 25), base, fault=killer
+            )
+        staged = (
+            set(globmod.glob(os.path.join(base, "data", "commit-*"))) - before
+        )
+        assert len(staged) == 1
+        out = V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
+        assert out["removed_files"] > 0
+        assert not any(os.path.isdir(d) for d in staged)

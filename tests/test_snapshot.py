@@ -477,3 +477,15 @@ def test_stats_cols_timestamp_roundtrip_and_bad_type_fails_fast(spark, table):
     with _pytest.raises(ValueError, match="not manifest-storable"):
         MT.snapshot_write(spark, arr, table, mode="append", stats_cols=["v"])
     assert len(glob.glob(os.path.join(table, "data", "commit-*"))) == before
+
+
+def test_snapshot_vacuum_rejects_keep_last_below_one(spark, table):
+    """keep_last<1 would expire every manifest and leave an unreadable
+    table — refused up front, matching vacuum_ivf_index's floor (the
+    two tiers share one vacuum contract)."""
+    MT.snapshot_write(spark, _df(spark, 0, 5), table, mode="replace")
+    with pytest.raises(ValueError, match="keep_last"):
+        MT.snapshot_vacuum(table, keep_last=0)
+    with pytest.raises(ValueError, match="keep_last"):
+        MT.snapshot_vacuum(table, keep_last=-2)
+    assert MT.snapshot_versions(table) == [1]
