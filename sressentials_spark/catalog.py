@@ -1817,7 +1817,13 @@ def sim_ivf_versioned_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFr
     rebalance after every mutation step (tests/test_ivf_versioned.py);
     this query pins the VALUES the surviving commits serve."""
     path = _ivf_versioned_index_path(spark, sf_dir)
-    return IV.cosine_topk_ivf_versioned(spark, path, _TOPK_QUERY_IDS, k=10)
+    return IV.cosine_topk_ivf_versioned(
+        spark,
+        path,
+        _TOPK_QUERY_IDS,
+        k=10,
+        query_src=load_table(spark, sf_dir, "embeddings"),
+    )
 
 
 def _ivfpq_adc_sql(*, m: int = S.PQ_M, limit: int = 10) -> str:
@@ -1963,7 +1969,7 @@ INDEX_BUILDERS["ivfpq_rerank_index_build"] = _ivfpq_rerank_index_path
     f"""
 WITH sl AS (
   SELECT query_id, neighbor_id FROM (
-    {_ivfpq_adc_sql(m=S.PQ_RERANK_M, limit=50)}
+    {_ivfpq_adc_sql(m=S.PQ_RERANK_M, limit=100)}
   )
 ),
 scored AS (SELECT sl.query_id, sl.neighbor_id,
@@ -1979,16 +1985,18 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
 )
 def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN serving — THE production pattern: the IVFADC
-    compressed-domain scan keeps a 50-candidate shortlist per query
+    compressed-domain scan keeps a 100-candidate shortlist per query
     (no raw vector touched), then ONLY the shortlist is re-ranked by
     exact cosine against the raw vectors (an id-pushdown fetch of
-    queries x 50 rows). Served from the rerank-tier M=8 index (the r9
-    M sweep: finer subspaces move shortlist quality, 780‰ -> 820‰ at
-    equal shortlist, vs the 840‰ probed-cell ceiling — quantization
-    error can shuffle a shortlist but no longer decides the top-k)
-    while raw-vector I/O stays O(queries x shortlist), a few KB per
-    query at any corpus size
-    (operators/similarity.py:pq_adc_rerank_topk; docs/ANN_EVAL.md)."""
+    queries x 100 rows). Served from the rerank-tier M=8 index. The
+    r10 knob-response sweep (docs/ANN_EVAL.md) showed shortlist=100 at
+    nprobe=4 recovers the probed-cell ceiling EXACTLY (820‰ -> 840‰ —
+    every residual miss at shortlist=50 was pure truncation, an exact
+    neighbor whose ADC rank fell between 51 and 100), so the shipped
+    config pays 2x the raw-vector fetch budget to leave zero recall on
+    the table inside the fixed nprobe scan fraction; raw-vector I/O
+    stays O(queries x shortlist), a few KB per query at any corpus
+    size (operators/similarity.py:pq_adc_rerank_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_adc_rerank_topk(
         spark,
@@ -1996,7 +2004,7 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivfpq_rerank_index_path(spark, sf_dir),
         _TOPK_QUERY_IDS,
         topk=10,
-        shortlist=50,
+        shortlist=100,
         m=S.PQ_RERANK_M,
     )
 
@@ -2059,12 +2067,13 @@ def sim_ivfpq_rerank_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage serving quality as a first-class query: recall@10 of
     the shortlist-then-exact-rerank search against the exact cosine
     top-k, per query (integer permille). This puts the rerank tier's
-    headline number (docs/ANN_EVAL.md: 820‰ at sf0.01 on the M=8
-    rerank index, vs 400‰ pure IVFADC and the 840‰ probed-cell
-    ceiling) under the same oracle gate as every other ANN eval — the
-    residual gap to the ceiling is pure shortlist truncation (an
-    exact-cosine neighbor whose ADC rank fell below the 50-candidate
-    cut), the (shortlist, nprobe) tuning signal."""
+    headline number (docs/ANN_EVAL.md: 840‰ at sf0.01 on the M=8
+    rerank index at shortlist=100 — the nprobe-4 probed-cell ceiling,
+    reached exactly; vs 400‰ pure IVFADC and 820‰ at the old
+    shortlist=50 cut) under the same oracle gate as every other ANN
+    eval — any residual gap to the ceiling would be shortlist
+    truncation, and at this config it is zero, so what remains is the
+    nprobe knob (4 -> 6 moves the ceiling itself to 900‰)."""
     exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
         "query_id", "neighbor_id"
     )

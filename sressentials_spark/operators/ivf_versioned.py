@@ -216,6 +216,7 @@ def cosine_topk_ivf_versioned(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     dim: int = DEFAULT_DIM,
+    query_src: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k served from a committed version: probes derive from
     the MANIFEST centroid set (query rows re-annotated by the same
@@ -223,16 +224,28 @@ def cosine_topk_ivf_versioned(
     same manifest names), and the corpus scan plans only the probed
     cells' files. Bit-identical to the bare index's
     ``probe_from_centroids`` path at the same centroid set (pinned by
-    tests)."""
+    tests).
+
+    ``query_src`` (``id_col`` + ``embedding``) is where the query
+    vectors come from — normally the source embeddings table, a
+    point-lookup-cheap O(queries) read. When omitted, they resolve by
+    scanning the FULL index version (every manifest file, then
+    ``isin`` filter): an O(index) read per batch that exists only as a
+    self-contained fallback — at scale, always pass ``query_src`` (the
+    corpus scan stays manifest-pruned either way)."""
     version = version or ivf_index_versions(base_path)[-1]
     man = read_ivf_manifest(base_path, version)
     ids, mat = _load_centroids(man)
-    full = read_ivf_index_version(spark, base_path, version)
+    src = (
+        query_src
+        if query_src is not None
+        else read_ivf_index_version(spark, base_path, version)
+    )
     qcols = [id_col, "embedding"]
     qrows = (
-        full.filter(F.col(id_col).isin(query_ids)).select(*qcols).collect()
+        src.filter(F.col(id_col).isin(query_ids)).select(*qcols).collect()
     )
-    qsrc = spark.createDataFrame(qrows, full.select(*qcols).schema)
+    qsrc = spark.createDataFrame(qrows, src.select(*qcols).schema)
     qann = ivf_annotate_frozen(qsrc, ids, mat, nprobe)
     qann_rows = qann.collect()
     probed = sorted({int(c) for r in qann_rows for c in r["cells"]})

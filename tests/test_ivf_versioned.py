@@ -819,3 +819,20 @@ def test_vacuum_zero_grace_is_deterministic(spark, tmp_path):
         out = V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
         assert out["removed_files"] > 0
         assert not any(os.path.isdir(d) for d in staged)
+
+
+def test_query_src_lookup_matches_index_scan_fallback(spark, tmp_path):
+    """Query vectors fetched from the source table (the O(queries)
+    path every caller should use) serve bit-identically to the
+    self-contained O(index) fallback scan — same rows, same kernel."""
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb, base)
+    via_fallback = _topk(spark, base)
+    via_src = (
+        V.cosine_topk_ivf_versioned(spark, base, QIDS, k=10, query_src=emb)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_src, via_fallback, check_exact=True)
