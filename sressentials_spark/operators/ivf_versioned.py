@@ -630,6 +630,51 @@ def pq_adc_topk_ivfpq_versioned(
     )
 
 
+def import_ivfpq_index_versioned(
+    spark,
+    bare_path: str,
+    base_path: str,
+    id_col: str = "vec_id",
+) -> int:
+    """Migrate a bare sidecar-layout IVF-PQ index
+    (:func:`similarity.build_ivfpq_index`: ``cell=*/`` code lists +
+    ``_coarse``/``_pq_books`` parquet sidecars) into the
+    manifest-versioned store as version 1 — the adoption path for an
+    existing index estate: no retrain, no re-encode (the codes are
+    copied verbatim, so serving is bit-identical by construction —
+    pinned by tests), one read+write pass over the compressed lists
+    (M small ints per vector, ~32x under the raw corpus) and the
+    quantizers move INSIDE the atomically-published manifest. A crash
+    anywhere before the final link leaves no manifest — readers see
+    "no versions", never a partial import; the staged commit files are
+    vacuum fodder. After import, the bare store is unreferenced and
+    can be retired."""
+    from sressentials_spark.operators import similarity as S
+
+    books = S.load_pq_books(spark, bare_path)
+    coarse = S.load_ivfpq_coarse(spark, bare_path)
+    m = len(books)
+    lists = spark.read.parquet(bare_path).select(
+        F.col(id_col),
+        F.col("cell").cast("long").alias("cell"),
+        *[f"code_{i}" for i in range(m)],
+    )
+    entries = _commit_lists(lists, os.path.join(base_path, "data"))
+    _publish_ivf_manifest(
+        base_path,
+        1,
+        {
+            "version": 1,
+            "coarse": {
+                str(int(c)): [int(x) for x in v] for c, v in sorted(coarse.items())
+            },
+            "books": _books_to_json(books),
+            "files": entries,
+        },
+    )
+    return 1
+
+
 def vacuum_ivf_index(
     base_path: str, *, keep_last: int = 1, orphan_min_age_s: float = 3600.0
 ) -> dict:

@@ -836,3 +836,69 @@ def test_query_src_lookup_matches_index_scan_fallback(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(via_src, via_fallback, check_exact=True)
+
+
+def test_import_bare_ivfpq_serves_bit_identically(spark, tmp_path):
+    """import_ivfpq_index_versioned migrates a bare sidecar-layout
+    IVF-PQ index into the manifest store without retrain or re-encode:
+    the imported v1 serves bit-identically to the bare store AND to a
+    from-scratch versioned build over the same corpus (training is
+    deterministic), and post-import ingest keeps working against the
+    manifest's frozen quantizers."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    bare = S.build_ivfpq_index(emb, str(tmp_path / "bare"))
+    base = str(tmp_path / "imported")
+    assert V.import_ivfpq_index_versioned(spark, bare, base) == 1
+    want = (
+        S.pq_adc_topk_ivf_from_index(spark, emb, bare, QIDS, topk=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base), want, check_exact=True
+    )
+    scratch = str(tmp_path / "scratch")
+    V.build_ivfpq_index_versioned(emb, scratch)
+    man_imported = V.read_ivf_manifest(base, 1)
+    man_built = V.read_ivf_manifest(scratch, 1)
+    assert man_imported["coarse"] == man_built["coarse"]
+    assert man_imported["books"] == man_built["books"]
+    # The lifecycle continues from the imported manifest: ingest a
+    # disjoint batch (re-keyed ids) and both versions stay servable.
+    batch = emb.limit(5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    assert V.ingest_ivfpq_index_versioned(batch, base) == 2
+    assert V.ivf_index_versions(base) == [1, 2]
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base, version=1), want, check_exact=True
+    )
+
+
+def test_import_crash_before_publish_leaves_no_version(spark, tmp_path, monkeypatch):
+    """A kill anywhere before the final manifest link leaves NO
+    committed version — readers see an empty store, never a partial
+    import; the staged commit is vacuum fodder."""
+    import glob as globmod
+
+    class Kill(RuntimeError):
+        pass
+
+    emb = _emb(spark)
+    bare = S.build_ivfpq_index(emb, str(tmp_path / "bare"))
+    base = str(tmp_path / "imported")
+
+    def boom(base_path, version, payload):
+        raise Kill("publish")
+
+    monkeypatch.setattr(V, "_publish_ivf_manifest", boom)
+    with pytest.raises(Kill):
+        V.import_ivfpq_index_versioned(spark, bare, base)
+    assert V.ivf_index_versions(base) == []
+    staged = globmod.glob(os.path.join(base, "data", "commit-*"))
+    assert len(staged) == 1  # orphaned, reclaimed by vacuum once quiesced
+    monkeypatch.undo()
+    assert V.import_ivfpq_index_versioned(spark, bare, base) == 1
