@@ -2404,6 +2404,101 @@ GROUP BY e.query_id
 
 
 @register(
+    "maintenance_ivfpq_refresh_decision",
+    None,  # composed oracle appended below
+)
+def maintenance_ivfpq_refresh_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-refresh POLICY as a first-class query — the r9
+    verdict's drift-mitigation ask: the 70/30 build-then-ingest IVF-PQ
+    index's recall gap (340‰ post-ingest vs 400‰ rebuild,
+    ``sim_ivfpq_index_ingest``) wants a TRIGGER, not a timer. This
+    query computes the drift gauge over the persisted index's actual
+    stored codes: mean integer quantization error of the ingested rows
+    (encoded under artifacts trained before they existed) vs the
+    history rows the artifacts were trained on, as an exact permille
+    ratio, and emits the decision the way
+    ``cbo_join_events_orders_rollup`` emits its join strategy — the
+    policy output IS a gated column (measured: ~1237‰, i.e. ingested
+    rows sit 24% farther from their codewords than the training
+    slice's noise floor, over the 1050‰ threshold
+    S.IVFPQ_REFRESH_DRIFT_PERMILLE -> 'refresh'; the versioned tier's
+    refresh verb then makes the quantizer swap crash-atomic,
+    tests/test_ivf_versioned.py). Errors are exact int64 per row
+    (operators/similarity.py:ivfpq_quantization_error — broadcast
+    code lookup, native zip_with/aggregate, one pass over the
+    ~32x-compressed lists); the four aggregates are a bounded one-row
+    collect and the ratio is arbitrary-precision integer arithmetic,
+    restated HUGEINT-exact by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    return S.ivfpq_refresh_decision(
+        spark, emb, _ivfpq_ingest_index_path(spark, sf_dir), split
+    )
+
+
+# Restatement: same history-trained frozen artifacts as the ingest
+# oracle (coarse k-means over hist; codebooks trained on history
+# residuals; codes over every row), then each row's integer L2 error
+# to its chosen codeword, aggregated into the exact HUGEINT permille
+# ratio and the thresholded decision.
+ORACLE_SQL["maintenance_ivfpq_refresh_decision"] = f"""
+WITH split AS (SELECT CAST((max(vec_id) + 1) * 7 // 10 AS BIGINT) AS s FROM embeddings),
+hist AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id < (SELECT s FROM split)),
+{_km_ctes(k=S.IVF_CELLS, iters=S.PQ_ITERS, dim=64, table="hist")},
+tcents AS (SELECT cid, cq FROM c{S.PQ_ITERS}),
+allq AS (SELECT vec_id,
+                [CAST(ROUND(x * {_PQ_SCALE}) AS BIGINT) for x in embedding] AS q
+         FROM embeddings),
+icells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum([(e.q[j] - c.cq[j]) * (e.q[j] - c.cq[j])
+                            for j in generate_series(1, 64)]) AS BIGINT),
+             c.cid) AS rn
+    FROM allq e CROSS JOIN tcents c)
+  WHERE rn = 1),
+allresid AS (
+  SELECT e2.vec_id,
+         [CAST(e2.embedding[i] AS DOUBLE) - CAST(t.cq[i] AS DOUBLE) / {_PQ_SCALE}
+          for i in generate_series(1, 64)] AS rv
+  FROM embeddings e2
+  JOIN icells c ON c.vec_id = e2.vec_id
+  JOIN tcents t ON t.cid = c.cell
+),
+histresid AS (SELECT vec_id, rv FROM allresid
+              WHERE vec_id < (SELECT s FROM split)),
+{S.pq_train_sql_ctes(src="allresid", vec="rv", prefix="pqr", train_src="histresid")},
+qerr AS (
+  SELECT a.vec_id,
+         CAST(SUM(CAST(list_sum([(a.q[j] - b.cq[j]) * (a.q[j] - b.cq[j])
+                        for j in generate_series(1, {64 // S.PQ_M})]) AS BIGINT))
+           AS BIGINT) AS q_err
+  FROM pqr_all a
+  JOIN pqr_codes c ON c.vec_id = a.vec_id AND c.m = a.m
+  JOIN pqr_books b ON b.m = a.m AND b.cid = c.code
+  GROUP BY a.vec_id),
+agg AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE vec_id < (SELECT s FROM split)) AS BIGINT) AS hist_n,
+    CAST(COUNT(*) FILTER (WHERE vec_id >= (SELECT s FROM split)) AS BIGINT) AS batch_n,
+    CAST(SUM(q_err) FILTER (WHERE vec_id < (SELECT s FROM split)) AS BIGINT) AS hist_err,
+    CAST(SUM(q_err) FILTER (WHERE vec_id >= (SELECT s FROM split)) AS BIGINT) AS batch_err
+  FROM qerr)
+SELECT hist_n, batch_n, hist_err, batch_err,
+       CAST(CAST(1000 AS HUGEINT) * batch_err * hist_n
+            // (CAST(hist_err AS HUGEINT) * batch_n) AS BIGINT) AS drift_permille,
+       CASE WHEN CAST(1000 AS HUGEINT) * batch_err * hist_n
+                 // (CAST(hist_err AS HUGEINT) * batch_n)
+                 > {S.IVFPQ_REFRESH_DRIFT_PERMILLE}
+            THEN 'refresh' ELSE 'keep' END AS decision
+FROM agg
+"""
+
+
+@register(
     "jsonl_documents_source",
     f"""
 SELECT doc_id, lang, md5(text) AS text_md5

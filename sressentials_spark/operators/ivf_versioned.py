@@ -630,6 +630,67 @@ def pq_adc_topk_ivfpq_versioned(
     )
 
 
+def refresh_ivfpq_index_versioned(
+    emb: DataFrame,
+    base_path: str,
+    n_cells: int = IVF_CELLS,
+    m: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+    id_col: str = "vec_id",
+    fault: Callable[[str], None] | None = None,
+) -> int:
+    """CRASH-ATOMIC codebook refresh — the maintenance verb the drift
+    gauge (``similarity.ivfpq_refresh_decision``) schedules: retrain
+    BOTH quantizers on the CURRENT corpus ``emb``, re-encode every row
+    under the fresh artifacts, and publish lists + coarse centroids +
+    codebooks as ONE new manifest version. Readers of the previous
+    version are never disturbed; a crash anywhere before the final
+    link leaves the old quantizers fully live (staged files are vacuum
+    fodder) — the swap the bare sidecar layout cannot do safely, since
+    rewriting ``_coarse``/``_pq_books`` next to live lists has a
+    window where lists and quantizers disagree.
+
+    Cost is O(corpus) — a refresh IS the periodic rebuild, amortized
+    across the many O(batch) ingests it re-anchors. Single
+    maintenance writer by contract: losing the publish race (e.g. to
+    a concurrent ingest, whose batch the caller-supplied ``emb`` may
+    not contain) raises ``FileExistsError`` to the caller, who
+    re-reads the source-of-truth corpus and re-decides — retrying with
+    a stale ``emb`` would silently drop the winner's rows."""
+    from sressentials_spark.operators import similarity as S
+    from sressentials_spark.operators.cluster import kmeans_fit_centroids
+
+    fault = fault or (lambda step: None)
+    m = m if m is not None else S.PQ_M
+    k = k if k is not None else S.PQ_K
+    iters = iters if iters is not None else S.PQ_ITERS
+    version = ivf_index_versions(base_path)[-1]
+    coarse = kmeans_fit_centroids(emb, k=n_cells, iters=iters, id_col=id_col)
+    books = S.pq_train_codebooks(
+        emb, m, k, iters=iters, id_col=id_col, residual_coarse=coarse
+    )
+    entries = _commit_lists(
+        S._encode_ivfpq_lists(emb, coarse, books, m=m, id_col=id_col),
+        os.path.join(base_path, "data"),
+    )
+    fault("staged")
+    _publish_ivf_manifest(
+        base_path,
+        version + 1,
+        {
+            "version": version + 1,
+            "coarse": {
+                str(int(c)): [int(x) for x in v] for c, v in sorted(coarse.items())
+            },
+            "books": _books_to_json(books),
+            "files": entries,
+        },
+    )
+    fault("published")
+    return version + 1
+
+
 def import_ivfpq_index_versioned(
     spark,
     bare_path: str,

@@ -1274,6 +1274,140 @@ def ingest_ivfpq_index(
     return base_path
 
 
+IVFPQ_REFRESH_DRIFT_PERMILLE = 1050
+
+
+def ivfpq_quantization_error(
+    spark,
+    emb: DataFrame,
+    ivfpq_path: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector integer PQ quantization error under a persisted
+    index's FROZEN artifacts: for each indexed row, the exact int64
+    squared L2 distance between its quantized residual (raw embedding
+    minus its assigned cell's coarse centroid, on the QUANT_SCALE
+    grid — the same doubles-then-round chain the encoder ran) and the
+    codeword its stored codes actually selected. This is the drift
+    gauge's raw signal: rows encoded AFTER the artifacts were trained
+    land farther from their codewords as the data distribution moves.
+
+    Plan shape: the compressed lists join the raw vectors on
+    ``id_col``, the cell centroids and all M codebooks attach as
+    BROADCAST joins keyed on the stored codes (no shuffle — code
+    lookup is a map-side hash probe), and the per-subspace errors are
+    native ``zip_with``/``aggregate`` integer expressions. One pass
+    over the index, no Python in the hot path."""
+    from sressentials_spark.operators.cluster import QUANT_SCALE
+
+    coarse = load_ivfpq_coarse(spark, ivfpq_path)
+    books = load_pq_books(spark, ivfpq_path)
+    m = len(books)
+    dsub = DEFAULT_DIM // m
+    lists = spark.read.parquet(ivfpq_path).select(
+        F.col(id_col),
+        F.col("cell").cast("long").alias("cell"),
+        *[F.col(f"code_{i}").cast("long").alias(f"code_{i}") for i in range(m)],
+    )
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(cid), [float(x) / float(QUANT_SCALE) for x in comp])
+                for cid, comp in sorted(coarse.items())
+            ],
+            "cell bigint, cv array<double>",
+        )
+    )
+    df = (
+        lists.join(emb.select(id_col, "embedding"), id_col)
+        .join(cents, "cell")
+        .withColumn(
+            "q",
+            F.transform(
+                F.zip_with(
+                    "embedding", "cv", lambda a, b: a.cast("double") - b
+                ),
+                lambda x: F.round(x * F.lit(float(QUANT_SCALE))).cast("long"),
+            ),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    for mi, (cids, C) in enumerate(books):
+        bdf = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (int(cid), [int(x) for x in row])
+                    for cid, row in zip(cids.tolist(), C)
+                ],
+                f"code_{mi} bigint, bq_{mi} array<long>",
+            )
+        )
+        df = df.join(bdf, f"code_{mi}").withColumn(
+            f"e_{mi}",
+            F.aggregate(
+                F.zip_with(
+                    F.slice("q", mi * dsub + 1, dsub),
+                    f"bq_{mi}",
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                zero,
+                lambda acc, x: acc + x,
+            ),
+        )
+    err = df.select(
+        id_col,
+        sum(
+            (F.col(f"e_{mi}") for mi in range(1, m)), F.col("e_0")
+        ).alias("q_err"),
+    )
+    return err
+
+
+def ivfpq_refresh_decision(
+    spark,
+    emb: DataFrame,
+    ivfpq_path: str,
+    split_id: int,
+    threshold_permille: int = IVFPQ_REFRESH_DRIFT_PERMILLE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Codebook-refresh POLICY over a build-then-ingest IVF-PQ index:
+    compare the mean integer quantization error of the INGESTED rows
+    (``id >= split_id``, encoded under artifacts trained before they
+    existed) against the HISTORY rows the artifacts were trained on,
+    and decide whether quantizer drift has crossed the refresh
+    threshold. The ratio is computed as
+    ``1000 * batch_err * hist_n // (hist_err * batch_n)`` in exact
+    arbitrary-precision integers (the four aggregates are a bounded
+    one-row collect — the convergence-scalar pattern), so the permille
+    and the decision are bit-reproducible by the DuckDB restatement
+    (HUGEINT arithmetic). ``decision = 'refresh'`` when the batch's
+    rows sit more than ``threshold_permille - 1000`` permille farther
+    from their codewords than the training slice's own quantization
+    noise floor — the signal that schedules the periodic
+    retrain-rebuild (crash-atomic via the versioned tier's
+    refresh/import verbs) instead of refreshing on a timer."""
+    err = ivfpq_quantization_error(spark, emb, ivfpq_path, id_col=id_col)
+    hist = F.col(id_col) < split_id
+    row = err.agg(
+        F.sum(F.when(hist, 1).otherwise(0)).cast("long").alias("hist_n"),
+        F.sum(F.when(~hist, 1).otherwise(0)).cast("long").alias("batch_n"),
+        F.sum(F.when(hist, F.col("q_err"))).cast("long").alias("hist_err"),
+        F.sum(F.when(~hist, F.col("q_err"))).cast("long").alias("batch_err"),
+    ).first()
+    hist_n, batch_n = int(row["hist_n"]), int(row["batch_n"])
+    hist_err, batch_err = int(row["hist_err"]), int(row["batch_err"])
+    drift = 1000 * batch_err * hist_n // (hist_err * batch_n)
+    decision = (
+        "refresh" if drift > int(threshold_permille) else "keep"
+    )
+    return spark.createDataFrame(
+        [(hist_n, batch_n, hist_err, batch_err, drift, decision)],
+        "hist_n bigint, batch_n bigint, hist_err bigint, batch_err bigint, "
+        "drift_permille bigint, decision string",
+    )
+
+
 def load_ivfpq_coarse(spark, base_path: str) -> dict[int, list[int]]:
     """The frozen trained coarse centroids persisted by
     :func:`build_ivfpq_index`, in kmeans_fit_centroids shape."""

@@ -902,3 +902,79 @@ def test_import_crash_before_publish_leaves_no_version(spark, tmp_path, monkeypa
     assert len(staged) == 1  # orphaned, reclaimed by vacuum once quiesced
     monkeypatch.undo()
     assert V.import_ivfpq_index_versioned(spark, bare, base) == 1
+
+
+def test_refresh_retrains_and_swaps_quantizers_atomically(spark, tmp_path):
+    """The drift-scheduled refresh verb: build on the history slice,
+    ingest the newest rows under the stale artifacts, REFRESH on the
+    full corpus — the new version's quantizers equal a from-scratch
+    full-corpus build's (training is deterministic), serving from it
+    equals the full-build index bit-for-bit, the pre-refresh version
+    still time-travels, and a crash before publish leaves the stale
+    quantizers fully live."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    hist = emb.filter(F.col("vec_id") < 25)
+    batch = emb.filter(F.col("vec_id") >= 25)
+    base = str(tmp_path / "ver")
+    V.build_ivfpq_index_versioned(hist, base)
+    V.ingest_ivfpq_index_versioned(batch, base)
+    pre = _adc_topk(spark, emb, base)  # stale-artifact serving (v2)
+
+    class Kill(RuntimeError):
+        pass
+
+    def killer(step):
+        if step == "staged":
+            raise Kill(step)
+
+    with pytest.raises(Kill):
+        V.refresh_ivfpq_index_versioned(emb, base, fault=killer)
+    assert V.ivf_index_versions(base) == [1, 2]  # old quantizers live
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base), pre, check_exact=True
+    )
+
+    assert V.refresh_ivfpq_index_versioned(emb, base) == 3
+    full = str(tmp_path / "full")
+    V.build_ivfpq_index_versioned(emb, full)
+    man_r = V.read_ivf_manifest(base, 3)
+    man_f = V.read_ivf_manifest(full, 1)
+    assert man_r["coarse"] == man_f["coarse"]
+    assert man_r["books"] == man_f["books"]
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base), _adc_topk(spark, emb, full),
+        check_exact=True,
+    )
+    # Pre-refresh state still reads exactly as committed.
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base, version=2), pre, check_exact=True
+    )
+
+
+def test_refresh_decision_gauge_is_exact_and_scale_free(spark, tmp_path):
+    """ivfpq_refresh_decision over a bare 70/30 build-then-ingest
+    index: counts partition the corpus exactly, errors are positive
+    integers, and the permille ratio obeys its own integer identity
+    (bit-reproducibility vs DuckDB is pinned by the registered
+    query's oracle; this pins the operator's internal consistency)."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    bare = str(tmp_path / "bare")
+    S.build_ivfpq_index(emb.filter(F.col("vec_id") < split), bare)
+    S.ingest_ivfpq_index(emb.filter(F.col("vec_id") >= split), bare)
+    row = S.ivfpq_refresh_decision(spark, emb, bare, split).first()
+    n = emb.count()
+    assert row["hist_n"] + row["batch_n"] == n
+    assert row["hist_err"] > 0 and row["batch_err"] > 0
+    want = (1000 * row["batch_err"] * row["hist_n"]) // (
+        row["hist_err"] * row["batch_n"]
+    )
+    assert row["drift_permille"] == want
+    assert row["decision"] == (
+        "refresh" if want > S.IVFPQ_REFRESH_DRIFT_PERMILLE else "keep"
+    )
