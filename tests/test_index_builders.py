@@ -27,6 +27,7 @@ def test_registry_names() -> None:
         "ivfpq_index_build",
         "ivfpq_ingest_index_build",
         "ivfpq_rerank_index_build",
+        "ivfpq_versioned_index_build",
         "ivf_versioned_index_build",
     }
 
