@@ -2486,15 +2486,17 @@ agg AS (
     CAST(COUNT(*) FILTER (WHERE vec_id >= (SELECT s FROM split)) AS BIGINT) AS batch_n,
     CAST(SUM(q_err) FILTER (WHERE vec_id < (SELECT s FROM split)) AS BIGINT) AS hist_err,
     CAST(SUM(q_err) FILTER (WHERE vec_id >= (SELECT s FROM split)) AS BIGINT) AS batch_err
-  FROM qerr)
-SELECT hist_n, batch_n, hist_err, batch_err,
-       CAST(CAST(1000 AS HUGEINT) * batch_err * hist_n
-            // (CAST(hist_err AS HUGEINT) * batch_n) AS BIGINT) AS drift_permille,
-       CASE WHEN CAST(1000 AS HUGEINT) * batch_err * hist_n
-                 // (CAST(hist_err AS HUGEINT) * batch_n)
-                 > {S.IVFPQ_REFRESH_DRIFT_PERMILLE}
+  FROM qerr),
+drift AS (
+  SELECT hist_n, batch_n, hist_err, batch_err,
+         CAST(CAST(1000 AS HUGEINT) * batch_err * hist_n
+              // (CAST(hist_err AS HUGEINT) * batch_n) AS BIGINT)
+           AS drift_permille
+  FROM agg)
+SELECT hist_n, batch_n, hist_err, batch_err, drift_permille,
+       CASE WHEN drift_permille > {S.IVFPQ_REFRESH_DRIFT_PERMILLE}
             THEN 'refresh' ELSE 'keep' END AS decision
-FROM agg
+FROM drift
 """
 
 
