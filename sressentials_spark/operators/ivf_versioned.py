@@ -630,6 +630,149 @@ def pq_adc_topk_ivfpq_versioned(
     )
 
 
+#: Child cell ids for IVF-PQ rebalance splits are the seed member's
+#: vec_id shifted past any kmeans-born cid (those are < n_cells) and
+#: any plain vec_id, so a split can never collide with a live cell id
+#: (a vector lives in exactly one cell, so at most one live child can
+#: derive from a given vec_id at a time).
+IVFPQ_CHILD_ID_BASE = 1 << 32
+
+
+def rebalance_ivfpq_index_versioned(
+    spark,
+    emb: DataFrame,
+    base_path: str,
+    *,
+    factor_pct: int = IVF_REBALANCE_PCT,
+    split_seed: str = IVF_SPLIT_SEED,
+    id_col: str = "vec_id",
+    fault: Callable[[str], None] | None = None,
+    retries: int = 5,
+) -> dict:
+    """CRASH-ATOMIC rebalance for the IVF-PQ tier — the verb that
+    completes the compressed index's lifecycle symmetry with the
+    cosine tier (build / ingest / REBALANCE / refresh / import /
+    vacuum): cells whose manifest row count exceeds
+    ``rows * factor_pct // (n_centroids * 100)`` split into two
+    hash-picked child seeds, exactly the cosine-tier split rule.
+
+    What differs under PQ is that the lists store CODES, not vectors,
+    and codes are residuals against the cell centroid — so moving a
+    member to a child cell changes its residual basis and its codes
+    must be RE-ENCODED. The split therefore fetches the oversized
+    cells' raw vectors from ``emb`` by id (an id-pushdown read of
+    O(oversized cells' rows) — the raw corpus is cold storage, touched
+    only for the rows that move) and re-encodes them against the new
+    child centroids under the FROZEN codebooks (the subspace books are
+    global, not per-cell, so a cell split does not retrain them; the
+    drift gauge / refresh verb owns that decision). Child centroids
+    are the seeds' own embeddings on the QUANT_SCALE integer grid
+    (quantize_exact — the same half-up grid every probe ranks
+    against); child cell ids are ``vec_id + IVFPQ_CHILD_ID_BASE``.
+
+    Commit discipline is the cosine rebalance's verbatim: child lists
+    land first as immutable commit files, the new manifest (old files
+    minus split cells', plus child files; coarse swapped; books
+    byte-identical) publishes LAST via one atomic exclusive link, a
+    crash anywhere leaves the previous version intact, and a lost
+    publish race re-runs the whole decision against the new latest
+    (stale staging is vacuum fodder). The split decision itself reads
+    only manifest row counts — at 100 TB deciding costs one JSON
+    read."""
+    import numpy as np
+
+    from sressentials_spark.operators import similarity as S
+    from sressentials_spark.operators.linalg import quantize_exact
+
+    fault = fault or (lambda step: None)
+    version = ivf_index_versions(base_path)[-1]
+    man = read_ivf_manifest(base_path, version)
+    books = _books_from_json(man["books"])
+    m = len(books)
+    sizes: dict[int, int] = {}
+    for e in man["files"]:
+        sizes[e["cell"]] = sizes.get(e["cell"], 0) + e["rows"]
+    n_rows = sum(sizes.values())
+    cents = {int(c): list(v) for c, v in man["coarse"].items()}
+    threshold = n_rows * factor_pct // (len(cents) * 100)
+    oversized = sorted(c for c, n in sizes.items() if n > threshold)
+
+    data_dir = os.path.join(base_path, "data")
+    new_entries: list[dict] = []
+    for c in oversized:
+        member_ids = read_ivf_index_version(
+            spark, base_path, version, cells=[c]
+        ).select(id_col)
+        members = emb.join(member_ids, id_col).select(id_col, "embedding")
+        h = md5_long(
+            F.concat(F.lit(split_seed + ":"), F.col(id_col).cast("string"))
+        )
+        seed_rows = (
+            members.withColumn("_h", h)
+            .orderBy("_h", id_col)
+            .limit(2)
+            .collect()
+        )
+        ch_coarse = {
+            int(r[id_col]) + IVFPQ_CHILD_ID_BASE: [
+                int(x)
+                for x in quantize_exact(
+                    np.asarray(r["embedding"], dtype=np.float64)
+                )
+            ]
+            for r in seed_rows
+        }
+        new_entries += _commit_lists(
+            S._encode_ivfpq_lists(members, ch_coarse, books, m=m, id_col=id_col),
+            data_dir,
+        )
+        cents.pop(c, None)
+        cents.update(ch_coarse)
+        fault(f"staged:{c}")
+
+    if oversized:
+        split = set(oversized)
+        files = [e for e in man["files"] if e["cell"] not in split]
+        files += new_entries
+        fault("prepared")
+        try:
+            _publish_ivf_manifest(
+                base_path,
+                version + 1,
+                {
+                    "version": version + 1,
+                    "coarse": {str(c): v for c, v in sorted(cents.items())},
+                    "books": man["books"],
+                    "files": files,
+                },
+            )
+        except FileExistsError:
+            # Same recovery as the cosine tier: the winner changed the
+            # file set (and maybe the cells), so the split decision's
+            # inputs are stale — re-run against the new latest.
+            if retries <= 0:
+                raise
+            fault("retrying")
+            return rebalance_ivfpq_index_versioned(
+                spark,
+                emb,
+                base_path,
+                factor_pct=factor_pct,
+                split_seed=split_seed,
+                id_col=id_col,
+                fault=fault,
+                retries=retries - 1,
+            )
+        fault("published")
+    return {
+        "cells_split": len(oversized),
+        "split_cells": oversized,
+        "threshold": int(threshold),
+        "n_centroids": len(cents),
+        "version": version + 1 if oversized else version,
+    }
+
+
 def refresh_ivfpq_index_versioned(
     emb: DataFrame,
     base_path: str,

@@ -978,3 +978,134 @@ def test_refresh_decision_gauge_is_exact_and_scale_free(spark, tmp_path):
     assert row["decision"] == (
         "refresh" if want > S.IVFPQ_REFRESH_DRIFT_PERMILLE else "keep"
     )
+
+
+def test_ivfpq_rebalance_splits_reencode_and_commit_atomically(spark, tmp_path):
+    """The PQ-tier rebalance: oversized cells split into two
+    hash-picked children and the members' codes are RE-ENCODED against
+    the child centroids under the frozen books (residual basis moved).
+    Pins: the manifest swap is exact (split cells gone, children
+    present, books byte-identical, row population preserved), the
+    child lists equal an independent re-encode, the pre-split version
+    still time-travels bit-equal, and post-split serving works."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivfpq_index_versioned(emb, base)
+    man1 = V.read_ivf_manifest(base, 1)
+    pre = _adc_topk(spark, emb, base)
+
+    stats = V.rebalance_ivfpq_index_versioned(spark, emb, base)
+    assert stats["cells_split"] >= 1
+    assert V.ivf_index_versions(base) == [1, 2]
+    man2 = V.read_ivf_manifest(base, 2)
+    assert man2["books"] == man1["books"]  # books never retrain here
+    split = set(stats["split_cells"])
+    cells2 = {e["cell"] for e in man2["files"]}
+    assert not (split & cells2)  # split cells retired
+    children = {c for c in man2["coarse"] if c >= V.IVFPQ_CHILD_ID_BASE}
+    assert len(children) == 2 * len(split)
+    assert children <= cells2
+    # Population preserved: same vec_ids, same total rows.
+    ids1 = {
+        r["vec_id"]
+        for r in V.read_ivf_index_version(spark, base, 1).select("vec_id").collect()
+    }
+    ids2 = {
+        r["vec_id"]
+        for r in V.read_ivf_index_version(spark, base, 2).select("vec_id").collect()
+    }
+    assert ids1 == ids2
+    assert sum(e["rows"] for e in man2["files"]) == len(ids1)
+    # Child lists are exactly an independent PER-CELL re-encode: each
+    # split cell's members are re-pointed to the nearer of ITS OWN two
+    # child seeds (the cosine-tier split semantics), never to another
+    # cell's children, under the frozen books.
+    books = V._books_from_json(man2["books"])
+    wants = []
+    for c in sorted(split):
+        cm_ids = V.read_ivf_index_version(
+            spark, base, 1, cells=[c]
+        ).select("vec_id")
+        cm = emb.join(cm_ids, "vec_id").select("vec_id", "embedding")
+        cm_set = {r["vec_id"] for r in cm_ids.collect()}
+        ch_coarse = {
+            cid: man2["coarse"][cid]
+            for cid in children
+            if cid - V.IVFPQ_CHILD_ID_BASE in cm_set
+        }
+        assert len(ch_coarse) == 2
+        wants.append(
+            S._encode_ivfpq_lists(cm, ch_coarse, books, m=len(books)).toPandas()
+        )
+    want = (
+        pd.concat(wants, ignore_index=True)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        V.read_ivf_index_version(spark, base, 2, cells=sorted(children))
+        .select(*want.columns)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # Pre-split version reads exactly as committed; post-split serves.
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base, version=1), pre, check_exact=True
+    )
+    post = _adc_topk(spark, emb, base)
+    assert (post.groupby("query_id")["rank"].max() == 10).all()
+
+
+def test_ivfpq_rebalance_kill_between_steps_never_partial(spark, tmp_path):
+    """Kill the PQ rebalance after every mutation step: a reader must
+    always see exactly the pre-split index (no manifest advance, serve
+    bit-equal), and the eventual clean run must commit the same split
+    a never-killed run would."""
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivfpq_index_versioned(emb, base)
+    pre = _adc_topk(spark, emb, base)
+
+    class Kill(RuntimeError):
+        pass
+
+    steps: list[str] = []
+
+    def count_steps(step):
+        steps.append(step)
+
+    ref = str(tmp_path / "ref")
+    V.build_ivfpq_index_versioned(emb, ref)
+    V.rebalance_ivfpq_index_versioned(spark, emb, ref, fault=count_steps)
+    assert steps and steps[-1] == "published"
+
+    for k in range(len(steps) - 1):  # kill at every pre-publish step
+
+        def killer(step, _k=k, _seen=[]):
+            _seen.append(step)
+            if len(_seen) == _k + 1:
+                raise Kill(step)
+
+        with pytest.raises(Kill):
+            V.rebalance_ivfpq_index_versioned(spark, emb, base, fault=killer)
+        assert V.ivf_index_versions(base) == [1]
+        pd.testing.assert_frame_equal(
+            _adc_topk(spark, emb, base), pre, check_exact=True
+        )
+    out = V.rebalance_ivfpq_index_versioned(spark, emb, base)
+    assert out["version"] == 2
+    man = V.read_ivf_manifest(base, 2)
+    man_ref = V.read_ivf_manifest(ref, 2)
+    assert man["coarse"] == man_ref["coarse"]
+    assert {(e["cell"], e["rows"]) for e in man["files"]} == {
+        (e["cell"], e["rows"]) for e in man_ref["files"]
+    }
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base),
+        _adc_topk(spark, emb, ref),
+        check_exact=True,
+    )
