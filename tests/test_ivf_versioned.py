@@ -1109,3 +1109,97 @@ def test_ivfpq_rebalance_kill_between_steps_never_partial(spark, tmp_path):
         _adc_topk(spark, emb, ref),
         check_exact=True,
     )
+
+
+def test_random_lifecycle_model_ivfpq(spark, tmp_path):
+    """Randomized lifecycle model for the PQ tier — the full verb set
+    (ingest / rebalance / refresh / vacuum, each with kill-injected
+    twins) interleaved by a seeded RNG. After EVERY step the latest
+    committed version must expose exactly the model's id set, manifest
+    row counts must equal the real population, every listed file must
+    exist, the quantizers must be internally consistent (every file's
+    cell exists in the coarse set), and versions only grow."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    all_ids = [
+        r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").collect()
+    ]
+    slices = [all_ids[i::5] for i in range(5)]
+    base = str(tmp_path / "pq")
+    V.build_ivfpq_index_versioned(
+        emb.filter(F.col("vec_id").isin(slices[0])), base
+    )
+    model_ids = set(slices[0])
+    next_batch = 1
+    # Seed chosen so the 10-op draw covers every verb kind (2 ingests,
+    # a rebalance, a refresh, kills, vacuums) — checked when written.
+    rng = random.Random(1)
+
+    class Kill(RuntimeError):
+        pass
+
+    def killer(step):
+        raise Kill(step)
+
+    def corpus():
+        return emb.filter(F.col("vec_id").isin(sorted(model_ids)))
+
+    def check() -> int:
+        v = V.ivf_index_versions(base)[-1]
+        man = V.read_ivf_manifest(base, v)
+        cells = {int(c) for c in man["coarse"]}
+        for e in man["files"]:
+            assert os.path.exists(os.path.join(base, "data", e["path"]))
+            assert e["cell"] in cells  # lists never orphan their cell
+        assert sum(e["rows"] for e in man["files"]) == len(model_ids)
+        got = {
+            r["vec_id"]
+            for r in V.read_ivf_index_version(spark, base, v)
+            .select("vec_id")
+            .collect()
+        }
+        assert got == model_ids
+        return v
+
+    v_prev = check()
+    for _ in range(10):
+        op = rng.choice(
+            [
+                "ingest", "ingest_kill", "rebalance", "rebalance_kill",
+                "refresh", "refresh_kill", "vacuum",
+            ]
+        )
+        if op.startswith("ingest"):
+            if next_batch >= len(slices):
+                continue
+            batch = emb.filter(F.col("vec_id").isin(slices[next_batch]))
+            if op == "ingest_kill":
+                with pytest.raises(Kill):
+                    V.ingest_ivfpq_index_versioned(batch, base, fault=killer)
+            else:
+                V.ingest_ivfpq_index_versioned(batch, base)
+                model_ids |= set(slices[next_batch])
+                next_batch += 1
+        elif op == "rebalance":
+            V.rebalance_ivfpq_index_versioned(spark, corpus(), base)
+        elif op == "rebalance_kill":
+            try:
+                V.rebalance_ivfpq_index_versioned(
+                    spark, corpus(), base, fault=killer
+                )
+            except Kill:
+                pass
+        elif op == "refresh":
+            V.refresh_ivfpq_index_versioned(corpus(), base)
+        elif op == "refresh_kill":
+            with pytest.raises(Kill):
+                V.refresh_ivfpq_index_versioned(corpus(), base, fault=killer)
+        elif op == "vacuum":
+            V.vacuum_ivf_index(base, keep_last=1)
+        v_now = check()
+        assert v_now >= v_prev
+        v_prev = v_now
+    assert next_batch > 1  # the sequence actually grew the index
