@@ -1971,6 +1971,161 @@ def _ivfpq_versioned_index_path(spark: SparkSession, sf_dir: str) -> str:
 INDEX_BUILDERS["ivfpq_versioned_index_build"] = _ivfpq_versioned_index_path
 
 
+def _ivfpq_rebalance_recall_sql() -> str:
+    """Full restatement of the PQ-tier REBALANCE
+    (operators/ivf_versioned.py:rebalance_ivfpq_index_versioned)
+    composed into a recall@10 eval — written and parity-validated in
+    round 10 (tests/test_ivfpq_rebalance_oracle.py), registration
+    planned for round 11 (rotation budget). The chain: trained coarse
+    k-means cells -> split decision over cell populations (>115% of
+    the uniform share) -> two hash-picked child seeds per oversized
+    cell (child centroid = the seed member's embedding on the
+    QUANT_SCALE grid, child id = vec_id + 2^32) -> members re-pointed
+    to the nearer child by exact integer L2 -> moved rows RE-ENCODED
+    against their child centroid under the FROZEN full-corpus books
+    (unmoved rows keep their original codes) -> IVFADC probes ranked
+    against the POST-split centroid set -> recall joined against the
+    exact cosine top-k."""
+    m = S.PQ_M
+    dsub = 64 // m
+    total = "d0"
+    for i in range(1, m):
+        total = f"({total} + d{i})"
+    qids = ", ".join(map(str, _TOPK_QUERY_IDS))
+    mq = (
+        f"[CAST(ROUND(CAST(t.rv[_m.m*{dsub}+j] AS DOUBLE) * {_PQ_SCALE})"
+        f" AS BIGINT) for j in generate_series(1, {dsub})]"
+    )
+    return f"""
+WITH {_km_ctes(k=S.IVF_CELLS, iters=S.PQ_ITERS, dim=64)},
+tcents AS (SELECT cid, cq FROM c{S.PQ_ITERS}),
+icells AS (SELECT vec_id, cluster AS cell FROM afin),
+thresh AS (SELECT CAST(COUNT(*) * {S.IVF_REBALANCE_PCT}
+                       // ({S.IVF_CELLS} * 100) AS BIGINT) AS t
+           FROM embeddings),
+oversized AS (
+  SELECT cell FROM icells, thresh GROUP BY cell, t HAVING COUNT(*) > t
+),
+chseeds AS (
+  SELECT cell AS parent,
+         vec_id + {IV.IVFPQ_CHILD_ID_BASE} AS cid, q AS cq FROM (
+    SELECT c.cell, c.vec_id, e.q,
+           ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY
+             ('0x' || substring(md5('{S.IVF_SPLIT_SEED}:' || CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+             c.vec_id) AS rn
+    FROM icells c JOIN oversized o ON o.cell = c.cell
+    JOIN emb e ON e.vec_id = c.vec_id)
+  WHERE rn <= 2
+),
+moved AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT mm.vec_id, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY mm.vec_id ORDER BY
+             CAST(list_sum([(mm.q[j] - s.cq[j]) * (mm.q[j] - s.cq[j])
+                            for j in generate_series(1, 64)]) AS BIGINT),
+             s.cid ASC) AS rn
+    FROM (SELECT c.vec_id, c.cell, e.q
+          FROM icells c JOIN oversized o ON o.cell = c.cell
+          JOIN emb e ON e.vec_id = c.vec_id) mm
+    JOIN chseeds s ON s.parent = mm.cell)
+  WHERE rn = 1
+),
+cells2 AS (
+  SELECT vec_id, cell FROM icells
+  WHERE cell NOT IN (SELECT cell FROM oversized)
+  UNION ALL
+  SELECT vec_id, cell FROM moved
+),
+cents2 AS (
+  SELECT cid, cq FROM tcents WHERE cid NOT IN (SELECT cell FROM oversized)
+  UNION ALL
+  SELECT cid, cq FROM chseeds
+),
+pqr_src AS (
+  SELECT e2.vec_id,
+         [CAST(e2.embedding[i] AS DOUBLE) - CAST(t.cq[i] AS DOUBLE) / {_PQ_SCALE}
+          for i in generate_series(1, 64)] AS rv
+  FROM embeddings e2
+  JOIN icells c ON c.vec_id = e2.vec_id
+  JOIN tcents t ON t.cid = c.cell
+),
+{S.pq_train_sql_ctes(src="pqr_src", vec="rv", prefix="pqr", m=m)},
+movedresid AS (
+  SELECT mv.vec_id,
+         [CAST(e2.embedding[i] AS DOUBLE) - CAST(s.cq[i] AS DOUBLE) / {_PQ_SCALE}
+          for i in generate_series(1, 64)] AS rv
+  FROM moved mv
+  JOIN embeddings e2 ON e2.vec_id = mv.vec_id
+  JOIN chseeds s ON s.cid = mv.cell
+),
+moved_pts AS (SELECT t.vec_id, _m.m, {mq} AS q
+              FROM movedresid t CROSS JOIN pqr_subs _m),
+moved_codes AS (
+  SELECT vec_id, m, cluster AS code FROM (
+    SELECT pp.vec_id, pp.m, b.cid AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY pp.vec_id, pp.m ORDER BY
+             CAST(list_sum([(pp.q[j] - b.cq[j]) * (pp.q[j] - b.cq[j])
+                            for j in generate_series(1, {dsub})]) AS BIGINT),
+             b.cid) AS rn
+    FROM moved_pts pp JOIN pqr_books b ON b.m = pp.m)
+  WHERE rn = 1
+),
+codes2 AS (
+  SELECT vec_id, m, code FROM pqr_codes
+  WHERE vec_id NOT IN (SELECT vec_id FROM moved)
+  UNION ALL
+  SELECT vec_id, m, code FROM moved_codes
+),
+iprobes AS (
+  SELECT vec_id AS query_id, cid AS pcell FROM (
+    SELECT e.vec_id, c2.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum([(e.q[j] - c2.cq[j]) * (e.q[j] - c2.cq[j])
+                            for j in generate_series(1, 64)]) AS BIGINT),
+             c2.cid) AS rn
+    FROM emb e CROSS JOIN cents2 c2
+    WHERE e.vec_id IN ({qids}))
+  WHERE rn <= {S.IVF_NPROBE}),
+cand AS (SELECT p.query_id, p.pcell, c.vec_id AS neighbor_id
+         FROM iprobes p JOIN cells2 c
+           ON c.cell = p.pcell AND c.vec_id <> p.query_id),
+rqd AS (SELECT p.query_id, p.pcell, b.m, b.cid AS k,
+               {_pq_resid_term_sql('q.embedding', 't.cq', 'b', dsub=dsub)} AS dq
+        FROM iprobes p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN cents2 t ON t.cid = p.pcell
+        CROSS JOIN pqr_books b),
+p2 AS (SELECT cand.query_id, cand.neighbor_id, rqd.m, rqd.dq
+       FROM cand
+       JOIN codes2 c ON c.vec_id = cand.neighbor_id
+       JOIN rqd ON rqd.query_id = cand.query_id
+              AND rqd.pcell = cand.pcell
+              AND rqd.m = c.m AND rqd.k = c.code),
+g AS (SELECT query_id, neighbor_id,
+             {', '.join(
+                 f'MAX(CASE WHEN m = {i} THEN dq END) AS d{i}'
+                 for i in range(m)
+             )}
+      FROM p2 GROUP BY query_id, neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+             {total} AS adc_dist FROM g),
+rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       FROM r),
+approx AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 10)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_permille
+FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 @register(
     "sim_ivfpq_versioned_topk",
     _ivfpq_adc_sql(m=S.PQ_M, limit=10),  # shares sim_pq_adc_topk_ivf's oracle

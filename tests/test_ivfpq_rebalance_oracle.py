@@ -1,0 +1,77 @@
+"""Parity validation for the UNREGISTERED PQ-rebalance recall oracle
+(catalog._ivfpq_rebalance_recall_sql) — round-10 prep for the round-11
+registration (the rotation budget was exactly full this round): the
+Spark composition (versioned IVF-PQ build on the full corpus →
+crash-atomic rebalance → IVFADC serve from the post-split manifest →
+recall@10 vs the exact cosine top-k) must match the DuckDB restatement
+cell-for-cell, exactly the driver's compare. When this is promoted to
+a registered query, this test becomes its sf0.001 gate rehearsal for
+free (test_catalog_oracle covers all registered names)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sressentials_spark import catalog
+from sressentials_spark.operators import ivf_versioned as V
+from sressentials_spark.sources.tables import TABLES, load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    out = con.execute(sql).fetchdf()
+    con.close()
+    return out
+
+
+def test_pq_rebalance_recall_matches_oracle(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = str(tmp_path / "pq")
+    V.build_ivfpq_index_versioned(emb, base)
+    stats = V.rebalance_ivfpq_index_versioned(spark, emb, base)
+    assert stats["cells_split"] >= 1
+
+    exact = catalog.QUERIES["sim_cosine_topk"](spark, SF_DIR).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        V.pq_adc_topk_ivfpq_versioned(
+            spark, emb, base, catalog._TOPK_QUERY_IDS, topk=10
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    got = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _run_oracle(catalog._ivfpq_rebalance_recall_sql())
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True
+    )
