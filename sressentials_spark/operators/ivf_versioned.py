@@ -630,6 +630,105 @@ def pq_adc_topk_ivfpq_versioned(
     )
 
 
+def delete_ivf_index_versioned(
+    spark,
+    base_path: str,
+    ids: list[int],
+    id_col: str = "vec_id",
+    fault: Callable[[str], None] | None = None,
+    retries: int = 5,
+) -> dict:
+    """CRASH-ATOMIC row delete — copy-on-write at FILE granularity
+    (the Iceberg COW delete): rewrite only the list files that
+    actually contain the target ids (minus those rows, same cells),
+    publish a manifest swapping exactly those files, and leave every
+    other file byte-untouched. Works on BOTH tiers (cosine-IVF and
+    IVF-PQ lists both carry ``cell`` as a data column); quantizers are
+    untouched — removing rows never moves a centroid, and serving
+    quality drift stays the refresh gauge's business.
+
+    This is the takedown verb a training-data estate needs
+    (right-to-be-forgotten, dedup-driven removals): a crash anywhere
+    before the final link leaves the pre-delete version fully live
+    (rewritten files are staged commits — vacuum fodder), readers of
+    any committed version are never disturbed, and the PRE-delete
+    version still time-travels until vacuum expires it — which is also
+    the compliance story: the data is provably gone exactly when
+    vacuum reclaims the unreferenced files.
+
+    Cost: one id-column-only scan of the current version to locate
+    affected files (parquet column pruning makes this the cheapest
+    possible full pass; with per-file id-range stats in the manifest
+    it would become a driver-side prune — noted for the day the
+    manifest grows stats), plus a rewrite of O(affected files). A lost
+    publish race re-locates against the new latest (the winner may
+    have rewritten or split the very files this delete targeted)."""
+    fault = fault or (lambda step: None)
+    want = sorted(set(int(i) for i in ids))
+    for _ in range(retries + 1):
+        version = ivf_index_versions(base_path)[-1]
+        man = read_ivf_manifest(base_path, version)
+        paths = {
+            os.path.join(base_path, "data", e["path"]): e for e in man["files"]
+        }
+        if not paths:
+            return {"deleted_rows": 0, "files_rewritten": 0, "version": version}
+        hits = (
+            spark.read.parquet(*paths)
+            .select(F.col(id_col), F.input_file_name().alias("_f"))
+            .filter(F.col(id_col).isin(want))
+            .groupBy("_f")
+            .count()
+            .collect()
+        )
+        if not hits:
+            return {"deleted_rows": 0, "files_rewritten": 0, "version": version}
+        # input_file_name is a file URI; normalize back to local paths.
+        from urllib.parse import unquote, urlparse
+
+        affected = {unquote(urlparse(r["_f"]).path): int(r["count"]) for r in hits}
+        n_deleted = sum(affected.values())
+        survivors = spark.read.parquet(*affected).filter(
+            ~F.col(id_col).isin(want)
+        )
+        entries = _commit_lists(survivors, os.path.join(base_path, "data"))
+        fault("staged")
+        kept = [
+            e
+            for p, e in paths.items()
+            if os.path.normpath(p) not in {os.path.normpath(a) for a in affected}
+        ]
+        payload = {
+            "version": version + 1,
+            "files": kept + entries,
+        }
+        for k in ("centroids", "coarse", "books"):
+            if k in man:
+                payload[k] = (
+                    {str(c): v for c, v in sorted(man[k].items())}
+                    if isinstance(man[k], dict)
+                    else man[k]
+                )
+        try:
+            _publish_ivf_manifest(base_path, version + 1, payload)
+        except FileExistsError:
+            # The winner may have rewritten/split/vacuumed the very
+            # files this delete targeted: the affected set is stale,
+            # so re-locate against the new latest. Staged rewrites of
+            # the lost attempt are vacuum fodder.
+            fault("retrying")
+            continue
+        fault("published")
+        return {
+            "deleted_rows": n_deleted,
+            "files_rewritten": len(affected),
+            "version": version + 1,
+        }
+    raise RuntimeError(
+        f"delete lost the publish race {retries + 1} times under {base_path}"
+    )
+
+
 #: Child cell ids for IVF-PQ rebalance splits are the seed member's
 #: vec_id shifted past any kmeans-born cid (those are < n_cells) and
 #: any plain vec_id, so a split can never collide with a live cell id

@@ -1134,9 +1134,10 @@ def test_random_lifecycle_model_ivfpq(spark, tmp_path):
     )
     model_ids = set(slices[0])
     next_batch = 1
-    # Seed chosen so the 10-op draw covers every verb kind (2 ingests,
-    # a rebalance, a refresh, kills, vacuums) — checked when written.
-    rng = random.Random(1)
+    # Seed chosen so the 12-op draw covers every verb kind (3 ingests,
+    # a rebalance, a refresh, 4 deletes, kills, a vacuum) — checked
+    # when written.
+    rng = random.Random(10)
 
     class Kill(RuntimeError):
         pass
@@ -1165,11 +1166,12 @@ def test_random_lifecycle_model_ivfpq(spark, tmp_path):
         return v
 
     v_prev = check()
-    for _ in range(10):
+    for _ in range(12):
         op = rng.choice(
             [
                 "ingest", "ingest_kill", "rebalance", "rebalance_kill",
-                "refresh", "refresh_kill", "vacuum",
+                "refresh", "refresh_kill", "vacuum", "delete",
+                "delete_kill",
             ]
         )
         if op.startswith("ingest"):
@@ -1197,9 +1199,114 @@ def test_random_lifecycle_model_ivfpq(spark, tmp_path):
         elif op == "refresh_kill":
             with pytest.raises(Kill):
                 V.refresh_ivfpq_index_versioned(corpus(), base, fault=killer)
+        elif op.startswith("delete"):
+            victims = rng.sample(sorted(model_ids), k=min(3, len(model_ids) - 5))
+            if op == "delete_kill":
+                with pytest.raises(Kill):
+                    V.delete_ivf_index_versioned(
+                        spark, base, victims, fault=killer
+                    )
+            else:
+                out = V.delete_ivf_index_versioned(spark, base, victims)
+                assert out["deleted_rows"] == len(victims)
+                model_ids -= set(victims)
         elif op == "vacuum":
             V.vacuum_ivf_index(base, keep_last=1)
         v_now = check()
         assert v_now >= v_prev
         v_prev = v_now
     assert next_batch > 1  # the sequence actually grew the index
+
+
+def test_delete_rewrites_only_affected_files_both_tiers(spark, tmp_path):
+    """Copy-on-write delete: only the files containing target ids are
+    rewritten (every other file byte-untouched), the deleted rows
+    vanish from serving, the PRE-delete version still time-travels
+    (the compliance story: data is provably gone when vacuum expires
+    it), quantizers are untouched, and a no-op delete commits
+    nothing. Both tiers share the verb."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    # --- cosine tier ---
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb, base)
+    pre = _topk(spark, base)
+    victims = [int(r["neighbor_id"]) for r in pre.head(3).to_dict("records")]
+    stats_before = {
+        os.path.join(base, "data", e["path"]): os.stat(
+            os.path.join(base, "data", e["path"])
+        )
+        for e in V.read_ivf_manifest(base, 1)["files"]
+    }
+    out = V.delete_ivf_index_versioned(spark, base, victims)
+    assert out["deleted_rows"] == len(set(victims))
+    assert out["version"] == 2
+    man2 = V.read_ivf_manifest(base, 2)
+    assert man2["centroids"] == V.read_ivf_manifest(base, 1)["centroids"]
+    kept = {os.path.join(base, "data", e["path"]) for e in man2["files"]}
+    for p in kept & set(stats_before):  # carried-over files byte-untouched
+        now = os.stat(p)
+        assert (now.st_size, now.st_mtime_ns) == (
+            stats_before[p].st_size,
+            stats_before[p].st_mtime_ns,
+        )
+    post = _topk(spark, base)
+    assert not set(victims) & set(post["neighbor_id"])
+    assert (post.groupby("query_id")["rank"].max() == 10).all()
+    ids2 = {
+        r["vec_id"]
+        for r in V.read_ivf_index_version(spark, base, 2).select("vec_id").collect()
+    }
+    assert not set(victims) & ids2
+    assert sum(e["rows"] for e in man2["files"]) == len(ids2)
+    # Pre-delete version still reads exactly as committed.
+    pd.testing.assert_frame_equal(_topk(spark, base, version=1), pre, check_exact=True)
+    # No-op delete: absent ids commit nothing.
+    out2 = V.delete_ivf_index_versioned(spark, base, [10_000_000])
+    assert out2 == {"deleted_rows": 0, "files_rewritten": 0, "version": 2}
+    # Vacuum expires the pre-delete version; serving is undisturbed.
+    V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
+    assert V.ivf_index_versions(base) == [2]
+    pd.testing.assert_frame_equal(_topk(spark, base), post, check_exact=True)
+
+    # --- PQ tier ---
+    pq = str(tmp_path / "pq")
+    V.build_ivfpq_index_versioned(emb, pq)
+    pre_pq = _adc_topk(spark, emb, pq)
+    v_pq = [int(r["neighbor_id"]) for r in pre_pq.head(2).to_dict("records")]
+    out = V.delete_ivf_index_versioned(spark, pq, v_pq)
+    assert out["deleted_rows"] == len(set(v_pq)) and out["version"] == 2
+    man = V.read_ivf_manifest(pq, 2)
+    man1 = V.read_ivf_manifest(pq, 1)
+    assert man["coarse"] == man1["coarse"] and man["books"] == man1["books"]
+    post_pq = _adc_topk(spark, emb, pq)
+    assert not set(v_pq) & set(post_pq["neighbor_id"])
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, pq, version=1), pre_pq, check_exact=True
+    )
+
+
+def test_delete_crash_before_publish_changes_nothing(spark, tmp_path):
+    """A kill after the rewrite staged but before the manifest link:
+    readers still see every row; the staged rewrite is vacuum fodder."""
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb, base)
+    pre = _topk(spark, base)
+
+    class Kill(RuntimeError):
+        pass
+
+    def killer(step):
+        if step == "staged":
+            raise Kill(step)
+
+    victims = [int(pre["neighbor_id"].iloc[0])]
+    with pytest.raises(Kill):
+        V.delete_ivf_index_versioned(spark, base, victims, fault=killer)
+    assert V.ivf_index_versions(base) == [1]
+    pd.testing.assert_frame_equal(_topk(spark, base), pre, check_exact=True)
+    out = V.delete_ivf_index_versioned(spark, base, victims)
+    assert out["version"] == 2
+    assert victims[0] not in set(_topk(spark, base)["neighbor_id"])
