@@ -1971,6 +1971,56 @@ def _ivfpq_versioned_index_path(spark: SparkSession, sf_dir: str) -> str:
 INDEX_BUILDERS["ivfpq_versioned_index_build"] = _ivfpq_versioned_index_path
 
 
+def _ivf_versioned_delete_topk_sql() -> str:
+    """Restatement of the versioned tier's copy-on-write DELETE
+    (operators/ivf_versioned.py:delete_ivf_index_versioned) composed
+    into a serve query — written and parity-validated in round 10
+    (tests/test_ivfpq_rebalance_oracle.py), registration planned for
+    round 11 (rotation budget). Semantics: the index is BUILT on the
+    full corpus (hash-seeded centroids over every vector — deleting
+    rows never moves a centroid), then the victims — query 0's top-3
+    neighbors per the PRE-delete IVF serve itself, a deterministic
+    data-derived set that guarantees the delete visibly changes the
+    answer (exact-cosine neighbors may live outside the probed cells;
+    the index's own answers never do) — are removed from the lists, so
+    they vanish from CANDIDATES while seeds, assignments and probes
+    still derive from the full corpus."""
+    victims = f"""
+victims AS (
+  SELECT neighbor_id FROM ({ORACLE_SQL["sim_cosine_topk_ivf"]})
+  WHERE query_id = 0 AND rank <= 3
+)"""
+    return f"""
+WITH {victims},
+seeds AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings
+  ORDER BY ('0x' || substring(md5('{S.IVF_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           vec_id
+  LIMIT {S.IVF_CELLS}
+),
+assign AS (
+  SELECT vec_id, embedding, cid, ccos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM (SELECT e.vec_id, e.embedding, s.cid,
+               {_cos_sql('e.embedding', 's.cv')} AS ccos
+        FROM embeddings e CROSS JOIN seeds s)
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qv, cid AS pcell FROM assign
+           WHERE vec_id IN ({', '.join(map(str, _TOPK_QUERY_IDS))})
+             AND rn <= {S.IVF_NPROBE}),
+scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                  {_cos_sql('p.qv', 'c.embedding')} AS cosine
+           FROM probes p JOIN cells c ON c.cell = p.pcell AND c.vec_id <> p.query_id
+           WHERE c.vec_id NOT IN (SELECT neighbor_id FROM victims)),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+"""
+
+
 def _ivfpq_rebalance_recall_sql() -> str:
     """Full restatement of the PQ-tier REBALANCE
     (operators/ivf_versioned.py:rebalance_ivfpq_index_versioned)

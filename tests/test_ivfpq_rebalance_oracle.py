@@ -75,3 +75,50 @@ def test_pq_rebalance_recall_matches_oracle(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True
     )
+
+
+def test_versioned_delete_topk_matches_oracle(spark, tmp_path):
+    """Parity for the UNREGISTERED delete-serve oracle
+    (catalog._ivf_versioned_delete_topk_sql): build the versioned
+    cosine-IVF index on the full corpus, delete query 0's pre-delete top-3
+    IVF-served neighbors, serve — must match the restatement (victims excluded
+    from candidates only; seeds/probes still full-corpus) exactly, and
+    must visibly differ from the pre-delete answer."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb, base)
+    pre = (
+        V.cosine_topk_ivf_versioned(
+            spark, base, catalog._TOPK_QUERY_IDS, k=10, query_src=emb
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    victims = [
+        int(r["neighbor_id"])
+        for r in pre[(pre["query_id"] == 0) & (pre["rank"] <= 3)]
+        .to_dict("records")
+    ]
+    assert len(victims) == 3
+    out = V.delete_ivf_index_versioned(spark, base, victims)
+    assert out["deleted_rows"] == 3 and out["version"] == 2
+    got = (
+        V.cosine_topk_ivf_versioned(
+            spark, base, catalog._TOPK_QUERY_IDS, k=10, query_src=emb
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert not got.equals(pre)  # the delete visibly changed the answer
+    assert not set(victims) & set(got["neighbor_id"])
+    want = (
+        _run_oracle(catalog._ivf_versioned_delete_topk_sql())
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True
+    )
