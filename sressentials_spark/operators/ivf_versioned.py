@@ -100,14 +100,21 @@ def _publish_ivf_manifest(base_path: str, version: int, payload: dict) -> None:
     atomic_publish_json(_manifest_path(base_path, version), payload)
 
 
-def _commit_lists(df: DataFrame, data_dir: str) -> list[dict]:
+def _commit_lists(
+    df: DataFrame, data_dir: str, id_col: str = "vec_id"
+) -> list[dict]:
     """Write annotated list rows under a fresh ``commit-<id>/``,
     one directory per cell (``cellp=<c>`` — a DUPLICATE of the real
     ``cell`` column, so the data files themselves keep ``cell`` and
     manifest-listed files read back standalone, no partition-discovery
-    dependence). Returns manifest entries with per-file cell + row
-    count — attribution lists only THIS commit dir, so a racing
-    writer's files can never be absorbed (the maintenance.py rule)."""
+    dependence). Returns manifest entries with per-file cell, row
+    count, AND the ``id_col`` min/max — all read from the parquet
+    FOOTERS (metadata pages only, no data read: the commit cost stays
+    one write pass over the batch). The id range is what lets DELETE
+    locate its files driver-side instead of scanning the index — the
+    same file-skipping the snapshot tier's manifest stats buy.
+    Attribution lists only THIS commit dir, so a racing writer's files
+    can never be absorbed (the maintenance.py rule)."""
     import uuid
 
     commit_id = f"commit-{uuid.uuid4().hex[:16]}"
@@ -118,9 +125,6 @@ def _commit_lists(df: DataFrame, data_dir: str) -> list[dict]:
         .mode("error")
         .parquet(commit_dir)
     )
-    # Row counts come from the parquet FOOTERS (metadata pages only —
-    # no data read): the commit cost stays one write pass over the
-    # batch, not write + full read-back.
     import pyarrow.parquet as pq
 
     entries = []
@@ -128,13 +132,25 @@ def _commit_lists(df: DataFrame, data_dir: str) -> list[dict]:
         cell = int(os.path.basename(d).split("=", 1)[1])
         for f in sorted(globmod.glob(os.path.join(d, "*.parquet"))):
             rel = os.path.join(os.path.basename(d), os.path.basename(f))
-            entries.append(
-                {
-                    "path": f"{commit_id}/{rel}",
-                    "cell": cell,
-                    "rows": int(pq.ParquetFile(f).metadata.num_rows),
-                }
-            )
+            meta = pq.ParquetFile(f).metadata
+            idx = meta.schema.names.index(id_col)
+            lo = hi = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            entry = {
+                "path": f"{commit_id}/{rel}",
+                "cell": cell,
+                "rows": int(meta.num_rows),
+            }
+            if lo is not None:
+                entry["min_id"] = int(lo)
+                entry["max_id"] = int(hi)
+            entries.append(entry)
     return entries
 
 
@@ -656,25 +672,43 @@ def delete_ivf_index_versioned(
     the compliance story: the data is provably gone exactly when
     vacuum reclaims the unreferenced files.
 
-    Cost: one id-column-only scan of the current version to locate
-    affected files (parquet column pruning makes this the cheapest
-    possible full pass; with per-file id-range stats in the manifest
-    it would become a driver-side prune — noted for the day the
-    manifest grows stats), plus a rewrite of O(affected files). A lost
-    publish race re-locates against the new latest (the winner may
-    have rewritten or split the very files this delete targeted)."""
+    Cost: the locate pass prunes DRIVER-SIDE on the manifest's
+    per-file ``min_id``/``max_id`` stats (footer-derived at commit
+    time, free), then id-column-scans only the files whose range
+    intersects a victim — for id-clustered commits (every ingest
+    batch) this skips whole commits without opening them, the same
+    file-skipping the snapshot tier's manifest stats buy; files from
+    manifests predating the stats scan unconditionally. Rewrite is
+    O(affected files). A lost publish race re-locates against the new
+    latest (the winner may have rewritten or split the very files this
+    delete targeted)."""
+    import bisect
+
     fault = fault or (lambda step: None)
     want = sorted(set(int(i) for i in ids))
+
+    def _may_contain(e: dict) -> bool:
+        if "min_id" not in e or "max_id" not in e:
+            return True  # pre-stats manifest entry: must scan
+        i = bisect.bisect_left(want, int(e["min_id"]))
+        return i < len(want) and want[i] <= int(e["max_id"])
+
     for _ in range(retries + 1):
         version = ivf_index_versions(base_path)[-1]
         man = read_ivf_manifest(base_path, version)
         paths = {
             os.path.join(base_path, "data", e["path"]): e for e in man["files"]
         }
-        if not paths:
-            return {"deleted_rows": 0, "files_rewritten": 0, "version": version}
+        candidates = [p for p, e in paths.items() if _may_contain(e)]
+        if not candidates:
+            return {
+                "deleted_rows": 0,
+                "files_rewritten": 0,
+                "files_scanned": 0,
+                "version": version,
+            }
         hits = (
-            spark.read.parquet(*paths)
+            spark.read.parquet(*candidates)
             .select(F.col(id_col), F.input_file_name().alias("_f"))
             .filter(F.col(id_col).isin(want))
             .groupBy("_f")
@@ -682,7 +716,12 @@ def delete_ivf_index_versioned(
             .collect()
         )
         if not hits:
-            return {"deleted_rows": 0, "files_rewritten": 0, "version": version}
+            return {
+                "deleted_rows": 0,
+                "files_rewritten": 0,
+                "files_scanned": len(candidates),
+                "version": version,
+            }
         # input_file_name is a file URI; normalize back to local paths.
         from urllib.parse import unquote, urlparse
 
@@ -722,6 +761,7 @@ def delete_ivf_index_versioned(
         return {
             "deleted_rows": n_deleted,
             "files_rewritten": len(affected),
+            "files_scanned": len(candidates),
             "version": version + 1,
         }
     raise RuntimeError(

@@ -1264,7 +1264,8 @@ def test_delete_rewrites_only_affected_files_both_tiers(spark, tmp_path):
     pd.testing.assert_frame_equal(_topk(spark, base, version=1), pre, check_exact=True)
     # No-op delete: absent ids commit nothing.
     out2 = V.delete_ivf_index_versioned(spark, base, [10_000_000])
-    assert out2 == {"deleted_rows": 0, "files_rewritten": 0, "version": 2}
+    assert (out2["deleted_rows"], out2["files_rewritten"], out2["version"]) == (0, 0, 2)
+    assert out2["files_scanned"] == 0  # stats-pruned: no file can hold the id
     # Vacuum expires the pre-delete version; serving is undisturbed.
     V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
     assert V.ivf_index_versions(base) == [2]
@@ -1310,3 +1311,33 @@ def test_delete_crash_before_publish_changes_nothing(spark, tmp_path):
     out = V.delete_ivf_index_versioned(spark, base, victims)
     assert out["version"] == 2
     assert victims[0] not in set(_topk(spark, base)["neighbor_id"])
+
+
+def test_delete_locate_prunes_on_manifest_id_stats(spark, tmp_path):
+    """Every commit's manifest entries carry footer-derived per-file
+    id min/max, and delete's locate pass prunes on them driver-side:
+    deleting ids that live only in the ingest batch must scan ONLY the
+    batch commit's files — the history commit (disjoint id range) is
+    never opened. The same warranty the snapshot tier's manifest
+    stats give its scans."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < 30), base)
+    V.ingest_ivf_index_versioned(emb.filter(F.col("vec_id") >= 30), base)
+    man = V.read_ivf_manifest(base, 2)
+    assert all("min_id" in e and "max_id" in e for e in man["files"])
+    assert all(e["min_id"] <= e["max_id"] for e in man["files"])
+    batch_files = [e for e in man["files"] if e["min_id"] >= 30]
+    hist_files = [e for e in man["files"] if e["max_id"] < 30]
+    assert batch_files and hist_files
+    assert len(batch_files) + len(hist_files) == len(man["files"])
+    victims = sorted(
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") >= 30).select("vec_id").head(2)
+    )
+    out = V.delete_ivf_index_versioned(spark, base, victims)
+    assert out["deleted_rows"] == len(victims)
+    # Locate opened at most the batch commit's files, never history's.
+    assert 0 < out["files_scanned"] <= len(batch_files)
