@@ -472,7 +472,10 @@ def test_random_lifecycle_model(spark, tmp_path):
     V.build_ivf_index_versioned(emb.filter(F.col("vec_id").isin(slices[0])), base)
     model_ids = set(slices[0])
     next_batch = 1
-    rng = random.Random(94)
+    # Seed chosen so the 14-op draw covers every verb kind (4 ingests,
+    # 2 rebalances, a delete, kills of each, a vacuum) — checked when
+    # written.
+    rng = random.Random(4)
 
     class Kill(RuntimeError):
         pass
@@ -496,9 +499,12 @@ def test_random_lifecycle_model(spark, tmp_path):
         return v
 
     v_prev = check()
-    for _ in range(12):
+    for _ in range(14):
         op = rng.choice(
-            ["ingest", "ingest_kill", "rebalance", "rebalance_kill", "vacuum"]
+            [
+                "ingest", "ingest_kill", "rebalance", "rebalance_kill",
+                "vacuum", "delete", "delete_kill",
+            ]
         )
         if op.startswith("ingest"):
             if next_batch >= len(slices):
@@ -518,6 +524,17 @@ def test_random_lifecycle_model(spark, tmp_path):
                 V.rebalance_ivf_index_versioned(spark, base, fault=killer)
             except Kill:
                 pass  # killed mid-flight: the check proves nothing leaked
+        elif op.startswith("delete"):
+            victims = rng.sample(sorted(model_ids), k=min(3, len(model_ids) - 5))
+            if op == "delete_kill":
+                with pytest.raises(Kill):
+                    V.delete_ivf_index_versioned(
+                        spark, base, victims, fault=killer
+                    )
+            else:
+                out = V.delete_ivf_index_versioned(spark, base, victims)
+                assert out["deleted_rows"] == len(victims)
+                model_ids -= set(victims)
         elif op == "vacuum":
             V.vacuum_ivf_index(base, keep_last=1)
         v_now = check()
