@@ -2021,21 +2021,30 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
 """
 
 
-def _ivfpq_rebalance_recall_sql() -> str:
-    """Full restatement of the PQ-tier REBALANCE
-    (operators/ivf_versioned.py:rebalance_ivfpq_index_versioned)
-    composed into a recall@10 eval — written and parity-validated in
-    round 10 (tests/test_ivfpq_rebalance_oracle.py), registration
-    planned for round 11 (rotation budget). The chain: trained coarse
-    k-means cells -> split decision over cell populations (>115% of
-    the uniform share) -> two hash-picked child seeds per oversized
-    cell (child centroid = the seed member's embedding on the
-    QUANT_SCALE grid, child id = vec_id + 2^32) -> members re-pointed
-    to the nearer child by exact integer L2 -> moved rows RE-ENCODED
-    against their child centroid under the FROZEN full-corpus books
-    (unmoved rows keep their original codes) -> IVFADC probes ranked
-    against the POST-split centroid set -> recall joined against the
-    exact cosine top-k."""
+def _ivfpq_versioned_sql(*, history_split: bool, output: str) -> str:
+    """Parameterized restatement of the versioned IVF-PQ tier's
+    maintenance compositions — written and parity-validated in round
+    10 (tests/test_ivfpq_rebalance_oracle.py), registrations planned
+    for round 11 (rotation budget).
+
+    The shared chain: trained coarse k-means cells -> every row
+    assigned under the FROZEN centroids -> split decision over cell
+    populations (>115% of the uniform share) -> two hash-picked child
+    seeds per oversized cell (child centroid = the seed member's
+    embedding on the QUANT_SCALE grid, child id = vec_id + 2^32) ->
+    members re-pointed to the nearer child by exact integer L2 ->
+    moved rows RE-ENCODED against their child centroid under the
+    FROZEN books (unmoved rows keep their original codes) -> IVFADC
+    probes ranked against the POST-split centroid set.
+
+    ``history_split=False`` trains both quantizers on the full corpus
+    (the build-then-rebalance composition); ``True`` trains them on
+    the oldest-70% slice only and assigns/encodes every row under
+    those frozen artifacts first (the import -> ingest -> rebalance
+    lifecycle: exactly the ingest oracle's frozen-artifact
+    restatement, then the split on the merged population). ``output``
+    is ``"topk"`` (the served rows) or ``"recall"`` (recall@10 joined
+    against the exact cosine top-k)."""
     m = S.PQ_M
     dsub = 64 // m
     total = "d0"
@@ -2046,10 +2055,62 @@ def _ivfpq_rebalance_recall_sql() -> str:
         f"[CAST(ROUND(CAST(t.rv[_m.m*{dsub}+j] AS DOUBLE) * {_PQ_SCALE})"
         f" AS BIGINT) for j in generate_series(1, {dsub})]"
     )
-    return f"""
+    if history_split:
+        head = f"""
+WITH split AS (SELECT CAST((max(vec_id) + 1) * 7 // 10 AS BIGINT) AS s FROM embeddings),
+hist AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id < (SELECT s FROM split)),
+{_km_ctes(k=S.IVF_CELLS, iters=S.PQ_ITERS, dim=64, table="hist")},
+tcents AS (SELECT cid, cq FROM c{S.PQ_ITERS}),
+allq AS (SELECT vec_id,
+                [CAST(ROUND(x * {_PQ_SCALE}) AS BIGINT) for x in embedding] AS q
+         FROM embeddings),
+icells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum([(e.q[j] - c.cq[j]) * (e.q[j] - c.cq[j])
+                            for j in generate_series(1, 64)]) AS BIGINT),
+             c.cid) AS rn
+    FROM allq e CROSS JOIN tcents c)
+  WHERE rn = 1),"""
+        histresid = """
+histresid AS (SELECT vec_id, rv FROM pqr_src
+              WHERE vec_id < (SELECT s FROM split)),"""
+    else:
+        head = f"""
 WITH {_km_ctes(k=S.IVF_CELLS, iters=S.PQ_ITERS, dim=64)},
 tcents AS (SELECT cid, cq FROM c{S.PQ_ITERS}),
-icells AS (SELECT vec_id, cluster AS cell FROM afin),
+allq AS (SELECT vec_id,
+                [CAST(ROUND(x * {_PQ_SCALE}) AS BIGINT) for x in embedding] AS q
+         FROM embeddings),
+icells AS (SELECT vec_id, cluster AS cell FROM afin),"""
+        histresid = ""
+    train = S.pq_train_sql_ctes(
+        src="pqr_src", vec="rv", prefix="pqr", m=m,
+        train_src="histresid" if history_split else None,
+    )
+    if output == "topk":
+        tail = f"""
+SELECT query_id, neighbor_id, adc_dist, rank FROM rr WHERE rank <= 10
+"""
+    elif output == "recall":
+        tail = f"""
+, approx AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 10)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS BIGINT) AS recall_permille
+FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+    else:
+        raise ValueError(f"unknown output {output!r}")
+    return f"""{head}
 thresh AS (SELECT CAST(COUNT(*) * {S.IVF_REBALANCE_PCT}
                        // ({S.IVF_CELLS} * 100) AS BIGINT) AS t
            FROM embeddings),
@@ -2064,7 +2125,7 @@ chseeds AS (
              ('0x' || substring(md5('{S.IVF_SPLIT_SEED}:' || CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT,
              c.vec_id) AS rn
     FROM icells c JOIN oversized o ON o.cell = c.cell
-    JOIN emb e ON e.vec_id = c.vec_id)
+    JOIN allq e ON e.vec_id = c.vec_id)
   WHERE rn <= 2
 ),
 moved AS (
@@ -2076,7 +2137,7 @@ moved AS (
              s.cid ASC) AS rn
     FROM (SELECT c.vec_id, c.cell, e.q
           FROM icells c JOIN oversized o ON o.cell = c.cell
-          JOIN emb e ON e.vec_id = c.vec_id) mm
+          JOIN allq e ON e.vec_id = c.vec_id) mm
     JOIN chseeds s ON s.parent = mm.cell)
   WHERE rn = 1
 ),
@@ -2098,8 +2159,8 @@ pqr_src AS (
   FROM embeddings e2
   JOIN icells c ON c.vec_id = e2.vec_id
   JOIN tcents t ON t.cid = c.cell
-),
-{S.pq_train_sql_ctes(src="pqr_src", vec="rv", prefix="pqr", m=m)},
+),{histresid}
+{train},
 movedresid AS (
   SELECT mv.vec_id,
          [CAST(e2.embedding[i] AS DOUBLE) - CAST(s.cq[i] AS DOUBLE) / {_PQ_SCALE}
@@ -2133,7 +2194,7 @@ iprobes AS (
              CAST(list_sum([(e.q[j] - c2.cq[j]) * (e.q[j] - c2.cq[j])
                             for j in generate_series(1, 64)]) AS BIGINT),
              c2.cid) AS rn
-    FROM emb e CROSS JOIN cents2 c2
+    FROM allq e CROSS JOIN cents2 c2
     WHERE e.vec_id IN ({qids}))
   WHERE rn <= {S.IVF_NPROBE}),
 cand AS (SELECT p.query_id, p.pcell, c.vec_id AS neighbor_id
@@ -2161,19 +2222,12 @@ r AS (SELECT query_id, neighbor_id,
              {total} AS adc_dist FROM g),
 rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
-       FROM r),
-approx AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 10)
-SELECT e.query_id,
-       CAST(COUNT(*) AS BIGINT) AS n_exact,
-       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_hits,
-       CAST((1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
-         // COUNT(*) AS BIGINT) AS recall_permille
-FROM ({ORACLE_SQL["sim_cosine_topk"]}) e
-LEFT JOIN approx a
-  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-GROUP BY e.query_id
-"""
+       FROM r){tail}"""
+
+
+def _ivfpq_rebalance_recall_sql() -> str:
+    """Build-then-rebalance recall — see :func:`_ivfpq_versioned_sql`."""
+    return _ivfpq_versioned_sql(history_split=False, output="recall")
 
 
 @register(

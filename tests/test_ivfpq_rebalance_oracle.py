@@ -122,3 +122,47 @@ def test_versioned_delete_topk_matches_oracle(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True
     )
+
+
+def test_versioned_pq_lifecycle_topk_matches_oracle(spark, tmp_path):
+    """Parity for the UNREGISTERED full versioned-PQ lifecycle oracle
+    (catalog._ivfpq_versioned_sql(history_split=True, output='topk')):
+    a bare index TRAINED AND BUILT on the oldest 70% migrates into the
+    manifest store (import), the newest 30% ingests under the frozen
+    artifacts, the merged population rebalances (every oversized cell
+    split, members re-encoded under frozen books), and IVFADC serving
+    from the final version must match the single DuckDB restatement of
+    all three lifecycle steps composed."""
+    from sressentials_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    bare = S.build_ivfpq_index(
+        emb.filter(F.col("vec_id") < split), str(tmp_path / "bare")
+    )
+    base = str(tmp_path / "ver")
+    V.import_ivfpq_index_versioned(spark, bare, base)
+    V.ingest_ivfpq_index_versioned(emb.filter(F.col("vec_id") >= split), base)
+    stats = V.rebalance_ivfpq_index_versioned(spark, emb, base)
+    assert stats["cells_split"] >= 1
+    assert V.ivf_index_versions(base) == [1, 2, 3]
+    got = (
+        V.pq_adc_topk_ivfpq_versioned(
+            spark, emb, base, catalog._TOPK_QUERY_IDS, topk=10
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _run_oracle(
+            catalog._ivfpq_versioned_sql(history_split=True, output="topk")
+        )
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True
+    )
