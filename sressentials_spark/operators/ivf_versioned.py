@@ -646,6 +646,104 @@ def pq_adc_topk_ivfpq_versioned(
     )
 
 
+def compact_ivf_index_versioned(
+    spark,
+    base_path: str,
+    *,
+    target_bytes: int | None = None,
+    min_files: int = 2,
+    fault: Callable[[str], None] | None = None,
+    retries: int = 5,
+) -> dict:
+    """CRASH-ATOMIC small-file compaction — the missing fourth verb of
+    the table-format quartet (append/ingest, rewrite/rebalance-delete,
+    expire/vacuum, COMPACT): every ingest lands each touched cell as a
+    fresh small commit file, so a hot cell accumulates one file per
+    batch and its serve-time scan pays per-file open cost instead of
+    sequential reads. Compaction rewrites each fragmented cell
+    (``>= min_files`` files, and only when that reduces the file
+    count) into ``ceil(cell_bytes / target_bytes)`` size-targeted
+    files and publishes ONE manifest swapping exactly those cells'
+    files — rows, cells and quantizers are untouched, so serving is
+    bit-equal by construction (pinned by tests), and any committed
+    version still reads exactly as committed. A crash before the link
+    leaves the fragmented version fully live; replaced files are
+    reclaimed when vacuum expires the old version. Works on BOTH tiers
+    (the verb never looks past ``cell`` and the id column).
+
+    Cost: O(fragmented cells' bytes) read+write — the same
+    maintenance economics as rebalance, and like it the per-cell loop
+    is bounded by how much fragmentation accumulated since the last
+    pass. A lost publish race re-plans against the new latest."""
+    import math
+
+    from sressentials_spark.operators.maintenance import DEFAULT_TARGET_BYTES
+
+    fault = fault or (lambda step: None)
+    target = int(target_bytes or DEFAULT_TARGET_BYTES)
+    for _ in range(retries + 1):
+        version = ivf_index_versions(base_path)[-1]
+        man = read_ivf_manifest(base_path, version)
+        by_cell: dict[int, list[dict]] = {}
+        for e in man["files"]:
+            by_cell.setdefault(e["cell"], []).append(e)
+        data_dir = os.path.join(base_path, "data")
+        plan: dict[int, tuple[list[dict], int]] = {}
+        for cell, es in sorted(by_cell.items()):
+            if len(es) < min_files:
+                continue
+            total = sum(
+                os.path.getsize(os.path.join(data_dir, e["path"])) for e in es
+            )
+            k = max(1, math.ceil(total / target))
+            if k < len(es):
+                plan[cell] = (es, k)
+        if not plan:
+            return {
+                "cells_compacted": 0,
+                "files_before": len(man["files"]),
+                "files_after": len(man["files"]),
+                "version": version,
+            }
+        replaced: set[str] = set()
+        new_entries: list[dict] = []
+        for cell, (es, k) in sorted(plan.items()):
+            rows = spark.read.parquet(
+                *[os.path.join(data_dir, e["path"]) for e in es]
+            )
+            new_entries += _commit_lists(rows.repartition(k), data_dir)
+            replaced.update(e["path"] for e in es)
+            fault(f"staged:{cell}")
+        kept = [e for e in man["files"] if e["path"] not in replaced]
+        payload = {"version": version + 1, "files": kept + new_entries}
+        for key in ("centroids", "coarse", "books"):
+            if key in man:
+                payload[key] = (
+                    {str(c): v for c, v in sorted(man[key].items())}
+                    if isinstance(man[key], dict)
+                    else man[key]
+                )
+        fault("prepared")
+        try:
+            _publish_ivf_manifest(base_path, version + 1, payload)
+        except FileExistsError:
+            # The winner changed the file set; the plan is stale —
+            # re-plan against the new latest. Staged rewrites of the
+            # lost attempt are vacuum fodder.
+            fault("retrying")
+            continue
+        fault("published")
+        return {
+            "cells_compacted": len(plan),
+            "files_before": len(man["files"]),
+            "files_after": len(kept) + len(new_entries),
+            "version": version + 1,
+        }
+    raise RuntimeError(
+        f"compact lost the publish race {retries + 1} times under {base_path}"
+    )
+
+
 def delete_ivf_index_versioned(
     spark,
     base_path: str,

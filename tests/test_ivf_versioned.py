@@ -535,6 +535,13 @@ def test_random_lifecycle_model(spark, tmp_path):
                 out = V.delete_ivf_index_versioned(spark, base, victims)
                 assert out["deleted_rows"] == len(victims)
                 model_ids -= set(victims)
+        elif op == "compact":
+            V.compact_ivf_index_versioned(spark, base)
+        elif op == "compact_kill":
+            try:
+                V.compact_ivf_index_versioned(spark, base, fault=killer)
+            except Kill:
+                pass  # a no-op plan never reaches a fault point
         elif op == "vacuum":
             V.vacuum_ivf_index(base, keep_last=1)
         v_now = check()
@@ -1151,10 +1158,10 @@ def test_random_lifecycle_model_ivfpq(spark, tmp_path):
     )
     model_ids = set(slices[0])
     next_batch = 1
-    # Seed chosen so the 12-op draw covers every verb kind (3 ingests,
-    # a rebalance, a refresh, 4 deletes, kills, a vacuum) — checked
-    # when written.
-    rng = random.Random(10)
+    # Seed chosen so the 16-op draw covers every verb kind (2 ingests,
+    # rebalance, refresh, deletes, compacts, a vacuum, and kills of
+    # several kinds) — checked when written.
+    rng = random.Random(5)
 
     class Kill(RuntimeError):
         pass
@@ -1183,12 +1190,12 @@ def test_random_lifecycle_model_ivfpq(spark, tmp_path):
         return v
 
     v_prev = check()
-    for _ in range(12):
+    for _ in range(16):
         op = rng.choice(
             [
                 "ingest", "ingest_kill", "rebalance", "rebalance_kill",
                 "refresh", "refresh_kill", "vacuum", "delete",
-                "delete_kill",
+                "delete_kill", "compact", "compact_kill",
             ]
         )
         if op.startswith("ingest"):
@@ -1227,6 +1234,13 @@ def test_random_lifecycle_model_ivfpq(spark, tmp_path):
                 out = V.delete_ivf_index_versioned(spark, base, victims)
                 assert out["deleted_rows"] == len(victims)
                 model_ids -= set(victims)
+        elif op == "compact":
+            V.compact_ivf_index_versioned(spark, base)
+        elif op == "compact_kill":
+            try:
+                V.compact_ivf_index_versioned(spark, base, fault=killer)
+            except Kill:
+                pass  # a no-op plan never reaches a fault point
         elif op == "vacuum":
             V.vacuum_ivf_index(base, keep_last=1)
         v_now = check()
@@ -1358,3 +1372,90 @@ def test_delete_locate_prunes_on_manifest_id_stats(spark, tmp_path):
     assert out["deleted_rows"] == len(victims)
     # Locate opened at most the batch commit's files, never history's.
     assert 0 < out["files_scanned"] <= len(batch_files)
+
+
+def test_compact_merges_fragmented_cells_bit_equal_serving(spark, tmp_path):
+    """Compaction: several small ingests fragment hot cells into many
+    tiny files; compact rewrites exactly the fragmented cells into
+    size-targeted files — file count drops, rows/cells/quantizers are
+    untouched, serving is bit-equal, the fragmented version still
+    time-travels, and a second compact is a no-op. Both tiers."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < 20), base)
+    for lo in range(20, 50, 10):
+        V.ingest_ivf_index_versioned(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 10)),
+            base,
+        )
+    man = V.read_ivf_manifest(base, V.ivf_index_versions(base)[-1])
+    assert len(man["files"]) > len({e["cell"] for e in man["files"]})
+    pre = _topk(spark, base)
+    pre_rows = sum(e["rows"] for e in man["files"])
+
+    out = V.compact_ivf_index_versioned(spark, base)
+    assert out["cells_compacted"] >= 1
+    assert out["files_after"] < out["files_before"]
+    man2 = V.read_ivf_manifest(base, out["version"])
+    assert len(man2["files"]) == out["files_after"]
+    assert sum(e["rows"] for e in man2["files"]) == pre_rows
+    assert man2["centroids"] == man["centroids"]
+    assert {e["cell"] for e in man2["files"]} == {e["cell"] for e in man["files"]}
+    pd.testing.assert_frame_equal(_topk(spark, base), pre, check_exact=True)
+    pd.testing.assert_frame_equal(
+        _topk(spark, base, version=out["version"] - 1), pre, check_exact=True
+    )
+    again = V.compact_ivf_index_versioned(spark, base)
+    assert again["cells_compacted"] == 0
+    assert again["version"] == out["version"]
+
+    # PQ tier: fragment by ingest, compact, ADC serving bit-equal.
+    pq = str(tmp_path / "pq")
+    V.build_ivfpq_index_versioned(emb.filter(F.col("vec_id") < 25), pq)
+    V.ingest_ivfpq_index_versioned(
+        emb.filter((F.col("vec_id") >= 25) & (F.col("vec_id") < 40)), pq
+    )
+    V.ingest_ivfpq_index_versioned(emb.filter(F.col("vec_id") >= 40), pq)
+    sub = emb.filter(F.col("vec_id") >= 0)
+    pre_pq = _adc_topk(spark, sub, pq)
+    man_pq = V.read_ivf_manifest(pq, V.ivf_index_versions(pq)[-1])
+    out = V.compact_ivf_index_versioned(spark, pq)
+    assert out["cells_compacted"] >= 1 and out["files_after"] < out["files_before"]
+    man_pq2 = V.read_ivf_manifest(pq, out["version"])
+    assert man_pq2["coarse"] == man_pq["coarse"]
+    assert man_pq2["books"] == man_pq["books"]
+    pd.testing.assert_frame_equal(_adc_topk(spark, sub, pq), pre_pq, check_exact=True)
+
+
+def test_compact_crash_before_publish_changes_nothing(spark, tmp_path):
+    """A kill after staging rewrites but before the manifest link:
+    readers still see the fragmented version; staged rewrites are
+    vacuum fodder, and vacuum's grace window protects them until
+    waived."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < 25), base)
+    V.ingest_ivf_index_versioned(emb.filter(F.col("vec_id") >= 25), base)
+    pre = _topk(spark, base)
+    v0 = V.ivf_index_versions(base)[-1]
+
+    class Kill(RuntimeError):
+        pass
+
+    def killer(step):
+        if step == "prepared":
+            raise Kill(step)
+
+    with pytest.raises(Kill):
+        V.compact_ivf_index_versioned(spark, base, fault=killer)
+    assert V.ivf_index_versions(base)[-1] == v0
+    pd.testing.assert_frame_equal(_topk(spark, base), pre, check_exact=True)
+    out = V.compact_ivf_index_versioned(spark, base)
+    assert out["version"] == v0 + 1
+    pd.testing.assert_frame_equal(_topk(spark, base), pre, check_exact=True)
+    V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
+    pd.testing.assert_frame_equal(_topk(spark, base), pre, check_exact=True)
