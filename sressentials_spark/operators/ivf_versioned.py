@@ -280,6 +280,7 @@ def ingest_ivf_index_versioned(
     id_col: str = "vec_id",
     fault: Callable[[str], None] | None = None,
     retries: int = 5,
+    manifest_extra: dict | None = None,
 ) -> int:
     """Append a batch as a new committed version: the batch is assigned
     under the LATEST manifest's centroids (frozen — one Arrow pass over
@@ -299,7 +300,14 @@ def ingest_ivf_index_versioned(
     when the winner was a rebalance (its split retired cells; appending
     rows under a retired cell id would make them invisible to every
     probe). ``retries`` bounds pathological contention; the staged
-    files of abandoned attempts are vacuum fodder."""
+    files of abandoned attempts are vacuum fodder.
+
+    ``manifest_extra`` rides verbatim in the published manifest —
+    the hook a transactional upstream uses to make ingest IDEMPOTENT:
+    a streaming writer stamps its micro-batch id and skips redelivered
+    batches whose stamp is already committed (streaming/ann_ingest.py:
+    the Structured-Streaming foreachBatch exactly-once recipe, the
+    manifest doubling as the transaction log)."""
     fault = fault or (lambda step: None)
     version = ivf_index_versions(base_path)[-1]
     man = read_ivf_manifest(base_path, version)
@@ -313,17 +321,15 @@ def ingest_ivf_index_versioned(
     fault("staged")
     for _ in range(retries + 1):
         try:
-            _publish_ivf_manifest(
-                base_path,
-                version + 1,
-                {
-                    "version": version + 1,
-                    "centroids": {
-                        str(c): v for c, v in sorted(man["centroids"].items())
-                    },
-                    "files": man["files"] + entries,
+            payload = {
+                "version": version + 1,
+                "centroids": {
+                    str(c): v for c, v in sorted(man["centroids"].items())
                 },
-            )
+                "files": man["files"] + entries,
+            }
+            payload.update(manifest_extra or {})
+            _publish_ivf_manifest(base_path, version + 1, payload)
             return version + 1
         except FileExistsError:
             version = ivf_index_versions(base_path)[-1]

@@ -1,0 +1,94 @@
+"""Exactly-once streaming ingest into the versioned IVF index
+(streaming/ann_ingest.py): each micro-batch commits one stamped
+manifest version, the final state is bit-equal to a one-shot
+build-then-ingest over the same rows (frozen-centroid encoding is
+batch-invariant), and a FULL redelivery (fresh checkpoint, same
+arrival files) commits nothing — the manifest doubles as the
+transaction log, so the stamp and the rows are one atomic publish."""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sressentials_spark.operators import ivf_versioned as V
+from sressentials_spark.sources.tables import load_table
+from sressentials_spark.streaming import ann_ingest as AI
+
+SF = "/root/testdata/sf0.001"
+QIDS = [0, 1, 2]
+
+
+def _stage_arrivals(spark, emb, tmp_path, n_files=3):
+    d = str(tmp_path / "arrivals")
+    (
+        emb.filter(F.col("vec_id") >= 25)
+        .select("vec_id", "embedding")
+        .repartitionByRange(n_files, "vec_id")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    base = time.time() - 3600
+    for i, p in enumerate(sorted(globmod.glob(f"{d}/part-*.parquet"))):
+        os.utime(p, (base + i, base + i))
+    return d
+
+
+def _topk(spark, base):
+    return (
+        V.cosine_topk_ivf_versioned(spark, base, QIDS, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_streamed_ingest_is_exactly_once_and_batch_invariant(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    arrivals = _stage_arrivals(spark, emb, tmp_path)
+
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < 25), base)
+    AI.run_versioned_ingest_stream(
+        spark, arrivals, base, str(tmp_path / "ckpt1")
+    )
+    # One stamped version per non-empty micro-batch, in order.
+    versions = V.ivf_index_versions(base)
+    assert versions == [1, 2, 3, 4]
+    assert AI.committed_stream_batch(base) == 2
+    ids = {
+        r["vec_id"]
+        for r in V.read_ivf_index_version(spark, base).select("vec_id").collect()
+    }
+    assert ids == {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+    # Batch-invariance: bit-equal to the one-shot build-then-ingest.
+    ref = str(tmp_path / "ref")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < 25), ref)
+    V.ingest_ivf_index_versioned(emb.filter(F.col("vec_id") >= 25), ref)
+    pd.testing.assert_frame_equal(
+        _topk(spark, base), _topk(spark, ref), check_exact=True
+    )
+
+    # FULL redelivery: fresh checkpoint, same files — every batch id is
+    # already stamped, so nothing commits and nothing is even staged.
+    before = set(globmod.glob(os.path.join(base, "data", "commit-*")))
+    AI.run_versioned_ingest_stream(
+        spark, arrivals, base, str(tmp_path / "ckpt2")
+    )
+    assert V.ivf_index_versions(base) == [1, 2, 3, 4]
+    assert set(globmod.glob(os.path.join(base, "data", "commit-*"))) == before
+
+    # An unstamped maintenance commit in between must not reset the
+    # high-water mark (committed_stream_batch scans back past it).
+    V.delete_ivf_index_versioned(spark, base, [int(min(ids - set(QIDS)))])
+    assert V.ivf_index_versions(base)[-1] == 5
+    assert AI.committed_stream_batch(base) == 2
+    AI.run_versioned_ingest_stream(
+        spark, arrivals, base, str(tmp_path / "ckpt3")
+    )
+    assert V.ivf_index_versions(base)[-1] == 5  # still nothing to redo
