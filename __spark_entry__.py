@@ -37,14 +37,11 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 #: semantics, so it must re-row this round. Budget: 1 forced + 3 new
 #: (sim_ivfpq_index_ingest, sim_ivfpq_rerank_recall_at_k,
 #: sim_ivf_versioned_lifecycle_topk) + 46 stale-r5 = 50 <= 50.
-_FORCE_FIRST: tuple[str, ...] = (
-    # r10: rerank tier moved shortlist 50 -> 100 (docs/ANN_EVAL.md knob
-    # sweep: recovers the nprobe-4 probed-cell ceiling exactly), which
-    # changes both the served top-k and its recall eval — their r9
-    # green rows no longer warrant the new behavior.
-    "sim_ivfpq_rerank_topk",
-    "sim_ivfpq_rerank_recall_at_k",
-)
+#: r11: empty — both r10 forced entries (sim_ivfpq_rerank_topk,
+#: sim_ivfpq_rerank_recall_at_k) landed green in CORRECTNESS_r10.json,
+#: so the force list's job is done. Budget math: 0 forced + 5 new
+#: registrations + 45 stale-r7 rows = 50 <= 50.
+_FORCE_FIRST: tuple[str, ...] = ()
 
 
 def _last_rowed_round() -> dict[str, int]:
