@@ -60,6 +60,27 @@ from sressentials_spark.operators.dedup import md5_long
 
 _MANIFEST_FMT = "index-manifest-v{version}.json"
 
+#: Keys every manifest owns structurally; anything else is a rider a
+#: transactional upstream stamped in (e.g. the streaming ingest's
+#: ``stream_batch_id`` high-water mark) and MUST survive maintenance.
+_MANIFEST_CORE_KEYS = frozenset({"version", "files", "centroids", "coarse", "books"})
+
+
+def _carry_manifest_extra(parent: dict, payload: dict) -> dict:
+    """Copy the parent manifest's non-core keys into a child publish
+    payload (payload's own keys win). Every publish path that descends
+    from a committed parent — ingest, rebalance, refresh, compact,
+    delete — must carry these forward like it carries the quantizers:
+    the streaming exactly-once recipe (streaming/ann_ingest.py) reads
+    its ``stream_batch_id`` stamp from the VISIBLE manifests, so a
+    maintenance verb that dropped it would, after vacuum expires the
+    stamped version, let a redelivered in-flight micro-batch re-ingest
+    its rows (duplicates with no error)."""
+    for k, v in parent.items():
+        if k not in _MANIFEST_CORE_KEYS and k not in payload:
+            payload[k] = v
+    return payload
+
 
 def _manifest_path(base_path: str, version: int) -> str:
     return os.path.join(base_path, _MANIFEST_FMT.format(version=version))
@@ -329,6 +350,7 @@ def ingest_ivf_index_versioned(
                 "files": man["files"] + entries,
             }
             payload.update(manifest_extra or {})
+            _carry_manifest_extra(man, payload)
             _publish_ivf_manifest(base_path, version + 1, payload)
             return version + 1
         except FileExistsError:
@@ -445,11 +467,11 @@ def rebalance_ivf_index_versioned(
             _publish_ivf_manifest(
                 base_path,
                 version + 1,
-                {
+                _carry_manifest_extra(man, {
                     "version": version + 1,
                     "centroids": {str(c): v for c, v in sorted(cents.items())},
                     "files": files,
-                },
+                }),
             )
         except FileExistsError:
             # Lost the version race. Unlike ingest, the staged work is
@@ -557,6 +579,7 @@ def ingest_ivfpq_index_versioned(
     id_col: str = "vec_id",
     fault: Callable[[str], None] | None = None,
     retries: int = 5,
+    manifest_extra: dict | None = None,
 ) -> int:
     """Append a batch under the latest manifest's FROZEN coarse
     centroids and residual codebooks as one committed version (encode
@@ -591,17 +614,17 @@ def ingest_ivfpq_index_versioned(
     fault("staged")
     for _ in range(retries + 1):
         try:
-            _publish_ivf_manifest(
-                base_path,
-                version + 1,
-                {
-                    "version": version + 1,
-                    "coarse": {
-                        str(c): v for c, v in sorted(man["coarse"].items())
-                    },
-                    "books": man["books"],
-                    "files": man["files"] + entries,
+            payload = {
+                "version": version + 1,
+                "coarse": {
+                    str(c): v for c, v in sorted(man["coarse"].items())
                 },
+                "books": man["books"],
+                "files": man["files"] + entries,
+            }
+            payload.update(manifest_extra or {})
+            _publish_ivf_manifest(
+                base_path, version + 1, _carry_manifest_extra(man, payload)
             )
             return version + 1
         except FileExistsError:
@@ -658,6 +681,7 @@ def compact_ivf_index_versioned(
     *,
     target_bytes: int | None = None,
     min_files: int = 2,
+    id_col: str = "vec_id",
     fault: Callable[[str], None] | None = None,
     retries: int = 5,
 ) -> dict:
@@ -717,7 +741,14 @@ def compact_ivf_index_versioned(
             rows = spark.read.parquet(
                 *[os.path.join(data_dir, e["path"]) for e in es]
             )
-            new_entries += _commit_lists(rows.repartition(k), data_dir)
+            # Range-partition on the id so each compacted file covers a
+            # disjoint id interval: round-robin would give every file
+            # the cell's full id span in its footer min/max, and one
+            # compaction pass would degrade delete's driver-side
+            # manifest-stats pruning to scanning every compacted file.
+            new_entries += _commit_lists(
+                rows.repartitionByRange(k, id_col), data_dir, id_col=id_col
+            )
             replaced.update(e["path"] for e in es)
             fault(f"staged:{cell}")
         kept = [e for e in man["files"] if e["path"] not in replaced]
@@ -729,6 +760,7 @@ def compact_ivf_index_versioned(
                     if isinstance(man[key], dict)
                     else man[key]
                 )
+        _carry_manifest_extra(man, payload)
         fault("prepared")
         try:
             _publish_ivf_manifest(base_path, version + 1, payload)
@@ -826,21 +858,36 @@ def delete_ivf_index_versioned(
                 "files_scanned": len(candidates),
                 "version": version,
             }
-        # input_file_name is a file URI; normalize back to local paths.
+        # input_file_name is a file URI; map it back to the MANIFEST's
+        # own path strings via the candidate list, comparing realpaths
+        # (normpath equality breaks under symlinked scratch dirs or a
+        # relative base_path — and a silent mismatch would keep every
+        # victim-bearing file in the new manifest while also appending
+        # the rewritten survivors: victims stay served, survivors
+        # duplicate). Every hit MUST resolve to a known candidate;
+        # abort rather than publish a manifest that keeps victims live.
         from urllib.parse import unquote, urlparse
 
-        affected = {unquote(urlparse(r["_f"]).path): int(r["count"]) for r in hits}
+        real_to_candidate = {os.path.realpath(p): p for p in candidates}
+        affected: dict[str, int] = {}
+        for r in hits:
+            local = unquote(urlparse(r["_f"]).path)
+            cand = real_to_candidate.get(os.path.realpath(local))
+            if cand is None:
+                raise RuntimeError(
+                    f"delete located victim rows in {r['_f']!r}, which "
+                    f"resolves to no manifest entry of {base_path} "
+                    f"v{version} — refusing to publish a delete that "
+                    "would leave victims visible"
+                )
+            affected[cand] = int(r["count"])
         n_deleted = sum(affected.values())
         survivors = spark.read.parquet(*affected).filter(
             ~F.col(id_col).isin(want)
         )
         entries = _commit_lists(survivors, os.path.join(base_path, "data"))
         fault("staged")
-        kept = [
-            e
-            for p, e in paths.items()
-            if os.path.normpath(p) not in {os.path.normpath(a) for a in affected}
-        ]
+        kept = [e for p, e in paths.items() if p not in affected]
         payload = {
             "version": version + 1,
             "files": kept + entries,
@@ -852,6 +899,7 @@ def delete_ivf_index_versioned(
                     if isinstance(man[k], dict)
                     else man[k]
                 )
+        _carry_manifest_extra(man, payload)
         try:
             _publish_ivf_manifest(base_path, version + 1, payload)
         except FileExistsError:
@@ -946,6 +994,25 @@ def rebalance_ivfpq_index_versioned(
         member_ids = read_ivf_index_version(
             spark, base_path, version, cells=[c]
         ).select(id_col)
+        # The re-encode can only be as complete as the caller's corpus:
+        # if `emb` is stale (e.g. a concurrent ingest committed rows
+        # after the caller read the corpus — the same hazard on the
+        # lost-publish-race retry, where the re-read manifest is newer
+        # than `emb`), the inner join below would silently drop those
+        # members from the rewritten child lists — permanent row loss.
+        # Verify every manifest member id resolves in `emb` and abort
+        # otherwise; the caller re-reads the source of truth and
+        # retries (refresh_ivfpq_index_versioned's contract).
+        missing = member_ids.join(
+            emb.select(id_col), id_col, "left_anti"
+        ).count()
+        if missing:
+            raise ValueError(
+                f"corpus is stale for cell {c}: {missing} member id(s) in "
+                f"manifest v{version} of {base_path} are absent from the "
+                "supplied embeddings — re-read the source-of-truth corpus "
+                "and retry the rebalance"
+            )
         members = emb.join(member_ids, id_col).select(id_col, "embedding")
         h = md5_long(
             F.concat(F.lit(split_seed + ":"), F.col(id_col).cast("string"))
@@ -982,12 +1049,12 @@ def rebalance_ivfpq_index_versioned(
             _publish_ivf_manifest(
                 base_path,
                 version + 1,
-                {
+                _carry_manifest_extra(man, {
                     "version": version + 1,
                     "coarse": {str(c): v for c, v in sorted(cents.items())},
                     "books": man["books"],
                     "files": files,
-                },
+                }),
             )
         except FileExistsError:
             # Same recovery as the cosine tier: the winner changed the
@@ -1052,6 +1119,7 @@ def refresh_ivfpq_index_versioned(
     k = k if k is not None else S.PQ_K
     iters = iters if iters is not None else S.PQ_ITERS
     version = ivf_index_versions(base_path)[-1]
+    parent = read_ivf_manifest(base_path, version)
     coarse = kmeans_fit_centroids(emb, k=n_cells, iters=iters, id_col=id_col)
     books = S.pq_train_codebooks(
         emb, m, k, iters=iters, id_col=id_col, residual_coarse=coarse
@@ -1064,14 +1132,14 @@ def refresh_ivfpq_index_versioned(
     _publish_ivf_manifest(
         base_path,
         version + 1,
-        {
+        _carry_manifest_extra(parent, {
             "version": version + 1,
             "coarse": {
                 str(int(c)): [int(x) for x in v] for c, v in sorted(coarse.items())
             },
             "books": _books_to_json(books),
             "files": entries,
-        },
+        }),
     )
     fault("published")
     return version + 1

@@ -1396,8 +1396,31 @@ def ivfpq_refresh_decision(
         F.sum(F.when(~hist, F.col("q_err"))).cast("long").alias("batch_err"),
     ).first()
     hist_n, batch_n = int(row["hist_n"]), int(row["batch_n"])
+    if hist_n == 0 or batch_n == 0:
+        # Degenerate split (split_id outside the corpus id range): one
+        # side's SUM is NULL and the ratio is undefined — a clear error
+        # beats int(None)/ZeroDivisionError surfacing from the guts.
+        raise ValueError(
+            f"split_id={split_id} leaves an empty "
+            f"{'history' if hist_n == 0 else 'batch'} side "
+            f"(hist_n={hist_n}, batch_n={batch_n}); the drift ratio needs "
+            "both a training slice and an ingested slice"
+        )
     hist_err, batch_err = int(row["hist_err"]), int(row["batch_err"])
-    drift = 1000 * batch_err * hist_n // (hist_err * batch_n)
+    if hist_err == 0 and batch_err > 0:
+        # Zero training noise floor with nonzero batch error: the drift
+        # ratio is unbounded, so no permille is honest — refuse with the
+        # actionable reading (any drift off a zero floor means refresh).
+        raise ValueError(
+            "training slice has zero quantization error but the ingested "
+            f"slice does not (batch_err={batch_err}): the drift ratio is "
+            "unbounded — schedule a refresh unconditionally"
+        )
+    drift = (
+        0
+        if batch_err == 0
+        else 1000 * batch_err * hist_n // (hist_err * batch_n)
+    )
     decision = (
         "refresh" if drift > int(threshold_permille) else "keep"
     )

@@ -46,9 +46,13 @@ _STAMP = "stream_batch_id"
 
 def committed_stream_batch(base_path: str) -> int:
     """The newest committed micro-batch id, or -1: scan versions
-    descending for the latest manifest carrying the stamp (other
-    maintenance verbs publish unstamped manifests in between; the
-    high-water mark survives them)."""
+    descending for the latest manifest carrying the stamp. Every
+    descendant publish — ingest, rebalance, refresh, compact, delete —
+    carries riders forward (``ivf_versioned._carry_manifest_extra``),
+    so the LATEST manifest normally holds the high-water mark and the
+    stamp survives maintenance followed by ``vacuum(keep_last=1)``;
+    the descending scan is belt and braces for manifests published
+    before that rule existed."""
     for v in reversed(V.ivf_index_versions(base_path)):
         man = V.read_ivf_manifest(base_path, v)
         if _STAMP in man:

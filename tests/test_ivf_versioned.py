@@ -1459,3 +1459,177 @@ def test_compact_crash_before_publish_changes_nothing(spark, tmp_path):
     pd.testing.assert_frame_equal(_topk(spark, base), pre, check_exact=True)
     V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
     pd.testing.assert_frame_equal(_topk(spark, base), pre, check_exact=True)
+
+
+def test_maintenance_publishes_carry_stream_stamp(spark, tmp_path):
+    """Every descendant publish — plain ingest, compact, delete,
+    rebalance, refresh — carries a transactional rider
+    (``stream_batch_id``) forward from its parent manifest, and a
+    newer ingest stamp overrides it. The hazard this pins: a
+    maintenance verb that dropped the stamp would, after vacuum
+    expires the stamped version, reset the streaming high-water mark
+    to -1 and let a redelivered in-flight micro-batch re-ingest its
+    rows (duplicates with no error). Both tiers."""
+    from pyspark.sql import functions as F
+
+    from sressentials_spark.streaming.ann_ingest import committed_stream_batch
+
+    emb = _emb(spark)
+    # --- cosine tier: stamp via ingest, then every maintenance verb ---
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < 20), base)
+    V.ingest_ivf_index_versioned(
+        emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 35)),
+        base,
+        manifest_extra={"stream_batch_id": 7},
+    )
+    assert committed_stream_batch(base) == 7
+    # A PLAIN batch ingest (no stamp of its own) must not drop it.
+    V.ingest_ivf_index_versioned(emb.filter(F.col("vec_id") >= 35), base)
+    assert V.read_ivf_manifest(base, 3)["stream_batch_id"] == 7
+    out = V.compact_ivf_index_versioned(spark, base)
+    assert out["cells_compacted"] >= 1
+    assert V.read_ivf_manifest(base, out["version"])["stream_batch_id"] == 7
+    victim = int(
+        V.read_ivf_index_version(spark, base).agg(F.max("vec_id")).first()[0]
+    )
+    out = V.delete_ivf_index_versioned(spark, base, [victim])
+    assert V.read_ivf_manifest(base, out["version"])["stream_batch_id"] == 7
+    stats = V.rebalance_ivf_index_versioned(spark, base)
+    if stats["cells_split"]:
+        assert (
+            V.read_ivf_manifest(base, stats["version"])["stream_batch_id"] == 7
+        )
+    # After maintenance + vacuum(keep_last=1) the mark MUST survive
+    # (the exactly-once guarantee's failure mode otherwise).
+    V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
+    assert len(V.ivf_index_versions(base)) == 1
+    assert committed_stream_batch(base) == 7
+    # A newer ingest stamp overrides the carried one.
+    V.ingest_ivf_index_versioned(
+        spark.createDataFrame(
+            [(10_000, [0.5] + [0.0] * (V.DEFAULT_DIM - 1))],
+            "vec_id long, embedding array<float>",
+        ),
+        base,
+        manifest_extra={"stream_batch_id": 8},
+    )
+    assert committed_stream_batch(base) == 8
+
+    # --- PQ tier: ingest stamp, then rebalance + refresh carry it ---
+    pq = str(tmp_path / "pq")
+    V.build_ivfpq_index_versioned(emb.filter(F.col("vec_id") < 25), pq)
+    V.ingest_ivfpq_index_versioned(
+        emb.filter(F.col("vec_id") >= 25),
+        pq,
+        manifest_extra={"stream_batch_id": 3},
+    )
+    stats = V.rebalance_ivfpq_index_versioned(spark, emb, pq)
+    if stats["cells_split"]:
+        assert (
+            V.read_ivf_manifest(pq, stats["version"])["stream_batch_id"] == 3
+        )
+    v = V.refresh_ivfpq_index_versioned(emb, pq)
+    assert V.read_ivf_manifest(pq, v)["stream_batch_id"] == 3
+    V.vacuum_ivf_index(pq, keep_last=1, orphan_min_age_s=0)
+    assert committed_stream_batch(pq) == 3
+
+
+def test_ivfpq_rebalance_refuses_stale_corpus(spark, tmp_path):
+    """The PQ rebalance re-encodes split members from the caller's raw
+    corpus; if that corpus is missing manifest member ids (e.g. read
+    before a concurrent ingest committed, or stale across a
+    lost-publish-race retry), the inner join would silently drop those
+    rows from the rewritten child lists — permanent loss. The verb must
+    verify and refuse instead, leaving the index untouched."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivfpq_index_versioned(emb, base)
+    pre = _adc_topk(spark, emb, base)
+    with pytest.raises(ValueError, match="stale"):
+        V.rebalance_ivfpq_index_versioned(
+            spark, emb.filter(F.col("vec_id") % 2 == 0), base
+        )
+    assert V.ivf_index_versions(base) == [1]
+    pd.testing.assert_frame_equal(
+        _adc_topk(spark, emb, base), pre, check_exact=True
+    )
+    # The complete corpus still rebalances normally afterwards.
+    stats = V.rebalance_ivfpq_index_versioned(spark, emb, base)
+    assert stats["cells_split"] >= 1 and stats["version"] == 2
+
+
+def test_compacted_files_stay_id_clustered_for_pruning(spark, tmp_path):
+    """Compaction must range-partition on the id column so each
+    rewritten file covers a disjoint id interval: round-robin would
+    give every compacted file the cell's full id span in its footer
+    min/max, and one compaction pass would degrade delete's
+    driver-side manifest-stats pruning to scanning every compacted
+    file."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < 10), base)
+    for lo in range(10, 60, 10):
+        V.ingest_ivf_index_versioned(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 10)),
+            base,
+        )
+    man = V.read_ivf_manifest(base, V.ivf_index_versions(base)[-1])
+    by_cell: dict[int, list[dict]] = {}
+    for e in man["files"]:
+        by_cell.setdefault(e["cell"], []).append(e)
+    cell, es = max(by_cell.items(), key=lambda kv: len(kv[1]))
+    assert len(es) >= 4
+    total = sum(
+        os.path.getsize(os.path.join(base, "data", e["path"])) for e in es
+    )
+    # Target ~1/3 of the hot cell's bytes: forces k in [2, len(es)).
+    out = V.compact_ivf_index_versioned(spark, base, target_bytes=total // 3)
+    assert out["cells_compacted"] >= 1
+    man2 = V.read_ivf_manifest(base, out["version"])
+    old_paths = {e["path"] for e in man["files"]}
+    new_by_cell: dict[int, list[dict]] = {}
+    for e in man2["files"]:
+        if e["path"] not in old_paths:
+            new_by_cell.setdefault(e["cell"], []).append(e)
+    multi = {c: es for c, es in new_by_cell.items() if len(es) >= 2}
+    assert multi, "expected at least one cell compacted into >=2 files"
+    for c, es in multi.items():
+        spans = sorted((e["min_id"], e["max_id"]) for e in es)
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2, (
+                f"cell {c}: compacted files overlap on id ranges "
+                f"({lo1},{hi1}) vs ({lo2},{hi2}) — pruning degraded"
+            )
+    # End to end: deleting one id scans only the files whose manifest
+    # range contains it — strictly fewer than the whole index.
+    victim = int(
+        V.read_ivf_index_version(spark, base).agg(F.max("vec_id")).first()[0]
+    )
+    res = V.delete_ivf_index_versioned(spark, base, [victim])
+    contains = [
+        e
+        for e in man2["files"]
+        if e["min_id"] <= victim <= e["max_id"]
+    ]
+    assert res["files_scanned"] == len(contains) < len(man2["files"])
+
+
+def test_refresh_decision_guards_degenerate_splits(spark, tmp_path):
+    """A split_id outside the corpus id range leaves one side of the
+    drift gauge empty — the ratio is undefined and must be a clear
+    ValueError, not int(None)/ZeroDivisionError from the guts."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    max_id = int(emb.agg(F.max("vec_id")).first()[0])
+    bare = str(tmp_path / "bare")
+    S.build_ivfpq_index(emb, bare)
+    with pytest.raises(ValueError, match="empty batch"):
+        S.ivfpq_refresh_decision(spark, emb, bare, max_id + 1)
+    with pytest.raises(ValueError, match="empty history"):
+        S.ivfpq_refresh_decision(spark, emb, bare, 0)

@@ -83,10 +83,18 @@ def test_streamed_ingest_is_exactly_once_and_batch_invariant(spark, tmp_path):
     assert V.ivf_index_versions(base) == [1, 2, 3, 4]
     assert set(globmod.glob(os.path.join(base, "data", "commit-*"))) == before
 
-    # An unstamped maintenance commit in between must not reset the
-    # high-water mark (committed_stream_batch scans back past it).
+    # A maintenance commit in between must not reset the high-water
+    # mark: its publish carries the stamp forward from the parent
+    # manifest (the rider rule), so the mark survives even after
+    # vacuum expires every stamped-by-ingest version — the window
+    # where a dropped stamp would re-open double-ingest on a
+    # redelivered in-flight batch.
     V.delete_ivf_index_versioned(spark, base, [int(min(ids - set(QIDS)))])
     assert V.ivf_index_versions(base)[-1] == 5
+    assert V.read_ivf_manifest(base, 5)["stream_batch_id"] == 2
+    assert AI.committed_stream_batch(base) == 2
+    V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
+    assert V.ivf_index_versions(base) == [5]
     assert AI.committed_stream_batch(base) == 2
     AI.run_versioned_ingest_stream(
         spark, arrivals, base, str(tmp_path / "ckpt3")
