@@ -159,6 +159,12 @@ ALLOWED: dict[str, dict[str, str]] = {
     "sim_ivfpq_rerank_recall_at_k": {
         "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
     },
+    "sim_ivfpq_rebalance_recall": {
+        "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
+    },
+    "streaming_ann_ingest_recall": {
+        "BroadcastNestedLoopJoin": "inherits the exact-baseline side it evaluates"
+    },
     "cbo_join_events_orders_rollup": {
         "Expand": "two COUNT(DISTINCT) in one agg (users + orders) - "
                   "the standard x3 Expand; both distincts are the "

@@ -2759,6 +2759,362 @@ FROM drift
 """
 
 
+def _ivf_versioned_delete_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once handle for the DELETE-serve fixture: the versioned
+    cosine-IVF index built on the FULL corpus (v1), then query 0's
+    top-3 IVF-served neighbors removed by the copy-on-write delete
+    verb (v2). The victims are the pre-delete serve's OWN answers —
+    a deterministic data-derived set that guarantees the delete
+    visibly changes the served result (exact-cosine victims could
+    fall outside the probed cells and make the delete invisible).
+    Own store: the shared lifecycle fixture serves its latest version
+    and must never be mutated by another query's verb."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build() -> str:
+        from sressentials_spark.scratch import scratch_dir
+
+        base = scratch_dir("sressentials_ivf_versioned_del_")
+        IV.build_ivf_index_versioned(emb, base)
+        pre = IV.cosine_topk_ivf_versioned(
+            spark, base, _TOPK_QUERY_IDS, k=10, query_src=emb
+        )
+        victims = [
+            int(r["neighbor_id"])
+            for r in pre.filter(
+                (F.col("query_id") == 0) & (F.col("rank") <= 3)
+            ).collect()
+        ]
+        if len(victims) != 3:
+            raise ValueError(f"expected 3 victims, got {victims}")
+        out = IV.delete_ivf_index_versioned(spark, base, victims)
+        if out["deleted_rows"] != 3 or out["version"] != 2:
+            raise ValueError(f"delete fixture went wrong: {out}")
+        return base
+
+    return D.get_or_build_disk_artifact(
+        spark, ("ivf_versioned_delete_index", sf_dir), _build
+    )
+
+
+INDEX_BUILDERS["ivf_versioned_delete_index_build"] = _ivf_versioned_delete_index_path
+
+
+@register("sim_ivf_versioned_delete_topk", _ivf_versioned_delete_topk_sql())
+def sim_ivf_versioned_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served AFTER the crash-atomic copy-on-write DELETE —
+    the right-to-be-forgotten verb under the oracle gate (the one
+    table-format verb a compliance story cannot ship on model tests
+    alone): the versioned index is built on the full corpus, query 0's
+    pre-delete top-3 neighbors are removed
+    (operators/ivf_versioned.py:delete_ivf_index_versioned — only the
+    victim-bearing files rewritten, located driver-side via the
+    manifest's per-file id min/max stats; every other file
+    byte-untouched), and serving from the post-delete version must
+    match the relational restatement: victims excluded from CANDIDATES
+    only, while seeds, assignments and probes still derive from the
+    full corpus (deleting rows never moves a centroid — quality drift
+    is the refresh gauge's business). The crash/vacuum semantics are
+    model-tested in tests/test_ivf_versioned.py; this query pins the
+    VALUES the post-delete commit serves."""
+    path = _ivf_versioned_delete_index_path(spark, sf_dir)
+    return IV.cosine_topk_ivf_versioned(
+        spark,
+        path,
+        _TOPK_QUERY_IDS,
+        k=10,
+        query_src=load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+def _ivfpq_rebalanced_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once handle for the PQ-tier REBALANCE fixture: the bare
+    full-corpus IVF-PQ index imported as v1 (codes verbatim — no
+    retrain; import is pinned bit-identical to the trained build), then
+    the crash-atomic rebalance splits every oversized cell and
+    re-encodes the moved members under the FROZEN books (v2). Own
+    store, for the same isolation reason as the delete fixture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build() -> str:
+        from sressentials_spark.scratch import scratch_dir
+
+        base = scratch_dir("sressentials_ivfpq_rebal_")
+        IV.import_ivfpq_index_versioned(
+            spark, _ivfpq_index_path(spark, sf_dir), base
+        )
+        stats = IV.rebalance_ivfpq_index_versioned(spark, emb, base)
+        if stats["cells_split"] < 1:
+            raise ValueError(f"fixture produced no oversized cell: {stats}")
+        if IV.ivf_index_versions(base) != [1, 2]:
+            raise ValueError(
+                f"rebalance must commit v2: {IV.ivf_index_versions(base)}"
+            )
+        return base
+
+    return D.get_or_build_disk_artifact(
+        spark, ("ivfpq_rebalanced_index", sf_dir), _build
+    )
+
+
+INDEX_BUILDERS["ivfpq_rebalanced_index_build"] = _ivfpq_rebalanced_index_path
+
+
+@register("sim_ivfpq_rebalance_recall", _ivfpq_rebalance_recall_sql())
+def sim_ivfpq_rebalance_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ tier AFTER the crash-atomic rebalance —
+    pinning the measured 400‰ -> 420‰ rebalance gain (docs/ANN_EVAL.md)
+    under the oracle gate: oversized cells split into two hash-picked
+    child seeds, members re-pointed by exact integer L2 and RE-ENCODED
+    against the child centroid under the FROZEN codebooks (a cell
+    split moves the residual basis but never retrains the global
+    subspace books — that is the refresh verb's job), probes ranked
+    against the post-split centroid set. The DuckDB restatement
+    recomputes the whole chain — train, assign, split decision, child
+    seeds, re-point, re-encode, IVFADC serve, recall join — in exact
+    integer arithmetic (catalog._ivfpq_versioned_sql)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivfpq_rebalanced_index_path(spark, sf_dir)
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        IV.pq_adc_topk_ivfpq_versioned(
+            spark, emb, path, _TOPK_QUERY_IDS, topk=10
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+def _ivfpq_versioned_lifecycle_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once handle for the FULL versioned-PQ lifecycle, all four
+    maintenance verbs composed on ONE store: a bare index trained and
+    built on the oldest 70% migrates in (IMPORT, v1 — codes verbatim),
+    the newest 30% INGESTs under the frozen artifacts (v2), the merged
+    population REBALANCEs (v3 — oversized cells split, moved members
+    re-encoded under frozen books), and the drift-scheduled REFRESH
+    retrains both quantizers on the full corpus and re-encodes
+    everything (v4). Two queries serve from it at different versions —
+    the time-travel read IS a versioned-tier capability:
+    ``sim_ivfpq_versioned_lifecycle_topk`` pins v3,
+    ``maintenance_ivfpq_refresh_serve_topk`` serves the latest (v4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+
+    def _build() -> str:
+        from sressentials_spark.scratch import scratch_dir
+
+        bare = S.build_ivfpq_index(
+            emb.filter(F.col("vec_id") < split),
+            scratch_dir("sressentials_ivfpq_hist_"),
+        )
+        base = scratch_dir("sressentials_ivfpq_lifecycle_")
+        IV.import_ivfpq_index_versioned(spark, bare, base)
+        IV.ingest_ivfpq_index_versioned(
+            emb.filter(F.col("vec_id") >= split), base
+        )
+        stats = IV.rebalance_ivfpq_index_versioned(spark, emb, base)
+        if stats["cells_split"] < 1:
+            raise ValueError(f"fixture produced no oversized cell: {stats}")
+        IV.refresh_ivfpq_index_versioned(emb, base)
+        if IV.ivf_index_versions(base) != [1, 2, 3, 4]:
+            raise ValueError(
+                f"lifecycle must commit 4 versions: {IV.ivf_index_versions(base)}"
+            )
+        return base
+
+    return D.get_or_build_disk_artifact(
+        spark, ("ivfpq_versioned_lifecycle", sf_dir, split), _build
+    )
+
+
+INDEX_BUILDERS["ivfpq_lifecycle_index_build"] = _ivfpq_versioned_lifecycle_path
+
+
+@register(
+    "sim_ivfpq_versioned_lifecycle_topk",
+    _ivfpq_versioned_sql(history_split=True, output="topk"),
+)
+def sim_ivfpq_versioned_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC serving after the versioned-PQ MAINTENANCE TRIAD —
+    import (bare 70%-trained store migrated, codes verbatim) ->
+    ingest (newest 30% encoded under the frozen artifacts) ->
+    rebalance (merged population, oversized cells split, moved rows
+    re-encoded under frozen books) — the query that proves the verbs
+    COMPOSE: one DuckDB restatement recomputes all three steps chained
+    and must match the served rows cell-for-cell. Served as a
+    TIME-TRAVEL read of v3 while v4 (the refresh) is live — the
+    pinned-version read path that lets a serving fleet roll forward /
+    back between maintenance commits without copying an index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return IV.pq_adc_topk_ivfpq_versioned(
+        spark,
+        emb,
+        _ivfpq_versioned_lifecycle_path(spark, sf_dir),
+        _TOPK_QUERY_IDS,
+        topk=10,
+        version=3,
+    )
+
+
+@register(
+    "maintenance_ivfpq_refresh_serve_topk",
+    None,  # shares sim_pq_adc_topk_ivf's oracle verbatim (set below)
+)
+def maintenance_ivfpq_refresh_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REFRESH verb end-to-end — the action the drift gauge
+    (``maintenance_ivfpq_refresh_decision``, measured ~1237‰ > 1050
+    threshold -> 'refresh') schedules: on the lifecycle store whose
+    artifacts were trained on the oldest 70% and then ingested/
+    rebalanced past their training distribution,
+    ``refresh_ivfpq_index_versioned`` retrains BOTH quantizers on the
+    current corpus, re-encodes every row, and publishes lists + coarse
+    + books as ONE crash-atomic manifest version. Serving from the
+    refreshed latest must equal the from-scratch full-corpus build
+    exactly — refresh is pinned bit-equal to a rebuild
+    (tests/test_ivf_versioned.py) — so this query SHARES
+    ``sim_pq_adc_topk_ivf``'s oracle verbatim: the strongest possible
+    statement that the maintenance verb leaves zero residue of the
+    stale artifacts it replaced."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return IV.pq_adc_topk_ivfpq_versioned(
+        spark,
+        emb,
+        _ivfpq_versioned_lifecycle_path(spark, sf_dir),
+        _TOPK_QUERY_IDS,
+        topk=10,
+    )
+
+
+ORACLE_SQL["maintenance_ivfpq_refresh_serve_topk"] = ORACLE_SQL["sim_pq_adc_topk_ivf"]
+
+
+def _streamed_ivf_ingest_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once handle for the EXACTLY-ONCE streaming ANN ingest
+    fixture (streaming/ann_ingest.py): v1 built on the oldest 70%,
+    then the newest 30% staged as three arrival files and replayed
+    through Structured Streaming ``foreachBatch`` (one file per
+    trigger) — each micro-batch commits ONE manifest version carrying
+    its ``stream_batch_id`` stamp in the same atomic publish as the
+    rows. The builder then REDELIVERS the whole stream (fresh
+    checkpoint, same files) and asserts nothing commits — the
+    transactional-sink recipe's end-to-end warranty, inside the
+    fixture so the registered query serves a state that provably
+    survived redelivery."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+
+    def _build() -> str:
+        import glob as _g
+        import os as _o
+        import time as _t
+
+        from sressentials_spark.scratch import scratch_dir
+        from sressentials_spark.streaming import ann_ingest as AI
+
+        arrivals = scratch_dir("sressentials_ann_arrivals_")
+        (
+            emb.filter(F.col("vec_id") >= split)
+            .select("vec_id", "embedding")
+            .repartitionByRange(3, "vec_id")
+            .write.mode("overwrite")
+            .parquet(arrivals)
+        )
+        t0 = _t.time() - 3600
+        for i, p in enumerate(sorted(_g.glob(f"{arrivals}/part-*.parquet"))):
+            _o.utime(p, (t0 + i, t0 + i))
+        base = scratch_dir("sressentials_ivf_streamed_")
+        IV.build_ivf_index_versioned(emb.filter(F.col("vec_id") < split), base)
+        AI.run_versioned_ingest_stream(
+            spark, arrivals, base, scratch_dir("sressentials_ann_ckpt_")
+        )
+        if AI.committed_stream_batch(base) < 0:
+            raise ValueError("stream committed no stamped version")
+        versions = IV.ivf_index_versions(base)
+        AI.run_versioned_ingest_stream(
+            spark, arrivals, base, scratch_dir("sressentials_ann_ckpt2_")
+        )
+        if IV.ivf_index_versions(base) != versions:
+            raise ValueError("redelivered stream committed new versions")
+        return base
+
+    return D.get_or_build_disk_artifact(
+        spark, ("ivf_streamed_ingest", sf_dir, split), _build
+    )
+
+
+INDEX_BUILDERS["ivf_streamed_ingest_build"] = _streamed_ivf_ingest_path
+
+
+@register(
+    "streaming_ann_ingest_recall",
+    None,  # shares sim_ivf_index_ingest's oracle by batch-invariance
+)
+def streaming_ann_ingest_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 served from the STREAM-MAINTAINED versioned index —
+    the online index-maintenance tier under the oracle gate: arrival
+    batches flow through ``foreachBatch`` into exactly-once versioned
+    ingest (the ``stream_batch_id`` stamp and the rows land in ONE
+    atomic manifest publish, so a redelivered micro-batch — replayed
+    wholesale by the fixture — commits nothing). Frozen-centroid
+    encoding is batch-invariant, so the streamed store's final state
+    is bit-equal to the one-shot build-then-ingest over the same rows
+    (pinned row-for-row in tests/test_streaming_ann_ingest.py) and
+    this query SHARES ``sim_ivf_index_ingest``'s oracle verbatim —
+    one oracle now gates the bare ingest, the versioned time-travel
+    read (``sim_ivf_versioned_ingest_recall``), and the streaming
+    twin."""
+    path = _streamed_ivf_ingest_path(spark, sf_dir)
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        IV.cosine_topk_ivf_versioned(
+            spark,
+            path,
+            _TOPK_QUERY_IDS,
+            k=10,
+            query_src=load_table(spark, sf_dir, "embeddings"),
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact").alias("recall_permille"),
+        )
+    )
+
+
+ORACLE_SQL["streaming_ann_ingest_recall"] = ORACLE_SQL["sim_ivf_index_ingest"]
+
+
 @register(
     "jsonl_documents_source",
     f"""
