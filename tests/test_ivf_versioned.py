@@ -453,15 +453,21 @@ def test_streaming_serve_snapshot_isolation_across_midstream_ingest(
 
 def test_random_lifecycle_model(spark, tmp_path):
     """Randomized lifecycle model (the snapshot tier's warranty, on the
-    ANN index): a seeded interleaving of ingest / rebalance / vacuum /
-    kill-injected ops. After EVERY step the latest committed version
-    must expose exactly the model's id set (every op is all-or-nothing:
-    a killed op changes nothing, a committed op changes everything it
-    promised), manifest row counts must equal the real row count, every
-    manifest-listed file must exist, and versions only ever grow."""
+    ANN index): a seeded interleaving of ingest / rebalance / compact /
+    delete / vacuum / kill-injected ops. After EVERY step the latest
+    committed version must expose exactly the model's id set (every op
+    is all-or-nothing: a killed op changes nothing, a committed op
+    changes everything it promised), manifest row counts must equal the
+    real row count, every manifest-listed file must exist, versions
+    only ever grow, AND the streaming high-water mark
+    (``stream_batch_id``, stamped by every successful ingest) must
+    survive every maintenance/vacuum interleaving — the exactly-once
+    rider invariant: a dropped stamp re-opens double-ingest."""
     import random
 
     from pyspark.sql import functions as F
+
+    from sressentials_spark.streaming.ann_ingest import committed_stream_batch
 
     emb = _emb(spark)
     all_ids = [
@@ -472,10 +478,10 @@ def test_random_lifecycle_model(spark, tmp_path):
     V.build_ivf_index_versioned(emb.filter(F.col("vec_id").isin(slices[0])), base)
     model_ids = set(slices[0])
     next_batch = 1
-    # Seed chosen so the 14-op draw covers every verb kind (4 ingests,
-    # 2 rebalances, a delete, kills of each, a vacuum) — checked when
-    # written.
-    rng = random.Random(4)
+    model_stamp = -1
+    # Seed chosen so the 18-op draw covers every one of the 9 verb
+    # kinds with 3 successful ingests — checked when written.
+    rng = random.Random(5)
 
     class Kill(RuntimeError):
         pass
@@ -496,26 +502,31 @@ def test_random_lifecycle_model(spark, tmp_path):
             .collect()
         }
         assert got == model_ids
+        assert committed_stream_batch(base) == model_stamp
         return v
 
     v_prev = check()
-    for _ in range(14):
+    for _ in range(18):
         op = rng.choice(
             [
                 "ingest", "ingest_kill", "rebalance", "rebalance_kill",
-                "vacuum", "delete", "delete_kill",
+                "vacuum", "delete", "delete_kill", "compact", "compact_kill",
             ]
         )
         if op.startswith("ingest"):
             if next_batch >= len(slices):
                 continue
             batch = emb.filter(F.col("vec_id").isin(slices[next_batch]))
+            stamp = {"stream_batch_id": next_batch}
             if op == "ingest_kill":
                 with pytest.raises(Kill):
-                    V.ingest_ivf_index_versioned(batch, base, fault=killer)
+                    V.ingest_ivf_index_versioned(
+                        batch, base, fault=killer, manifest_extra=stamp
+                    )
             else:
-                V.ingest_ivf_index_versioned(batch, base)
+                V.ingest_ivf_index_versioned(batch, base, manifest_extra=stamp)
                 model_ids |= set(slices[next_batch])
+                model_stamp = next_batch
                 next_batch += 1
         elif op == "rebalance":
             V.rebalance_ivf_index_versioned(spark, base)
@@ -1142,7 +1153,10 @@ def test_random_lifecycle_model_ivfpq(spark, tmp_path):
     committed version must expose exactly the model's id set, manifest
     row counts must equal the real population, every listed file must
     exist, the quantizers must be internally consistent (every file's
-    cell exists in the coarse set), and versions only grow."""
+    cell exists in the coarse set), versions only grow, and the
+    streaming high-water mark stamped by every ingest survives every
+    maintenance/vacuum interleaving (the exactly-once rider
+    invariant)."""
     import random
 
     from pyspark.sql import functions as F
@@ -1158,10 +1172,13 @@ def test_random_lifecycle_model_ivfpq(spark, tmp_path):
     )
     model_ids = set(slices[0])
     next_batch = 1
+    model_stamp = -1
     # Seed chosen so the 16-op draw covers every verb kind (2 ingests,
     # rebalance, refresh, deletes, compacts, a vacuum, and kills of
     # several kinds) — checked when written.
     rng = random.Random(5)
+
+    from sressentials_spark.streaming.ann_ingest import committed_stream_batch
 
     class Kill(RuntimeError):
         pass
@@ -1187,6 +1204,9 @@ def test_random_lifecycle_model_ivfpq(spark, tmp_path):
             .collect()
         }
         assert got == model_ids
+        # The exactly-once rider invariant, PQ tier: the stamp
+        # survives every maintenance/vacuum interleaving.
+        assert committed_stream_batch(base) == model_stamp
         return v
 
     v_prev = check()
@@ -1202,12 +1222,18 @@ def test_random_lifecycle_model_ivfpq(spark, tmp_path):
             if next_batch >= len(slices):
                 continue
             batch = emb.filter(F.col("vec_id").isin(slices[next_batch]))
+            stamp = {"stream_batch_id": next_batch}
             if op == "ingest_kill":
                 with pytest.raises(Kill):
-                    V.ingest_ivfpq_index_versioned(batch, base, fault=killer)
+                    V.ingest_ivfpq_index_versioned(
+                        batch, base, fault=killer, manifest_extra=stamp
+                    )
             else:
-                V.ingest_ivfpq_index_versioned(batch, base)
+                V.ingest_ivfpq_index_versioned(
+                    batch, base, manifest_extra=stamp
+                )
                 model_ids |= set(slices[next_batch])
+                model_stamp = next_batch
                 next_batch += 1
         elif op == "rebalance":
             V.rebalance_ivfpq_index_versioned(spark, corpus(), base)
