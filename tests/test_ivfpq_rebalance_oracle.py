@@ -166,3 +166,46 @@ def test_versioned_pq_lifecycle_topk_matches_oracle(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True
     )
+
+
+def test_versioned_compact_serve_matches_lifecycle_oracle(spark, tmp_path):
+    """Round-11 prep for a round-12 registration (the r11 rotation
+    budget closed exactly full): COMPACT is the one table-format verb
+    left without an oracle row. Serving the cosine lifecycle index
+    (build 70% -> ingest 30% -> rebalance) AFTER compacting its
+    fragmented cells must match the registered lifecycle oracle
+    VERBATIM — compaction swaps files, never rows/cells/centroids, so
+    the serve is bit-equal by construction and the registration can
+    share ``ORACLE_SQL['sim_ivf_versioned_lifecycle_topk']`` the same
+    way refresh shares the full-build oracle. This test is the sf0.001
+    gate rehearsal for that row."""
+    from sressentials_spark.operators import similarity as S  # noqa: F401
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < split), base)
+    V.ingest_ivf_index_versioned(emb.filter(F.col("vec_id") >= split), base)
+    stats = V.rebalance_ivf_index_versioned(spark, base)
+    assert stats["cells_split"] >= 1
+    out = V.compact_ivf_index_versioned(spark, base)
+    assert out["cells_compacted"] >= 1  # the verb actually ran
+    assert out["files_after"] < out["files_before"]
+    got = (
+        V.cosine_topk_ivf_versioned(
+            spark, base, catalog._TOPK_QUERY_IDS, k=10, query_src=emb
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _run_oracle(catalog.ORACLE_SQL["sim_ivf_versioned_lifecycle_topk"])
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True
+    )
