@@ -1826,6 +1826,54 @@ def sim_ivf_versioned_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _ivf_version_history_sql() -> str:
+    """Restatement of the LOGICAL columns of ``ivf_index_history``
+    over the shared cosine lifecycle store (build 70% -> ingest 30% ->
+    rebalance) — written and parity-validated in round 11
+    (tests/test_ivfpq_rebalance_oracle.py), registration planned for a
+    future rotation slot (`maintenance_ivf_version_history`). v1 rows
+    = the history slice, v2/v3 rows = the full corpus, and v3's cell
+    count grows by exactly the split decision's oversized-cell count
+    (each split retires one cell and seeds two children); ``n_files``
+    and the stamp column are physical/ledger surface outside the
+    relational statement (model-tested instead)."""
+    return f"""
+WITH split AS (SELECT CAST((max(vec_id) + 1) * 7 // 10 AS BIGINT) AS s FROM embeddings),
+seeds AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings
+  WHERE vec_id < (SELECT s FROM split)
+  ORDER BY ('0x' || substring(md5('{S.IVF_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           vec_id
+  LIMIT {S.IVF_CELLS}
+),
+assign AS (
+  SELECT vec_id, cid, ccos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM (SELECT e.vec_id, s.cid, {_cos_sql('e.embedding', 's.cv')} AS ccos
+        FROM embeddings e CROSS JOIN seeds s)
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+thresh AS (SELECT CAST(COUNT(*) * {S.IVF_REBALANCE_PCT}
+                       // ({S.IVF_CELLS} * 100) AS BIGINT) AS t
+           FROM embeddings),
+oversized AS (
+  SELECT cell FROM cells, thresh GROUP BY cell, t HAVING COUNT(*) > t
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS version,
+         (SELECT COUNT(*) FROM embeddings
+          WHERE vec_id < (SELECT s FROM split)) AS n_rows,
+         CAST({S.IVF_CELLS} AS BIGINT) AS n_cells
+  UNION ALL
+  SELECT 2, (SELECT COUNT(*) FROM embeddings), {S.IVF_CELLS}
+  UNION ALL
+  SELECT 3, (SELECT COUNT(*) FROM embeddings),
+         {S.IVF_CELLS} + (SELECT COUNT(*) FROM oversized)
+) ORDER BY version
+"""
+
+
 def _ivfpq_adc_sql(*, m: int = S.PQ_M, limit: int = 10) -> str:
     """Full IVFADC restatement, parameterized on the PQ subspace count
     ``m`` and the per-query rank cut ``limit``: trained coarse k-means

@@ -1190,6 +1190,43 @@ def import_ivfpq_index_versioned(
     return 1
 
 
+def ivf_index_history(spark, base_path: str) -> "DataFrame":
+    """The index's committed-version catalog as a queryable DataFrame —
+    the versioned tier's twin of Iceberg's ``snapshots`` metadata
+    table: one row per live manifest with its logical stats
+    (``version``, ``n_files``, ``n_rows``, ``n_cells``) and the
+    streaming high-water stamp (``stream_batch_id``, null when the
+    version predates any stamped ingest). Everything derives from the
+    manifests alone — O(live versions) small JSON reads driver-side,
+    never a data-file scan — which is exactly the operational surface a
+    maintenance scheduler wants: row growth between versions is the
+    ingest audit, n_cells jumps mark rebalances, a full file-set swap
+    at constant rows marks a refresh/compact, and the stamp column is
+    the exactly-once ingest ledger. ``n_rows``/``n_cells`` are
+    relationally restatable (counts + the split rule), so the verb can
+    sit under the oracle gate; ``n_files`` is physical layout and stays
+    a model-tested column."""
+    rows = []
+    for v in ivf_index_versions(base_path):
+        man = read_ivf_manifest(base_path, v)
+        quant = man.get("centroids") or man.get("coarse") or {}
+        stamp = man.get("stream_batch_id")
+        rows.append(
+            (
+                int(v),
+                len(man["files"]),
+                int(sum(e["rows"] for e in man["files"])),
+                len(quant),
+                int(stamp) if stamp is not None else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version bigint, n_files bigint, n_rows bigint, n_cells bigint, "
+        "stream_batch_id bigint",
+    )
+
+
 def vacuum_ivf_index(
     base_path: str, *, keep_last: int = 1, orphan_min_age_s: float = 3600.0
 ) -> dict:

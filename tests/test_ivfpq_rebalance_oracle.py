@@ -209,3 +209,35 @@ def test_versioned_compact_serve_matches_lifecycle_oracle(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True
     )
+
+
+def test_ivf_version_history_matches_oracle(spark, tmp_path):
+    """Round-11 prep for a future `maintenance_ivf_version_history`
+    registration: the history verb's LOGICAL columns (version, n_rows,
+    n_cells) over the cosine lifecycle store must match the relational
+    restatement — history-slice rows at v1, full-corpus rows at v2/v3,
+    and v3's cell growth = the split decision's oversized count."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < split), base)
+    V.ingest_ivf_index_versioned(emb.filter(F.col("vec_id") >= split), base)
+    stats = V.rebalance_ivf_index_versioned(spark, base)
+    assert stats["cells_split"] >= 1
+    got = (
+        V.ivf_index_history(spark, base)
+        .select("version", "n_rows", "n_cells")
+        .toPandas()
+        .sort_values("version")
+        .reset_index(drop=True)
+    )
+    want = (
+        _run_oracle(catalog._ivf_version_history_sql())
+        .sort_values("version")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True
+    )
