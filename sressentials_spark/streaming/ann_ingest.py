@@ -60,22 +60,23 @@ def committed_stream_batch(base_path: str) -> int:
     return -1
 
 
-def run_versioned_ingest_stream(
+def _run_ingest_stream(
     spark: SparkSession,
     arrivals_dir: str,
     base_path: str,
     checkpoint_dir: str,
-    id_col: str = "vec_id",
+    ingest_verb,
+    id_col: str,
 ) -> None:
-    """Replay the staged embedding arrivals (one file per trigger)
-    through exactly-once versioned ingest: each micro-batch whose id
-    is not yet stamped commits one manifest version; redelivered
-    batches are skipped driver-side before any staging."""
+    """Shared exactly-once micro-batch loop: each arrival file is one
+    trigger; a batch whose id is already stamped is skipped driver-side
+    before any staging; otherwise ``ingest_verb`` commits the batch's
+    rows and the stamp in ONE atomic manifest publish."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= committed_stream_batch(base_path):
             return  # redelivered: its rows are already committed
-        V.ingest_ivf_index_versioned(
+        ingest_verb(
             batch,
             base_path,
             id_col=id_col,
@@ -92,3 +93,50 @@ def run_versioned_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_versioned_ingest_stream(
+    spark: SparkSession,
+    arrivals_dir: str,
+    base_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Replay the staged embedding arrivals (one file per trigger)
+    through exactly-once versioned ingest: each micro-batch whose id
+    is not yet stamped commits one manifest version; redelivered
+    batches are skipped driver-side before any staging."""
+    _run_ingest_stream(
+        spark,
+        arrivals_dir,
+        base_path,
+        checkpoint_dir,
+        V.ingest_ivf_index_versioned,
+        id_col,
+    )
+
+
+def run_versioned_ivfpq_ingest_stream(
+    spark: SparkSession,
+    arrivals_dir: str,
+    base_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+) -> None:
+    """The PQ-tier twin: arrival batches are ENCODED under the latest
+    manifest's frozen coarse centroids and residual codebooks (one
+    assign + encode pass per batch, O(batch) — quantizer drift is the
+    refresh gauge's business) and committed with the same exactly-once
+    stamp discipline. Frozen-artifact encoding is batch-invariant, so
+    the streamed store's final state is bit-equal to the one-shot
+    build-then-ingest over the same rows — pinned in
+    tests/test_streaming_ann_ingest.py, which is what lets a future
+    registration share the batch PQ-ingest oracle."""
+    _run_ingest_stream(
+        spark,
+        arrivals_dir,
+        base_path,
+        checkpoint_dir,
+        V.ingest_ivfpq_index_versioned,
+        id_col,
+    )

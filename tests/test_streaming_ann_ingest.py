@@ -100,3 +100,53 @@ def test_streamed_ingest_is_exactly_once_and_batch_invariant(spark, tmp_path):
         spark, arrivals, base, str(tmp_path / "ckpt3")
     )
     assert V.ivf_index_versions(base)[-1] == 5  # still nothing to redo
+
+
+def test_streamed_ivfpq_ingest_is_exactly_once_and_batch_invariant(
+    spark, tmp_path
+):
+    """The PQ-tier streaming twin: micro-batches encode under the
+    frozen v1 quantizers and commit with the same stamp discipline, so
+    the streamed store is bit-equal to the one-shot build-then-ingest
+    (frozen-artifact encoding is batch-invariant) and a full
+    redelivery commits nothing — including after a maintenance commit
+    plus vacuum, since every descendant publish carries the stamp."""
+    emb = load_table(spark, SF, "embeddings")
+    arrivals = _stage_arrivals(spark, emb, tmp_path)
+
+    base = str(tmp_path / "pq")
+    V.build_ivfpq_index_versioned(emb.filter(F.col("vec_id") < 25), base)
+    AI.run_versioned_ivfpq_ingest_stream(
+        spark, arrivals, base, str(tmp_path / "ckpt1")
+    )
+    assert V.ivf_index_versions(base) == [1, 2, 3, 4]
+    assert AI.committed_stream_batch(base) == 2
+    man = V.read_ivf_manifest(base, 4)
+    man1 = V.read_ivf_manifest(base, 1)
+    assert man["coarse"] == man1["coarse"]  # quantizers frozen
+    assert man["books"] == man1["books"]
+
+    ref = str(tmp_path / "ref")
+    V.build_ivfpq_index_versioned(emb.filter(F.col("vec_id") < 25), ref)
+    V.ingest_ivfpq_index_versioned(emb.filter(F.col("vec_id") >= 25), ref)
+
+    def _serve(path):
+        return (
+            V.pq_adc_topk_ivfpq_versioned(spark, emb, path, QIDS, topk=10)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(_serve(base), _serve(ref), check_exact=True)
+
+    # Redelivery (fresh checkpoint, same files) commits nothing.
+    import glob as globmod
+    import os
+
+    before = set(globmod.glob(os.path.join(base, "data", "commit-*")))
+    AI.run_versioned_ivfpq_ingest_stream(
+        spark, arrivals, base, str(tmp_path / "ckpt2")
+    )
+    assert V.ivf_index_versions(base) == [1, 2, 3, 4]
+    assert set(globmod.glob(os.path.join(base, "data", "commit-*"))) == before
