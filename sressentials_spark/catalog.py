@@ -1826,6 +1826,84 @@ def sim_ivf_versioned_lifecycle_topk(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _ivf_compacted_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once handle for the compact-then-serve fixture: the cosine
+    lifecycle (build oldest 70% -> ingest newest 30% -> rebalance) run
+    on its OWN store — the shared ``_ivf_versioned_index_path`` store
+    must stay at v3 for ``sim_ivf_versioned_lifecycle_topk`` — and then
+    COMPACTed (v4): every cell fragmented by the ingest/rebalance
+    commits is rewritten into size-targeted files and published as ONE
+    crash-atomic manifest swap. The builder asserts the verb really ran
+    (>= 1 cell compacted, file count strictly shrank, 4 versions
+    committed) so a silently non-compacting store can never serve the
+    registered query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    split = (max_id + 1) * 7 // 10
+
+    def _build() -> str:
+        from sressentials_spark.scratch import scratch_dir
+
+        base = scratch_dir("sressentials_ivf_compacted_")
+        IV.build_ivf_index_versioned(emb.filter(F.col("vec_id") < split), base)
+        IV.ingest_ivf_index_versioned(emb.filter(F.col("vec_id") >= split), base)
+        stats = IV.rebalance_ivf_index_versioned(spark, base)
+        if stats["cells_split"] < 1:
+            raise ValueError(f"fixture produced no oversized cell: {stats}")
+        out = IV.compact_ivf_index_versioned(spark, base)
+        if out["cells_compacted"] < 1 or out["files_after"] >= out["files_before"]:
+            raise ValueError(f"compaction did not run or did not shrink: {out}")
+        if IV.ivf_index_versions(base) != [1, 2, 3, 4]:
+            raise ValueError(
+                f"lifecycle+compact must commit 4 versions: {IV.ivf_index_versions(base)}"
+            )
+        return base
+
+    return D.get_or_build_disk_artifact(
+        spark, ("ivf_compacted_index", sf_dir, split), _build
+    )
+
+
+INDEX_BUILDERS["ivf_compacted_index_build"] = _ivf_compacted_index_path
+
+
+@register(
+    "maintenance_ivf_compact_serve_topk",
+    None,  # shares sim_ivf_versioned_lifecycle_topk's oracle verbatim (set below)
+)
+def maintenance_ivf_compact_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPACT verb end-to-end — the last table-format maintenance
+    verb whose SERVED output gets an oracle row (append/ingest,
+    rebalance, delete, refresh and vacuum survivors are already gated):
+    on a cosine lifecycle store whose ingest + rebalance commits left
+    hot cells fragmented across per-batch files,
+    ``compact_ivf_index_versioned`` rewrites each fragmented cell into
+    size-targeted files and publishes the swap as ONE crash-atomic
+    manifest version. Compaction swaps FILES, never rows/cells/
+    centroids, so serving from the compacted latest must equal the
+    pre-compaction lifecycle answer bit-for-bit — this query SHARES
+    ``sim_ivf_versioned_lifecycle_topk``'s oracle verbatim (the same
+    zero-residue statement ``maintenance_ivfpq_refresh_serve_topk``
+    makes by sharing the full-build oracle). Parity rehearsed at
+    sf0.001 in tests/test_ivfpq_rebalance_oracle.py::
+    test_versioned_compact_serve_matches_lifecycle_oracle; the crash
+    atomicity of the verb itself is kill-injection model-tested in
+    tests/test_ivf_versioned.py."""
+    path = _ivf_compacted_index_path(spark, sf_dir)
+    return IV.cosine_topk_ivf_versioned(
+        spark,
+        path,
+        _TOPK_QUERY_IDS,
+        k=10,
+        query_src=load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+ORACLE_SQL["maintenance_ivf_compact_serve_topk"] = ORACLE_SQL[
+    "sim_ivf_versioned_lifecycle_topk"
+]
+
+
 def _ivf_version_history_sql() -> str:
     """Restatement of the LOGICAL columns of ``ivf_index_history``
     over the shared cosine lifecycle store (build 70% -> ingest 30% ->

@@ -29,6 +29,7 @@ def test_registry_names() -> None:
         "ivfpq_rerank_index_build",
         "ivfpq_versioned_index_build",
         "ivf_versioned_index_build",
+        "ivf_compacted_index_build",
         "ivf_versioned_delete_index_build",
         "ivfpq_rebalanced_index_build",
         "ivfpq_lifecycle_index_build",
