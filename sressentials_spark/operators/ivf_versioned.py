@@ -63,7 +63,13 @@ _MANIFEST_FMT = "index-manifest-v{version}.json"
 #: Keys every manifest owns structurally; anything else is a rider a
 #: transactional upstream stamped in (e.g. the streaming ingest's
 #: ``stream_batch_id`` high-water mark) and MUST survive maintenance.
-_MANIFEST_CORE_KEYS = frozenset({"version", "files", "centroids", "coarse", "books"})
+#: ``manifest_list`` is the two-level layout's pointer array;
+#: ``_blocks`` is the in-memory pointer->entries cache the transparent
+#: read attaches (never serialized — core status keeps the rider
+#: carry-forward from ever copying it into a publish payload).
+_MANIFEST_CORE_KEYS = frozenset(
+    {"version", "files", "centroids", "coarse", "books", "manifest_list", "_blocks"}
+)
 
 
 def _carry_manifest_extra(parent: dict, payload: dict) -> dict:
@@ -95,18 +101,51 @@ def ivf_index_versions(base_path: str) -> list[int]:
     return sorted(out)
 
 
-def read_ivf_manifest(base_path: str, version: int) -> dict:
-    """One committed version: ``{"version", "files": [{"path", "cell",
-    "rows"}]}`` plus the quantizer — ``centroids: {cid: [f64]}`` for
-    the cosine-IVF tier, or ``coarse: {cid: [i64]}`` + ``books``
-    (per-subspace ``[cid, [i64]]`` lists) for the IVF-PQ tier (cid
-    keys back to int either way)."""
+def _read_manifest_raw(base_path: str, version: int) -> dict:
+    """The version JSON exactly as published (quantizer keys back to
+    int), WITHOUT resolving a two-level ``manifest_list`` into entries.
+    This is the O(1)-read surface: quantizers, riders (e.g. the
+    streaming ``stream_batch_id`` stamp) and the pointer rollup stats
+    all live here, so callers that don't need per-file entries — probe
+    derivation, the exactly-once stamp scan, the history catalog —
+    never pay the block reads."""
     with open(_manifest_path(base_path, version)) as fh:
         man = json.load(fh)
     if "centroids" in man:
         man["centroids"] = {int(c): v for c, v in man["centroids"].items()}
     if "coarse" in man:
         man["coarse"] = {int(c): v for c, v in man["coarse"].items()}
+    return man
+
+
+def _read_manifest_entries(base_path: str, pointer: dict) -> list[dict]:
+    """One manifest FILE's entry block (two-level layout)."""
+    with open(os.path.join(base_path, pointer["path"])) as fh:
+        return json.load(fh)["files"]
+
+
+def read_ivf_manifest(base_path: str, version: int) -> dict:
+    """One committed version: ``{"version", "files": [{"path", "cell",
+    "rows"}]}`` plus the quantizer — ``centroids: {cid: [f64]}`` for
+    the cosine-IVF tier, or ``coarse: {cid: [i64]}`` + ``books``
+    (per-subspace ``[cid, [i64]]`` lists) for the IVF-PQ tier (cid
+    keys back to int either way).
+
+    Reads BOTH layouts transparently: a two-level manifest (published
+    by :func:`promote_ivf_manifest_list` or any descendant of one) is
+    resolved by loading each pointed-to manifest file and flattening
+    into the same ``files`` shape, so every verb sees one contract.
+    The resolved dict keeps ``manifest_list`` (the pointer array) and
+    attaches ``_blocks`` (pointer, entries) pairs so a descendant
+    publish can reuse untouched blocks without re-reading them."""
+    man = _read_manifest_raw(base_path, version)
+    if "manifest_list" in man:
+        blocks = [
+            (ptr, _read_manifest_entries(base_path, ptr))
+            for ptr in man["manifest_list"]
+        ]
+        man["files"] = [e for _, block in blocks for e in block]
+        man["_blocks"] = blocks
     return man
 
 
@@ -119,6 +158,79 @@ def _publish_ivf_manifest(base_path: str, version: int, payload: dict) -> None:
     from sressentials_spark.operators.maintenance import atomic_publish_json
 
     atomic_publish_json(_manifest_path(base_path, version), payload)
+
+
+def _write_manifest_file(base_path: str, entries: list[dict]) -> dict:
+    """Stage one immutable manifest FILE (two-level layout) holding an
+    entry block, and return its pointer with rolled-up stats — the
+    list-level pruning surface: ``cells`` (every cell the block
+    touches), ``n_files``/``n_rows``, and the block's id range when
+    every entry carries footer stats. Names are writer-unique (uuid),
+    written through the same fsync discipline as version manifests;
+    a block staged by a writer that then loses its publish race is
+    unreferenced and reclaims as vacuum fodder."""
+    import uuid
+
+    from sressentials_spark.operators.maintenance import atomic_publish_json
+
+    os.makedirs(os.path.join(base_path, "manifests"), exist_ok=True)
+    rel = os.path.join("manifests", f"manifest-{uuid.uuid4().hex[:16]}.json")
+    atomic_publish_json(os.path.join(base_path, rel), {"files": entries})
+    ptr = {
+        "path": rel,
+        "n_files": len(entries),
+        "n_rows": int(sum(e["rows"] for e in entries)),
+        "cells": sorted({int(e["cell"]) for e in entries}),
+    }
+    if entries and all("min_id" in e for e in entries):
+        ptr["min_id"] = min(int(e["min_id"]) for e in entries)
+        ptr["max_id"] = max(int(e["max_id"]) for e in entries)
+    return ptr
+
+
+def _files_payload(
+    base_path: str, parent_man: dict | None, entries: list[dict]
+) -> dict:
+    """The files-listing half of a child publish payload, in the
+    PARENT's layout — the rule that makes every maintenance verb
+    layout-preserving without knowing about layouts:
+
+    - single-level parent (or none): ``{"files": entries}`` — the
+      original O(index files) JSON, fine at maintenance cadence;
+    - two-level parent: parent blocks whose entries survive intact are
+      REUSED by pointer (zero bytes written), blocks the verb shrank
+      (delete/rebalance/compact dropped some of their files) are
+      rewritten with just the survivors, and entries the parent never
+      listed (the verb's fresh commits) land as new blocks grouped by
+      their immutable ``commit-<id>`` dir. Publish cost becomes
+      O(commits touched): an ingest writes exactly one new block and
+      re-points the rest.
+
+    ``entries`` is the child's complete flattened file list (kept +
+    new), exactly what the verbs already compute."""
+    if parent_man is None or "manifest_list" not in parent_man:
+        return {"files": entries}
+    blocks = parent_man.get("_blocks") or [
+        (ptr, _read_manifest_entries(base_path, ptr))
+        for ptr in parent_man["manifest_list"]
+    ]
+    kept_paths = {e["path"] for e in entries}
+    pointers: list[dict] = []
+    parent_paths: set[str] = set()
+    for ptr, block in blocks:
+        parent_paths.update(e["path"] for e in block)
+        surviving = [e for e in block if e["path"] in kept_paths]
+        if len(surviving) == len(block):
+            pointers.append(ptr)
+        elif surviving:
+            pointers.append(_write_manifest_file(base_path, surviving))
+    fresh = [e for e in entries if e["path"] not in parent_paths]
+    by_commit: dict[str, list[dict]] = {}
+    for e in fresh:
+        by_commit.setdefault(e["path"].split("/", 1)[0], []).append(e)
+    for _, block in sorted(by_commit.items()):
+        pointers.append(_write_manifest_file(base_path, block))
+    return {"manifest_list": pointers}
 
 
 def _commit_lists(
@@ -226,18 +338,38 @@ def read_ivf_index_version(
     """The index lists exactly as of ``version`` (default latest),
     optionally pruned to ``cells`` at the MANIFEST level — only the
     named cells' files are handed to the scan, the driver-side twin of
-    partition pruning."""
+    partition pruning. Under the two-level layout the pruning happens
+    at the LIST level first: pointer blocks whose rolled-up ``cells``
+    miss every probed cell are skipped without even loading their
+    entry file, so a probe-narrow read costs O(blocks touched) JSON,
+    not O(commits)."""
     version = version or ivf_index_versions(base_path)[-1]
-    man = read_ivf_manifest(base_path, version)
-    if not man["files"]:
-        raise ValueError(f"version {version} of {base_path} lists no files")
-    entries = man["files"]
+    man = _read_manifest_raw(base_path, version)
+    if "manifest_list" in man:
+        ptrs = man["manifest_list"]
+        if not ptrs:
+            raise ValueError(f"version {version} of {base_path} lists no files")
+        sel = ptrs
+        if cells is not None:
+            want = set(cells)
+            sel = [p for p in ptrs if want.intersection(p["cells"])]
+        entries = [e for p in sel for e in _read_manifest_entries(base_path, p)]
+        schema_entry = (
+            entries[0]
+            if entries
+            else _read_manifest_entries(base_path, ptrs[0])[0]
+        )
+    else:
+        if not man["files"]:
+            raise ValueError(f"version {version} of {base_path} lists no files")
+        entries = man["files"]
+        schema_entry = entries[0]
     if cells is not None:
         want = set(cells)
         entries = [e for e in entries if e["cell"] in want]
     if not entries:
         # All pruned: ONE footer read for the schema, not O(index).
-        first = os.path.join(base_path, "data", man["files"][0]["path"])
+        first = os.path.join(base_path, "data", schema_entry["path"])
         return spark.read.parquet(first).limit(0)
     return spark.read.parquet(
         *[os.path.join(base_path, "data", e["path"]) for e in entries]
@@ -271,7 +403,7 @@ def cosine_topk_ivf_versioned(
     self-contained fallback — at scale, always pass ``query_src`` (the
     corpus scan stays manifest-pruned either way)."""
     version = version or ivf_index_versions(base_path)[-1]
-    man = read_ivf_manifest(base_path, version)
+    man = _read_manifest_raw(base_path, version)  # centroids ride inline
     ids, mat = _load_centroids(man)
     src = (
         query_src
@@ -347,7 +479,7 @@ def ingest_ivf_index_versioned(
                 "centroids": {
                     str(c): v for c, v in sorted(man["centroids"].items())
                 },
-                "files": man["files"] + entries,
+                **_files_payload(base_path, man, man["files"] + entries),
             }
             payload.update(manifest_extra or {})
             _carry_manifest_extra(man, payload)
@@ -470,7 +602,7 @@ def rebalance_ivf_index_versioned(
                 _carry_manifest_extra(man, {
                     "version": version + 1,
                     "centroids": {str(c): v for c, v in sorted(cents.items())},
-                    "files": files,
+                    **_files_payload(base_path, man, files),
                 }),
             )
         except FileExistsError:
@@ -620,7 +752,7 @@ def ingest_ivfpq_index_versioned(
                     str(c): v for c, v in sorted(man["coarse"].items())
                 },
                 "books": man["books"],
-                "files": man["files"] + entries,
+                **_files_payload(base_path, man, man["files"] + entries),
             }
             payload.update(manifest_extra or {})
             _publish_ivf_manifest(
@@ -657,7 +789,7 @@ def pq_adc_topk_ivfpq_versioned(
     from sressentials_spark.operators import similarity as S
 
     version = version or ivf_index_versions(base_path)[-1]
-    man = read_ivf_manifest(base_path, version)
+    man = _read_manifest_raw(base_path, version)  # quantizers ride inline
     books = _books_from_json(man["books"])
     return S._ivfpq_adc_search(
         spark,
@@ -752,7 +884,10 @@ def compact_ivf_index_versioned(
             replaced.update(e["path"] for e in es)
             fault(f"staged:{cell}")
         kept = [e for e in man["files"] if e["path"] not in replaced]
-        payload = {"version": version + 1, "files": kept + new_entries}
+        payload = {
+            "version": version + 1,
+            **_files_payload(base_path, man, kept + new_entries),
+        }
         for key in ("centroids", "coarse", "books"):
             if key in man:
                 payload[key] = (
@@ -817,7 +952,21 @@ def delete_ivf_index_versioned(
     manifests predating the stats scan unconditionally. Rewrite is
     O(affected files). A lost publish race re-locates against the new
     latest (the winner may have rewritten or split the very files this
-    delete targeted)."""
+    delete targeted).
+
+    LOCAL-FILESYSTEM CONTRACT (module-wide, explicit here because this
+    verb would fail hard first): the hit-mapping below resolves
+    ``input_file_name`` URIs back to manifest entries via
+    ``os.path.realpath``, which only exists for driver-visible POSIX
+    paths — an ``hdfs://``/``s3a://``-backed ``base_path`` raises
+    RuntimeError on every delete that finds victims rather than
+    publishing a wrong manifest. The rest of the module shares the
+    assumption (``glob``/``getsize``/``os.link`` in commit, compact
+    and vacuum), matching the sandbox and the single-writer local
+    layout; porting to an object store means swapping the path
+    resolution to manifest-relative suffix matching and the atomic
+    link publish to a conditional put — isolated behind
+    ``_commit_lists``/``atomic_publish_json``/this mapping."""
     import bisect
 
     fault = fault or (lambda step: None)
@@ -890,7 +1039,7 @@ def delete_ivf_index_versioned(
         kept = [e for p, e in paths.items() if p not in affected]
         payload = {
             "version": version + 1,
-            "files": kept + entries,
+            **_files_payload(base_path, man, kept + entries),
         }
         for k in ("centroids", "coarse", "books"):
             if k in man:
@@ -989,30 +1138,36 @@ def rebalance_ivfpq_index_versioned(
     oversized = sorted(c for c, n in sizes.items() if n > threshold)
 
     data_dir = os.path.join(base_path, "data")
+    # The re-encode can only be as complete as the caller's corpus: if
+    # `emb` is stale (e.g. a concurrent ingest committed rows after the
+    # caller read the corpus — the same hazard on the lost-publish-race
+    # retry, where the re-read manifest is newer than `emb`), the
+    # per-cell inner join below would silently drop those members from
+    # the rewritten child lists — permanent row loss. Verify ONCE, up
+    # front, that every oversized cell's manifest member id resolves in
+    # `emb` — one left_anti pass over the union instead of a
+    # full-corpus join per cell — and abort before any staging; the
+    # caller re-reads the source of truth and retries
+    # (refresh_ivfpq_index_versioned's contract).
+    if oversized:
+        missing = (
+            read_ivf_index_version(spark, base_path, version, cells=oversized)
+            .select(id_col)
+            .join(emb.select(id_col), id_col, "left_anti")
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                f"corpus is stale for cells {oversized}: {missing} member "
+                f"id(s) in manifest v{version} of {base_path} are absent "
+                "from the supplied embeddings — re-read the source-of-truth "
+                "corpus and retry the rebalance"
+            )
     new_entries: list[dict] = []
     for c in oversized:
         member_ids = read_ivf_index_version(
             spark, base_path, version, cells=[c]
         ).select(id_col)
-        # The re-encode can only be as complete as the caller's corpus:
-        # if `emb` is stale (e.g. a concurrent ingest committed rows
-        # after the caller read the corpus — the same hazard on the
-        # lost-publish-race retry, where the re-read manifest is newer
-        # than `emb`), the inner join below would silently drop those
-        # members from the rewritten child lists — permanent row loss.
-        # Verify every manifest member id resolves in `emb` and abort
-        # otherwise; the caller re-reads the source of truth and
-        # retries (refresh_ivfpq_index_versioned's contract).
-        missing = member_ids.join(
-            emb.select(id_col), id_col, "left_anti"
-        ).count()
-        if missing:
-            raise ValueError(
-                f"corpus is stale for cell {c}: {missing} member id(s) in "
-                f"manifest v{version} of {base_path} are absent from the "
-                "supplied embeddings — re-read the source-of-truth corpus "
-                "and retry the rebalance"
-            )
         members = emb.join(member_ids, id_col).select(id_col, "embedding")
         h = md5_long(
             F.concat(F.lit(split_seed + ":"), F.col(id_col).cast("string"))
@@ -1053,7 +1208,7 @@ def rebalance_ivfpq_index_versioned(
                     "version": version + 1,
                     "coarse": {str(c): v for c, v in sorted(cents.items())},
                     "books": man["books"],
-                    "files": files,
+                    **_files_payload(base_path, man, files),
                 }),
             )
         except FileExistsError:
@@ -1138,7 +1293,7 @@ def refresh_ivfpq_index_versioned(
                 str(int(c)): [int(x) for x in v] for c, v in sorted(coarse.items())
             },
             "books": _books_to_json(books),
-            "files": entries,
+            **_files_payload(base_path, parent, entries),
         }),
     )
     fault("published")
@@ -1190,6 +1345,85 @@ def import_ivfpq_index_versioned(
     return 1
 
 
+def promote_ivf_manifest_list(
+    base_path: str,
+    *,
+    fault: Callable[[str], None] | None = None,
+    retries: int = 5,
+) -> dict:
+    """Promote the LATEST version to the TWO-LEVEL manifest layout —
+    the Iceberg manifest-list split, and the 100 TB growth path the
+    single-JSON manifest can't walk: one flat manifest is re-written
+    in full by every publish (O(index files) JSON — ~20-40 MB at
+    200k files), which is fine at maintenance cadence but the wrong
+    shape for high-frequency streaming ingest. Promotion maps the
+    existing layout onto the split 1:1 WITHOUT rewriting history or
+    touching a single data file: entries are already grouped by their
+    immutable ``commit-<id>`` dir, so each commit's entry block lands
+    as its own immutable manifest FILE (``manifests/manifest-*.json``)
+    and the published version shrinks to a manifest LIST — one pointer
+    per live commit with rolled-up ``cells``/``n_rows``/id-range stats
+    for driver-side pruning at the list level. After promotion every
+    descendant publish is layout-preserving (``_files_payload``):
+    untouched blocks are reused by pointer, so an ingest's publish
+    cost drops to O(commits touched), and reads/serving are bit-equal
+    by construction (rows, cells and quantizers are byte-identical —
+    only the listing's shape changed).
+
+    Commit discipline is the house verb's verbatim: blocks stage
+    first (writer-unique names), the version JSON publishes LAST via
+    one atomic exclusive link, riders carry forward, a crash anywhere
+    before the link leaves the flat version fully live (staged blocks
+    are vacuum fodder), and a lost publish race re-plans against the
+    new latest. Idempotent: an already-two-level latest returns
+    ``promoted=False`` without writing anything."""
+    fault = fault or (lambda step: None)
+    for _ in range(retries + 1):
+        version = ivf_index_versions(base_path)[-1]
+        raw = _read_manifest_raw(base_path, version)
+        if "manifest_list" in raw:
+            return {
+                "promoted": False,
+                "version": version,
+                "n_manifests": len(raw["manifest_list"]),
+            }
+        entries = raw["files"]
+        by_commit: dict[str, list[dict]] = {}
+        for e in entries:
+            by_commit.setdefault(e["path"].split("/", 1)[0], []).append(e)
+        pointers: list[dict] = []
+        for commit, block in sorted(by_commit.items()):
+            pointers.append(_write_manifest_file(base_path, block))
+            fault(f"staged:{commit}")
+        payload: dict = {"version": version + 1, "manifest_list": pointers}
+        for key in ("centroids", "coarse", "books"):
+            if key in raw:
+                payload[key] = (
+                    {str(c): v for c, v in sorted(raw[key].items())}
+                    if isinstance(raw[key], dict)
+                    else raw[key]
+                )
+        _carry_manifest_extra(raw, payload)
+        fault("prepared")
+        try:
+            _publish_ivf_manifest(base_path, version + 1, payload)
+        except FileExistsError:
+            # The winner changed the file set; staged blocks of this
+            # attempt are vacuum fodder — re-plan against the new latest.
+            fault("retrying")
+            continue
+        fault("published")
+        return {
+            "promoted": True,
+            "version": version + 1,
+            "n_manifests": len(pointers),
+            "n_files": len(entries),
+        }
+    raise RuntimeError(
+        f"promotion lost the publish race {retries + 1} times under {base_path}"
+    )
+
+
 def ivf_index_history(spark, base_path: str) -> "DataFrame":
     """The index's committed-version catalog as a queryable DataFrame —
     the versioned tier's twin of Iceberg's ``snapshots`` metadata
@@ -1208,14 +1442,23 @@ def ivf_index_history(spark, base_path: str) -> "DataFrame":
     a model-tested column."""
     rows = []
     for v in ivf_index_versions(base_path):
-        man = read_ivf_manifest(base_path, v)
+        # Raw read: both layouts answer from the version JSON alone —
+        # flat manifests list entries inline, two-level ones carry the
+        # per-block rollups — so history never loads an entry block.
+        man = _read_manifest_raw(base_path, v)
         quant = man.get("centroids") or man.get("coarse") or {}
         stamp = man.get("stream_batch_id")
+        if "manifest_list" in man:
+            n_files = sum(int(p["n_files"]) for p in man["manifest_list"])
+            n_rows = sum(int(p["n_rows"]) for p in man["manifest_list"])
+        else:
+            n_files = len(man["files"])
+            n_rows = sum(e["rows"] for e in man["files"])
         rows.append(
             (
                 int(v),
-                len(man["files"]),
-                int(sum(e["rows"] for e in man["files"])),
+                int(n_files),
+                int(n_rows),
                 len(quant),
                 int(stamp) if stamp is not None else None,
             )
@@ -1249,15 +1492,28 @@ def vacuum_ivf_index(
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = ivf_index_versions(base_path)
     keep = versions[-keep_last:]
+    # Reachability walks BOTH layouts: the transparent read flattens a
+    # two-level version's blocks into entries (data-file liveness),
+    # and the pointer paths themselves are collected as live/committed
+    # MANIFEST files — a block shared between an expired and a kept
+    # version (pointer reuse) stays live.
     live: set[str] = set()
+    live_manifests: set[str] = set()
     for v in keep:
-        for e in read_ivf_manifest(base_path, v)["files"]:
+        man = read_ivf_manifest(base_path, v)
+        for e in man["files"]:
             live.add(os.path.normpath(e["path"]))
+        for p in man.get("manifest_list", []):
+            live_manifests.add(os.path.normpath(p["path"]))
     committed: set[str] = set()  # referenced by an expired manifest
+    committed_manifests: set[str] = set()
     for v in versions:
         if v not in keep:
-            for e in read_ivf_manifest(base_path, v)["files"]:
+            man = read_ivf_manifest(base_path, v)
+            for e in man["files"]:
                 committed.add(os.path.normpath(e["path"]))
+            for p in man.get("manifest_list", []):
+                committed_manifests.add(os.path.normpath(p["path"]))
     data_dir = os.path.join(base_path, "data")
     removed_files = 0
     now = time.time()
@@ -1327,8 +1583,29 @@ def vacuum_ivf_index(
     ):
         if _quiesced(t, orphan_min_age_s, now):
             os.unlink(t)
+    # Manifest FILES (two-level blocks), swept AFTER the expired
+    # version JSONs so a crash mid-vacuum can never strand a readable
+    # expired version with missing blocks: blocks referenced only by a
+    # now-unlinked expired version reclaim freely; blocks no version
+    # explains may be a live writer's staging (a promotion or a
+    # layout-preserving publish mid-flight) and honor the grace
+    # window, exactly like orphan commit dirs.
+    removed_manifest_files = 0
+    for f in globmod.glob(os.path.join(base_path, "manifests", "*.json")):
+        rel = os.path.normpath(os.path.relpath(f, base_path))
+        if rel in live_manifests:
+            continue
+        if rel in committed_manifests or _quiesced(f, orphan_min_age_s, now):
+            os.unlink(f)
+            removed_manifest_files += 1
+    for t in globmod.glob(
+        os.path.join(base_path, "manifests", "*.json.tmp-*")
+    ):
+        if _quiesced(t, orphan_min_age_s, now):
+            os.unlink(t)
     return {
         "removed_files": removed_files,
         "removed_manifests": removed_manifests,
+        "removed_manifest_files": removed_manifest_files,
         "kept_versions": keep,
     }

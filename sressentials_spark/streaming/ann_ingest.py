@@ -52,9 +52,11 @@ def committed_stream_batch(base_path: str) -> int:
     so the LATEST manifest normally holds the high-water mark and the
     stamp survives maintenance followed by ``vacuum(keep_last=1)``;
     the descending scan is belt and braces for manifests published
-    before that rule existed."""
+    before that rule existed. Raw read: the stamp rides in the version
+    JSON itself, so the scan never loads a two-level version's entry
+    blocks — O(1) per version regardless of index size."""
     for v in reversed(V.ivf_index_versions(base_path)):
-        man = V.read_ivf_manifest(base_path, v)
+        man = V._read_manifest_raw(base_path, v)
         if _STAMP in man:
             return int(man[_STAMP])
     return -1
@@ -71,7 +73,19 @@ def _run_ingest_stream(
     """Shared exactly-once micro-batch loop: each arrival file is one
     trigger; a batch whose id is already stamped is skipped driver-side
     before any staging; otherwise ``ingest_verb`` commits the batch's
-    rows and the stamp in ONE atomic manifest publish."""
+    rows and the stamp in ONE atomic manifest publish.
+
+    An EMPTY arrival micro-batch never publishes its stamp (the ingest
+    verbs early-return before staging when the encode yields no
+    entries), so ``committed_stream_batch`` does not advance past it.
+    That is harmless BY the exactly-once argument, not by accident:
+    redelivering an unstamped empty batch re-ingests zero rows (a
+    no-op), so the invariant that matters — no row commits twice —
+    holds even though "stamp == highest delivered batch id" does not.
+    Pinned by tests/test_streaming_ann_ingest.py::
+    test_empty_batch_skips_stamp_and_redelivery_is_noop; if the
+    early-return in the ingest verbs ever changes, that test is the
+    tripwire."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= committed_stream_batch(base_path):
@@ -84,7 +98,7 @@ def _run_ingest_stream(
         )
 
     q = (
-        spark.readStream.schema("vec_id long, embedding array<float>")
+        spark.readStream.schema(f"{id_col} long, embedding array<float>")
         .option("maxFilesPerTrigger", "1")
         .parquet(arrivals_dir)
         .writeStream.foreachBatch(ingest)

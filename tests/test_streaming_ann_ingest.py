@@ -102,6 +102,65 @@ def test_streamed_ingest_is_exactly_once_and_batch_invariant(spark, tmp_path):
     assert V.ivf_index_versions(base)[-1] == 5  # still nothing to redo
 
 
+def test_empty_batch_skips_stamp_and_redelivery_is_noop(spark, tmp_path):
+    """An EMPTY arrival micro-batch never publishes its stamp (the
+    ingest verbs early-return before staging), so the high-water mark
+    stops at the last non-empty batch. The r11-ADVICE hazard pinned:
+    exactly-once still holds BECAUSE redelivering an unstamped empty
+    batch re-ingests zero rows — the empty batch is staged LAST here so
+    its redelivery is NOT skipped by the stamp check and must flow
+    through the verb's early-return without committing anything. If the
+    verbs' empty-batch early-return ever changes, this test trips."""
+    emb = load_table(spark, SF, "embeddings")
+    arrivals = _stage_arrivals(spark, emb, tmp_path, n_files=2)
+    empty_dir = str(tmp_path / "empty")
+    (
+        emb.filter(F.col("vec_id") < 0)
+        .select("vec_id", "embedding")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(empty_dir)
+    )
+    (empty_part,) = globmod.glob(f"{empty_dir}/part-*.parquet")
+    dst = os.path.join(arrivals, "part-zz-empty.parquet")
+    os.replace(empty_part, dst)
+    os.utime(dst, (time.time() - 1800,) * 2)  # newest => last batch id
+
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb.filter(F.col("vec_id") < 25), base)
+    AI.run_versioned_ingest_stream(spark, arrivals, base, str(tmp_path / "c1"))
+    # Two non-empty batches committed; the trailing empty batch (id 2)
+    # left no version and no stamp.
+    assert V.ivf_index_versions(base) == [1, 2, 3]
+    assert AI.committed_stream_batch(base) == 1
+    ids = {
+        r["vec_id"]
+        for r in V.read_ivf_index_version(spark, base).select("vec_id").collect()
+    }
+    assert ids == {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+    # Redelivery: batch 2 (empty) is NOT stamp-skipped — it runs the
+    # verb and must commit nothing; batches 0/1 are stamp-skipped. The
+    # verb's staging pass may leave an EMPTY commit dir behind (vacuum
+    # fodder), so compare data files, not dir names.
+    def _files():
+        return set(
+            globmod.glob(
+                os.path.join(base, "data", "commit-*", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+
+    before = _files()
+    AI.run_versioned_ingest_stream(spark, arrivals, base, str(tmp_path / "c2"))
+    assert V.ivf_index_versions(base) == [1, 2, 3]
+    assert AI.committed_stream_batch(base) == 1
+    assert _files() == before
+    # And vacuum reclaims the quiesced empty staging dir residue.
+    V.vacuum_ivf_index(base, keep_last=1, orphan_min_age_s=0)
+    assert _files() == before
+
+
 def test_streamed_ivfpq_ingest_is_exactly_once_and_batch_invariant(
     spark, tmp_path
 ):
