@@ -327,6 +327,54 @@ def test_streaming_exactly_once_on_promoted_store(spark, tmp_path):
     assert set(globmod.glob(os.path.join(base, "data", "commit-*"))) == before
 
 
+def test_list_level_pruning_skips_unprobed_blocks(spark, tmp_path, monkeypatch):
+    """The pointer rollup is a real pruning surface, not decoration: a
+    cells-narrowed read loads ONLY the blocks whose rolled-up cell set
+    intersects the probe — blocks of other cells are never opened
+    (the driver-side twin of partition pruning, one level up)."""
+    emb = _emb(spark)
+    base = str(tmp_path / "ver")
+    V.build_ivf_index_versioned(emb, base)
+    V.promote_ivf_manifest_list(base)
+    raw = V._read_manifest_raw(base, 2)
+    # Split the single build commit's block into per-cell blocks so
+    # cells really live in distinct blocks (the shape many ingests or
+    # a compaction produce naturally).
+    by_cell: dict[int, list[dict]] = {}
+    for ptr in raw["manifest_list"]:
+        for e in V._read_manifest_entries(base, ptr):
+            by_cell.setdefault(int(e["cell"]), []).append(e)
+    assert len(by_cell) > 2
+    pointers = [
+        V._write_manifest_file(base, block)
+        for _, block in sorted(by_cell.items())
+    ]
+    payload = {"version": 3, "manifest_list": pointers}
+    payload["centroids"] = {
+        str(c): v for c, v in sorted(raw["centroids"].items())
+    }
+    V._publish_ivf_manifest(base, 3, payload)
+
+    loads: list[str] = []
+    real = V._read_manifest_entries
+
+    def counting(base_path, pointer):
+        loads.append(pointer["path"])
+        return real(base_path, pointer)
+
+    monkeypatch.setattr(V, "_read_manifest_entries", counting)
+    want_cells = sorted(by_cell)[:2]
+    df = V.read_ivf_index_version(spark, base, 3, cells=want_cells)
+    got_cells = {int(r["cell"]) for r in df.select("cell").distinct().collect()}
+    assert got_cells == set(want_cells)
+    assert len(loads) == 2  # exactly the probed cells' blocks
+    # Unpruned read still sees everything.
+    loads.clear()
+    n = V.read_ivf_index_version(spark, base, 3).count()
+    assert n == emb.count()
+    assert len(loads) == len(pointers)
+
+
 def test_pq_tier_promotes_bit_equal(spark, tmp_path):
     emb = _emb(spark)
     base = str(tmp_path / "pq")
