@@ -41,8 +41,11 @@ quantized-embedding conventions (operators/linalg.py:240-297).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 #: Quantization grid: embeddings live in ~[-0.5, 0.5], so components
 #: fit in ~2^19 steps; squared distances are then <= dim * 2^40 —
@@ -66,7 +69,7 @@ def quantize_vec(vec_col: str | Column, scale: int = QUANT_SCALE) -> Column:
 
 def _dist_sq(qcol: Column, centroid: list[int]) -> Column:
     """Exact integer squared L2 distance to one literal centroid."""
-    lit = F.array(*[F.lit(int(v)) for v in centroid])
+    lit = F.lit([int(v) for v in centroid]).cast("array<bigint>")
     return F.aggregate(
         F.zip_with(qcol, lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -74,16 +77,75 @@ def _dist_sq(qcol: Column, centroid: list[int]) -> Column:
     )
 
 
+def _assign_kernel(centroids: dict[int, list[int]]):
+    """Arrow kernel for the argmin assignment: the k centroids ride the
+    task closure as one (k, dim) int64 matrix; each batch computes all
+    k exact integer squared distances vectorized and takes the argmin.
+
+    Equivalence with the expression form: int64 sums commute (exact in
+    any order) and ``np.argmin`` returns the FIRST minimum, which with
+    centroid rows ordered by ascending cid is exactly the
+    (dist_sq, cid) lexicographic ``array_min`` tie-break.
+    """
+    cids = sorted(centroids)
+    cmat = np.asarray([centroids[c] for c in cids], dtype=np.int64)
+    ids = np.asarray(cids, dtype=np.int64)
+
+    @pandas_udf("cluster long, dist_sq long")
+    def f(q: pd.Series) -> pd.DataFrame:
+        if len(q) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype="int64"),
+                    "dist_sq": pd.Series([], dtype="int64"),
+                }
+            )
+        qmat = np.stack(q.to_numpy()).astype(np.int64)
+        d = np.empty((qmat.shape[0], cmat.shape[0]), dtype=np.int64)
+        for j in range(cmat.shape[0]):
+            diff = qmat - cmat[j]
+            d[:, j] = np.einsum("nd,nd->n", diff, diff)
+        best = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": ids[best],
+                "dist_sq": d[np.arange(len(best)), best],
+            }
+        )
+
+    return f
+
+
 def assign_clusters(
     quantized: DataFrame, centroids: dict[int, list[int]], q_col: str = "q"
 ) -> DataFrame:
-    """Add ``(cluster, dist_sq)`` = argmin over literal centroids.
+    """Add ``(cluster, dist_sq)`` = argmin over the k centroids.
 
-    Builds an array of (dist_sq, cid) structs and takes ``array_min``
-    — struct ordering is lexicographic, so equal distances resolve to
-    the lowest centroid id, a total order that makes the assignment
-    unique (and hash-gate stable). Pure codegen: no shuffle, no UDF.
+    Small vectors (dim <= linalg.UNROLL_MAX_DIM) build an array of
+    (dist_sq, cid) structs and take ``array_min`` — struct ordering is
+    lexicographic, so equal distances resolve to the lowest centroid
+    id, a total order that makes the assignment unique (and hash-gate
+    stable) — pure codegen, no shuffle, no Python. Larger vectors
+    dispatch to the Arrow kernel (:func:`_assign_kernel`), the same
+    cutoff rule as ``linalg.dot``: at dim 64 the k-way
+    ``aggregate``/``zip_with`` expression tree costs the DRIVER
+    ~1.2 s of analysis/optimization per Lloyd round (new literals
+    every round defeat any plan cache; measured in the r12 profile —
+    4 assignment plans ≈ 3.4 s of driver-side gap on a 1.1 s-of-jobs
+    query), while the kernel's plan is one constant-size
+    ArrowEvalPython node with identical integer results.
     """
+    dim = len(next(iter(centroids.values())))
+    from sressentials_spark.operators.linalg import UNROLL_MAX_DIM
+
+    if dim > UNROLL_MAX_DIM:
+        best = _assign_kernel(centroids)(F.col(q_col))
+        return (
+            quantized.withColumn("_best", best)
+            .withColumn("cluster", F.col("_best.cluster"))
+            .withColumn("dist_sq", F.col("_best.dist_sq"))
+            .drop("_best")
+        )
     cands = F.array(
         *[
             F.struct(
