@@ -46,6 +46,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
+from sressentials_spark.localrel import local_df
+
 from sressentials_spark.operators.similarity import (
     DEFAULT_DIM,
     IVF_CELLS,
@@ -414,12 +416,12 @@ def cosine_topk_ivf_versioned(
     qrows = (
         src.filter(F.col(id_col).isin(query_ids)).select(*qcols).collect()
     )
-    qsrc = spark.createDataFrame(qrows, src.select(*qcols).schema)
+    qsrc = local_df(spark, qrows, src.select(*qcols).schema)
     qann = ivf_annotate_frozen(qsrc, ids, mat, nprobe)
     qann_rows = qann.collect()
     probed = sorted({int(c) for r in qann_rows for c in r["cells"]})
     corpus = read_ivf_index_version(spark, base_path, version, cells=probed)
-    queries_src = spark.createDataFrame(qann_rows, qann.schema)
+    queries_src = local_df(spark, qann_rows, qann.schema)
     return _ivf_query(
         corpus, query_ids, k, id_col, dim,
         filter_col=None, prune_cells=False, queries_src=queries_src,
@@ -1463,7 +1465,8 @@ def ivf_index_history(spark, base_path: str) -> "DataFrame":
                 int(stamp) if stamp is not None else None,
             )
         )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "version bigint, n_files bigint, n_rows bigint, n_cells bigint, "
         "stream_batch_id bigint",

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sressentials_spark.localrel import local_df
+
 _PID = "__ssk_pid"
 
 #: Above this many partitions the offsets literal map would bloat the
@@ -68,8 +70,8 @@ def with_row_numbers(df: DataFrame, name: str = "line_no") -> DataFrame:
         return df.withColumn(name, (offset + intra + 1).cast("long"))
 
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(p, o) for p, o in offsets.items()], f"{_PID} int, __ssk_off long"
+    off_df = local_df(
+        spark, [(p, o) for p, o in offsets.items()], f"{_PID} int, __ssk_off long"
     )
     return (
         df.withColumn(_PID, pid.cast("int"))
@@ -134,7 +136,8 @@ def with_file_row_numbers(
         rows.append((r[_PID], r["__ssk_file"], off, r["mi"]))
         offsets[r["__ssk_file"]] = off + r["cnt"]
 
-    off_df = df.sparkSession.createDataFrame(
+    off_df = local_df(
+        df.sparkSession,
         rows, f"{_PID} int, __ssk_file string, __ssk_off long, __ssk_mi long"
     )
     return (

@@ -49,6 +49,7 @@ from sressentials_spark.operators.dedup import (
     tracked_persist,
     with_norm,
 )
+from sressentials_spark.localrel import local_df
 from sressentials_spark.operators.linalg import dot, ivf_cells_kernel, norm_bucket_kernel
 
 #: Number of hyperplanes (sign bits) for the LSH bucketing.
@@ -128,7 +129,7 @@ def _collect_queries(
     """
     rows = corpus.filter(F.col(id_col).isin(query_ids)).select(*cols).collect()
     schema = corpus.select(*cols).schema
-    return corpus.sparkSession.createDataFrame(rows, schema)
+    return local_df(corpus.sparkSession, rows, schema)
 
 
 def cosine_topk(
@@ -304,7 +305,8 @@ def build_ivf_index(
     sinks.write_partitioned(
         ivf_annotate_frozen(emb, ids, mat, nprobe), base_path, ["cell"]
     )
-    emb.sparkSession.createDataFrame(
+    local_df(
+        emb.sparkSession,
         [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)],
         "cid long, cv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_centroids")
@@ -313,7 +315,8 @@ def build_ivf_index(
 
 def _write_centroid_sidecar(spark, base_path: str, cents: dict) -> None:
     """(Re)write the ``_centroids`` sidecar from a {cid: vector} map."""
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (int(cid), [float(x) for x in row])
             for cid, row in sorted(cents.items())
@@ -531,7 +534,7 @@ def cosine_topk_ivf_from_index(
             .select(*qsrc_cols)
             .collect()
         )
-        qsrc = spark.createDataFrame(qrows, annotated.select(*qsrc_cols).schema)
+        qsrc = local_df(spark, qrows, annotated.select(*qsrc_cols).schema)
         queries_src = ivf_annotate_frozen(qsrc, ids, mat, nprobe)
     return _ivf_query(
         annotated, query_ids, k, id_col, dim, filter_col,
@@ -565,9 +568,7 @@ def _ivf_query(
     qrows = (
         qsrc.filter(F.col(id_col).isin(query_ids)).select(*qcols).collect()
     )
-    queries = spark.createDataFrame(
-        qrows, qsrc.select(*qcols).schema
-    ).select(
+    queries = local_df(spark, qrows, qsrc.select(*qcols).schema).select(
         F.col(id_col).alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("norm").alias("qnorm"),
@@ -733,7 +734,8 @@ def cosine_topk_lsh_multiprobe(
             probe_rows.append(
                 (int(r[id_col]), list(r["embedding"]), float(r["norm"]), int(pb))
             )
-    queries = spark.createDataFrame(
+    queries = local_df(
+        spark,
         probe_rows,
         "query_id long, qv array<float>, qnorm double, pb long",
     )
@@ -1119,8 +1121,8 @@ def _pq_dtable(
                     t = qv[mi * dsub + d] - float(crow[d])
                     acc = acc + t * t
                 table_rows.append((int(r[id_col]), mi, int(ki), float(acc)))
-    return spark.createDataFrame(
-        table_rows, "query_id long, m int, k int, d double"
+    return local_df(
+        spark, table_rows, "query_id long, m int, k int, d double"
     )
 
 
@@ -1172,11 +1174,13 @@ def build_ivfpq_index(
     )
     lists = _encode_ivfpq_lists(emb, coarse, books, m=m, id_col=id_col)
     sinks.write_partitioned(lists, base_path, ["cell"])
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(cid), [int(x) for x in comp]) for cid, comp in sorted(coarse.items())],
         "cid long, cq array<long>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_coarse")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (mi, int(cid), [int(x) for x in row])
             for mi, (cids, C) in enumerate(books)
@@ -1211,7 +1215,8 @@ def _encode_ivfpq_lists(
 
     spark = emb.sparkSession
     cents = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [
                 (int(cid), [float(x) / float(QUANT_SCALE) for x in comp])
                 for cid, comp in sorted(coarse.items())
@@ -1310,7 +1315,8 @@ def ivfpq_quantization_error(
         *[F.col(f"code_{i}").cast("long").alias(f"code_{i}") for i in range(m)],
     )
     cents = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [
                 (int(cid), [float(x) / float(QUANT_SCALE) for x in comp])
                 for cid, comp in sorted(coarse.items())
@@ -1334,7 +1340,8 @@ def ivfpq_quantization_error(
     zero = F.lit(0).cast("long")
     for mi, (cids, C) in enumerate(books):
         bdf = F.broadcast(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [
                     (int(cid), [int(x) for x in row])
                     for cid, row in zip(cids.tolist(), C)
@@ -1424,7 +1431,8 @@ def ivfpq_refresh_decision(
     decision = (
         "refresh" if drift > int(threshold_permille) else "keep"
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(hist_n, batch_n, hist_err, batch_err, drift, decision)],
         "hist_n bigint, batch_n bigint, hist_err bigint, batch_err bigint, "
         "drift_permille bigint, decision string",
@@ -1559,9 +1567,9 @@ def _ivfpq_adc_search(
                         t = qr[mi * dsub + d] - float(crow[d])
                         acc = acc + t * t
                     table_rows.append((qid, pcell, mi, int(ki), float(acc)))
-    probes = spark.createDataFrame(probe_pairs, "query_id long, pcell long")
-    dtable = spark.createDataFrame(
-        table_rows, "query_id long, pcell long, m int, k int, d double"
+    probes = local_df(spark, probe_pairs, "query_id long, pcell long")
+    dtable = local_df(
+        spark, table_rows, "query_id long, pcell long, m int, k int, d double"
     )
     probed = sorted({c for _, c in probe_pairs})
 
@@ -1664,8 +1672,8 @@ def pq_adc_rerank_topk(
         .collect()
     )
     queries = F.broadcast(
-        spark.createDataFrame(
-            qrows, emb.select(id_col, "embedding").schema
+        local_df(
+            spark, qrows, emb.select(id_col, "embedding").schema
         ).select(
             F.col(id_col).alias("query_id"), F.col("embedding").alias("qv")
         )

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sressentials_spark.localrel import local_df
+
 from sressentials_spark.operators.dedup import md5_long
 
 #: Register-index bits → m = 2^b registers. 6 bits keeps the final
@@ -247,8 +249,8 @@ def cms_probe_from_counters(
     streaming runner (where the counters are the settled state of the
     streaming aggregation)."""
     spark = counters.sparkSession
-    probes = spark.createDataFrame(
-        [(int(k),) for k in probe_keys], f"{col} long"
+    probes = local_df(
+        spark, [(int(k),) for k in probe_keys], f"{col} long"
     )
     pc = probes.select(
         F.col(col),
@@ -395,8 +397,8 @@ def histogram_quantiles(
         F.sum("n").over(w_cum).alias("cum"),
         F.sum("n").over(w_all).alias("total"),
     )
-    qs = df.sparkSession.createDataFrame(
-        [(int(q),) for q in quantiles], "quantile long"
+    qs = local_df(
+        df.sparkSession, [(int(q),) for q in quantiles], "quantile long"
     )
     return (
         qs.crossJoin(cum)
@@ -611,8 +613,8 @@ def quantile_error_eval(
         F.sum("n").over(w_cum).alias("cum"),
         F.sum("n").over(w_all).alias("total"),
     )
-    qs = df.sparkSession.createDataFrame(
-        [(int(q),) for q in quantiles], "quantile long"
+    qs = local_df(
+        df.sparkSession, [(int(q),) for q in quantiles], "quantile long"
     )
     exact = (
         qs.crossJoin(cum)

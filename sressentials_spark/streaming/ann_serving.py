@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sressentials_spark.localrel import local_df
+
 
 def _stage_query_arrivals(
     spark: SparkSession, query_ids: list[int], n_files: int = 2
@@ -47,7 +49,7 @@ def _stage_query_arrivals(
 
     d = scratch_dir("sressentials_ann_serve_stage_")
     (
-        spark.createDataFrame([(int(q),) for q in query_ids], "query_id long")
+        local_df(spark, [(int(q),) for q in query_ids], "query_id long")
         .repartitionByRange(n_files, "query_id")
         .write.mode("overwrite")
         .parquet(f"{d}/arrivals")

@@ -21,6 +21,8 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sressentials_spark.localrel import local_df
+
 from sressentials_spark.operators.sketch import (
     cms_counters,
     cms_probe_from_counters,
@@ -144,7 +146,7 @@ def run_histogram_stream_batch(
         F.sum("n").over(w_cum).alias("cum"),
         F.sum("n").over(w_all).alias("total"),
     )
-    qs = spark.createDataFrame([(int(x),) for x in quantiles], "quantile long")
+    qs = local_df(spark, [(int(x),) for x in quantiles], "quantile long")
     return (
         qs.crossJoin(cum)
         .filter(F.col("cum") * 100 >= F.col("quantile") * F.col("total"))
