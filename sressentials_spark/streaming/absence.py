@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,12 +72,28 @@ def _detect_silence(
         )
         return
 
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-    us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        # Defensive: Spark invokes with rows or hasTimedOut (handled
+        # above); an empty call leaves state and timer untouched.
+        return
+    pdf = (
+        frames[0]
+        if len(frames) == 1
+        else pd.concat(frames, ignore_index=True)
+    )
+    # numpy lexsort + vectorized gap scan: the function runs once per
+    # ACTIVE KEY per micro-batch, so per-call pandas overhead (concat,
+    # sort_values, row loop) multiplies by |users| x |batches| — it was
+    # ~40% of the replay's executor time on top of the
+    # applyInPandasWithState framework floor (measured: noop state fn
+    # 6.7 s vs real detector 10.6 s on the same staged replay).
+    ts_np = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    order = np.lexsort((pdf["event_id"].to_numpy(), ts_np))
+    us = ts_np[order]
 
     last = int(state.get[0]) if state.exists else None
-    if last is not None and len(us) and int(us.iloc[0]) < last:
+    if last is not None and len(us) and int(us[0]) < last:
         # Ordering-contract violation (same guard as the sessionizer's
         # strict variant): this operator requires per-user cross-batch
         # event-time order — a batch opening BEFORE the stored
@@ -86,17 +103,17 @@ def _detect_silence(
         # loudly, not degrade.
         raise ValueError(
             f"absence detector: user {key[0]} batch opens at "
-            f"{int(us.iloc[0])}us, before stored last-seen {last}us — "
+            f"{int(us[0])}us, before stored last-seen {last}us — "
             "cross-batch arrival disorder violates the ordering contract"
         )
-    alerts: list[int] = []
-    for t in (int(x) for x in us):
-        # In-batch gaps AND the stored-last -> first-new-row gap (a
-        # user returning before their timer's watermark): both are
-        # silences the timer alone would miss.
-        if last is not None and t - last > SILENCE_GAP_US:
-            alerts.append(last)
-        last = t
+    # In-batch gaps AND the stored-last -> first-new-row gap (a user
+    # returning before their timer's watermark): both are silences the
+    # timer alone would miss. chain = [stored last?, batch times...];
+    # an alert is every element followed by a gap > SILENCE_GAP_US.
+    chain = us if last is None else np.concatenate(([last], us))
+    gaps = np.diff(chain)
+    alerts = chain[:-1][gaps > SILENCE_GAP_US].tolist()
+    last = int(chain[-1])
     state.update((int(last),))
     # Arm the trailing timer strictly past the current watermark (the
     # API rejects a timestamp at or behind it).

@@ -36,6 +36,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,9 +59,23 @@ def _ts_us(ts: pd.Series) -> pd.Series:
 def _assign_sessions(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-    us = _ts_us(pdf["ts"])
+    # Vectorized per-key body (numpy lexsort + cumsum of gap flags):
+    # the function runs once per active key per micro-batch, so
+    # per-call pandas overhead multiplies by |users| x |batches| — it
+    # was a large share of the replay's executor time on top of the
+    # applyInPandasWithState framework floor.
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return
+    pdf = (
+        frames[0]
+        if len(frames) == 1
+        else pd.concat(frames, ignore_index=True)
+    )
+    ts_np = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    order = np.lexsort((pdf["event_id"].to_numpy(), ts_np))
+    pdf = pdf.iloc[order].reset_index(drop=True)
+    us = ts_np[order]
     if state.exists:
         last_us, sid = state.get
         # Ordering-contract guard: batches must arrive event-time-
@@ -68,23 +83,26 @@ def _assign_sessions(
         # earliest event precedes the stored last-seen time is a state
         # regression — session ids from here on would be silently
         # wrong, so fail the query loudly instead.
-        if len(us) and int(us.iloc[0]) < last_us:
+        if len(us) and int(us[0]) < last_us:
             raise ValueError(
                 f"sessionize ordering contract violated for key {key}: "
-                f"batch min event time {int(us.iloc[0])}us precedes "
+                f"batch min event time {int(us[0])}us precedes "
                 f"stored last-seen {last_us}us; cross-batch arrivals "
                 "must be event-time-ordered per user (use the batch "
                 "window query for late/out-of-order data)"
             )
     else:
         last_us, sid = None, 0
-    session_ids = []
-    for t in us:
-        if last_us is None or t - last_us > SESSION_GAP_US:
-            sid += 1
-        last_us = t
-        session_ids.append(sid)
-    state.update((int(last_us), int(sid)))
+    # A new session starts at row i iff gap from the previous event
+    # (stored last_us for row 0; a missing history always starts one)
+    # exceeds the gap — identical to the per-row loop it replaces.
+    prev = np.concatenate(([last_us if last_us is not None else int(us[0])], us[:-1]))
+    starts = (us - prev) > SESSION_GAP_US
+    if last_us is None:
+        starts[0] = True
+    session_ids = sid + np.cumsum(starts.astype(np.int64))
+    last_us, sid = int(us[-1]), int(session_ids[-1])
+    state.update((last_us, sid))
     out = pdf[["event_id", "user_id", "ts"]].copy()
     out["session_id"] = pd.Series(session_ids, dtype="int64")
     yield out
@@ -295,50 +313,59 @@ def _assign_sessions_ooo(
     """
     wm_us = state.getCurrentWatermarkMs() * 1000
     if state.exists:
-        buf_ids, buf_us, last_us, sid = state.get
-        buf_ids, buf_us = list(buf_ids), list(buf_us)
+        s_ids, s_us, last_us, sid = state.get
+        buf_ids = np.asarray(s_ids, dtype=np.int64)
+        buf_us = np.asarray(s_us, dtype=np.int64)
     else:
-        buf_ids, buf_us, last_us, sid = [], [], _NO_HISTORY, 0
+        buf_ids = buf_us = np.empty(0, dtype=np.int64)
+        last_us, sid = _NO_HISTORY, 0
 
     rows = [p for p in pdfs if len(p)]
     if rows:
-        pdf = pd.concat(rows, ignore_index=True)
-        buf_ids.extend(int(x) for x in pdf["event_id"])
-        buf_us.extend(int(x) for x in _ts_us(pdf["ts"]))
+        pdf = (
+            rows[0] if len(rows) == 1 else pd.concat(rows, ignore_index=True)
+        )
+        buf_ids = np.concatenate(
+            (buf_ids, pdf["event_id"].to_numpy().astype(np.int64))
+        )
+        buf_us = np.concatenate(
+            (buf_us, pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"))
+        )
 
-    order = sorted(range(len(buf_us)), key=lambda i: (buf_us[i], buf_ids[i]))
-    buf_us = [buf_us[i] for i in order]
-    buf_ids = [buf_ids[i] for i in order]
+    # Vectorized reorder + flush split (same per-call-cost argument as
+    # _assign_sessions): lexsort by (ts, event_id); the flush prefix is
+    # every buffered row strictly behind the watermark.
+    order = np.lexsort((buf_ids, buf_us))
+    buf_ids, buf_us = buf_ids[order], buf_us[order]
+    n_flush = int(np.searchsorted(buf_us, wm_us, side="left"))
 
-    n_flush = 0
-    while n_flush < len(buf_us) and buf_us[n_flush] < wm_us:
-        n_flush += 1
+    out_ids, out_us = buf_ids[:n_flush], buf_us[:n_flush]
+    if n_flush:
+        prev = np.concatenate(
+            ([last_us if last_us != _NO_HISTORY else int(out_us[0])], out_us[:-1])
+        )
+        starts = (out_us - prev) > SESSION_GAP_US
+        if last_us == _NO_HISTORY:
+            starts[0] = True
+        out_sids = sid + np.cumsum(starts.astype(np.int64))
+        last_us, sid = int(out_us[-1]), int(out_sids[-1])
 
-    out_ids, out_us, out_sids = [], [], []
-    for i in range(n_flush):
-        t = buf_us[i]
-        if last_us == _NO_HISTORY or t - last_us > SESSION_GAP_US:
-            sid += 1
-        last_us = t
-        out_ids.append(buf_ids[i])
-        out_us.append(t)
-        out_sids.append(sid)
-
-    rem_ids, rem_us = buf_ids[n_flush:], buf_us[n_flush:]
+    rem_ids = buf_ids[n_flush:].tolist()
+    rem_us = buf_us[n_flush:].tolist()
     state.update((rem_ids, rem_us, int(last_us), int(sid)))
     if rem_us:
         # Re-arm: fire when the watermark passes the oldest buffered
         # row (must be strictly later than the current watermark).
         state.setTimeoutTimestamp(max(rem_us[0] // 1000, wm_us // 1000 + 1))
 
-    if out_ids:  # an empty yield only feeds pandas-concat noise
+    if n_flush:  # an empty yield only feeds pandas-concat noise
         yield pd.DataFrame(
             {
                 "event_id": pd.Series(out_ids, dtype="int64"),
                 "user_id": pd.Series(
-                    [int(key[0])] * len(out_ids), dtype="int64"
+                    np.full(n_flush, int(key[0]), dtype=np.int64)
                 ),
-                "ts": pd.Series(out_us, dtype="int64").astype("datetime64[us]"),
+                "ts": pd.Series(out_us).astype("datetime64[us]"),
                 "session_id": pd.Series(out_sids, dtype="int64"),
             }
         )
