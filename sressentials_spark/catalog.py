@@ -90,6 +90,23 @@ _SHEETS_CACHE_MAX = 4
 _sheets_cache: dict[tuple[str, str, str], dict[str, DataFrame]] = {}
 
 
+def _shared_query(spark: SparkSession, sf_dir: str, name: str, build):
+    """Session-share a query materialization that several registered
+    queries consume (every recall eval re-serves its exact/ANN
+    components; ``sim_cosine_topk`` alone is re-served by 10 queries).
+
+    Same registry, hygiene and release point as the parsed log sheets
+    and the minhash artifacts: computed INSIDE the timed region on
+    first use per (session, sf_dir), persisted via ``tracked_persist``,
+    dropped by ``release_persisted`` — bench clears it between passes
+    and driver_sim builds a fresh session, so every run still computes
+    from the parquet inputs; only intra-pass recomputation of the
+    identical frame is removed."""
+    return D.get_or_build_artifact(
+        spark, ("qshare", name, sf_dir), lambda: D.tracked_persist(build())
+    )
+
+
 def _evict_sheets(sheets: dict[str, DataFrame]) -> None:
     unpersist = getattr(sheets, "unpersist_base", None)
     if unpersist is not None:
@@ -730,7 +747,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the random model, and tests/test_dedup.py pins equality on the
     fixed testdata — so LSH-vs-exact equivalence is itself under test.
     """
-    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    return _shared_query(
+        spark, sf_dir, "dedup_minhash_lsh",
+        lambda: D.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.8
+        ),
+    )
 
 
 def _simhash_oracle(max_hamming: int) -> str:
@@ -770,7 +792,12 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 @register("dedup_simhash_pairs", _simhash_oracle(8))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (48-bit) near-dup pairs via banded Hamming LSH."""
-    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+    return _shared_query(
+        spark, sf_dir, "dedup_simhash_pairs",
+        lambda: D.simhash_pairs(
+            load_table(spark, sf_dir, "documents"), max_hamming=8
+        ),
+    )
 
 
 @register(
@@ -963,8 +990,15 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
 """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-10 cosine neighbors for 5 query vectors (brute force)."""
-    return S.cosine_topk(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
+    """Exact top-10 cosine neighbors for 5 query vectors (brute force).
+    Session-shared: ten other queries (every recall eval) re-serve this
+    exact frame, so it materializes once per pass (_shared_query)."""
+    return _shared_query(
+        spark, sf_dir, "sim_cosine_topk",
+        lambda: S.cosine_topk(
+            load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10
+        ),
+    )
 
 
 def _lsh_proj_sql(vec: str, p: int, planes: int | None = None) -> str:
@@ -1005,7 +1039,12 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
 )
 def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors via hyperplane-LSH bucketing."""
-    return S.cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
+    return _shared_query(
+        spark, sf_dir, "sim_cosine_topk_lsh",
+        lambda: S.cosine_topk_lsh(
+            load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10
+        ),
+    )
 
 
 def _multiprobe_probes_sql(ids: str, nprobe: int) -> str:
@@ -1099,8 +1138,11 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan is pruned to the query batch's probed cells at the
     partition level, the steady-state cost once the index exists.
     The data-adaptive complement to the hyperplane-LSH path."""
-    return S.cosine_topk_ivf_from_index(
-        spark, _ivf_index_path(spark, sf_dir), _TOPK_QUERY_IDS, k=10
+    return _shared_query(
+        spark, sf_dir, "sim_cosine_topk_ivf",
+        lambda: S.cosine_topk_ivf_from_index(
+            spark, _ivf_index_path(spark, sf_dir), _TOPK_QUERY_IDS, k=10
+        ),
     )
 
 
@@ -2040,12 +2082,15 @@ def sim_pq_adc_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed re-association order); recall measured by
     ``sim_ivfpq_recall_at_k``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.pq_adc_topk_ivf_from_index(
-        spark,
-        emb,
-        _ivfpq_index_path(spark, sf_dir),
-        _TOPK_QUERY_IDS,
-        topk=10,
+    return _shared_query(
+        spark, sf_dir, "sim_pq_adc_topk_ivf",
+        lambda: S.pq_adc_topk_ivf_from_index(
+            spark,
+            emb,
+            _ivfpq_index_path(spark, sf_dir),
+            _TOPK_QUERY_IDS,
+            topk=10,
+        ),
     )
 
 
@@ -2496,14 +2541,17 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays O(queries x shortlist), a few KB per query at any corpus
     size (operators/similarity.py:pq_adc_rerank_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.pq_adc_rerank_topk(
-        spark,
-        emb,
-        _ivfpq_rerank_index_path(spark, sf_dir),
-        _TOPK_QUERY_IDS,
-        topk=10,
-        shortlist=100,
-        m=S.PQ_RERANK_M,
+    return _shared_query(
+        spark, sf_dir, "sim_ivfpq_rerank_topk",
+        lambda: S.pq_adc_rerank_topk(
+            spark,
+            emb,
+            _ivfpq_rerank_index_path(spark, sf_dir),
+            _TOPK_QUERY_IDS,
+            topk=10,
+            shortlist=100,
+            m=S.PQ_RERANK_M,
+        ),
     )
 
 

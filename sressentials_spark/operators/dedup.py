@@ -90,7 +90,13 @@ def release_persisted() -> int:
 # applicationId (a second session never sees dead plans) + the
 # DataFrame's semantic hash; dropped by :func:`release_persisted`.
 _ARTIFACTS: dict[tuple, object] = {}
-_ARTIFACTS_MAX = 8
+#: Capacity covers one bench/oracle pass's live artifacts: minhash /
+#: simhash / embedding-LSH intermediates, the three annotated-corpus
+#: variants, k-means assignments, co-purchase edges, staged-replay
+#: dirs, and the shared query materializations the recall evals reuse
+#: (catalog._shared_query) — ~20 keys; 8 made the FIFO evict frames
+#: still in use once query-sharing landed.
+_ARTIFACTS_MAX = 32
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
