@@ -325,15 +325,40 @@ def _write_centroid_sidecar(spark, base_path: str, cents: dict) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/_centroids")
 
 
+def _read_sidecar_pydict(base_path: str, name: str) -> dict:
+    """Read a K-row index sidecar (``_centroids``/``_coarse``/
+    ``_pq_books``) directly with pyarrow on the driver.
+
+    These are bounded metadata artifacts — K centroids or M*K codebook
+    rows — and every serve query loads them, so routing each load
+    through a Spark job (scan + collect) paid ~0.25-0.3 s of py4j/job
+    latency per sidecar per query (profiled: 0.54 s of a 2.1 s
+    IVF-PQ serve was the two sidecar loads). A driver-direct read is
+    both the fast path and the honest one at scale: the index's
+    manifest metadata never needs a distributed scan. Shares the
+    module's documented LOCAL-FILESYSTEM CONTRACT (glob/getsize
+    elsewhere); an object-store port wraps this with its own reader.
+    """
+    import pyarrow.parquet as pq
+
+    parts = sorted(globmod.glob(os.path.join(base_path, name, "part-*.parquet")))
+    if not parts:
+        raise FileNotFoundError(f"no parquet sidecar at {base_path}/{name}")
+    return pq.read_table(parts).to_pydict()
+
+
 def load_ivf_centroids(spark, base_path: str):
     """The frozen centroids persisted by :func:`build_ivf_index`, as
     the same ``(ids, (K, dim) float64 matrix)`` shape
     :func:`ivf_seed_centroids` returns."""
     import numpy as np
 
-    rows = spark.read.parquet(f"{base_path}/_centroids").orderBy("cid").collect()
-    ids = [int(r["cid"]) for r in rows]
-    mat = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    d = _read_sidecar_pydict(base_path, "_centroids")
+    order = sorted(range(len(d["cid"])), key=d["cid"].__getitem__)
+    ids = [int(d["cid"][i]) for i in order]
+    mat = np.stack(
+        [np.asarray(d["cv"][i], dtype=np.float64) for i in order]
+    )
     return ids, mat
 
 
@@ -1442,8 +1467,11 @@ def ivfpq_refresh_decision(
 def load_ivfpq_coarse(spark, base_path: str) -> dict[int, list[int]]:
     """The frozen trained coarse centroids persisted by
     :func:`build_ivfpq_index`, in kmeans_fit_centroids shape."""
-    rows = spark.read.parquet(f"{base_path}/_coarse").orderBy("cid").collect()
-    return {int(r["cid"]): [int(x) for x in r["cq"]] for r in rows}
+    d = _read_sidecar_pydict(base_path, "_coarse")
+    return {
+        int(cid): [int(x) for x in cq]
+        for cid, cq in zip(d["cid"], d["cq"])
+    }
 
 
 def load_pq_books(spark, base_path: str):
@@ -1451,10 +1479,12 @@ def load_pq_books(spark, base_path: str):
     :func:`build_ivfpq_index`, in :func:`pq_train_codebooks` shape."""
     import numpy as np
 
-    rows = spark.read.parquet(f"{base_path}/_pq_books").orderBy("m", "cid").collect()
+    d = _read_sidecar_pydict(base_path, "_pq_books")
     out: dict[int, list] = {}
-    for r in rows:
-        out.setdefault(int(r["m"]), []).append((int(r["cid"]), r["cq"]))
+    for mi, cid, cq in sorted(
+        zip(d["m"], d["cid"], d["cq"]), key=lambda t: (t[0], t[1])
+    ):
+        out.setdefault(int(mi), []).append((int(cid), cq))
     books = []
     for mi in sorted(out):
         cids = np.array([c for c, _ in out[mi]], dtype=np.int64)
