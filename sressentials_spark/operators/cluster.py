@@ -100,6 +100,15 @@ def _assign_kernel(centroids: dict[int, list[int]]):
                     "dist_sq": pd.Series([], dtype="int64"),
                 }
             )
+        if q.isna().any():
+            # The expression path yields a null assignment for a null
+            # vector; this kernel (dim > UNROLL_MAX_DIM only) requires
+            # non-null fixed-dim vectors — fail loudly, not inside
+            # np.stack (r12 ADVICE).
+            raise ValueError(
+                "assign_clusters Arrow kernel requires non-null "
+                "fixed-dimension vectors; got a null embedding"
+            )
         qmat = np.stack(q.to_numpy()).astype(np.int64)
         d = np.empty((qmat.shape[0], cmat.shape[0]), dtype=np.int64)
         for j in range(cmat.shape[0]):
@@ -120,6 +129,12 @@ def assign_clusters(
     quantized: DataFrame, centroids: dict[int, list[int]], q_col: str = "q"
 ) -> DataFrame:
     """Add ``(cluster, dist_sq)`` = argmin over the k centroids.
+
+    Contract: above ``linalg.UNROLL_MAX_DIM`` every vector must be
+    non-null with the centroids' dimension (the Arrow kernel raises a
+    clear error otherwise; the expression path below the cutoff yields
+    null assignments for null vectors — callers feeding user data
+    filter nulls first).
 
     Small vectors (dim <= linalg.UNROLL_MAX_DIM) build an array of
     (dist_sq, cid) structs and take ``array_min`` — struct ordering is
