@@ -54,6 +54,16 @@ ALLOWED: dict[str, dict[str, str]] = {
     "streaming_drift_monitor": {
         "BroadcastNestedLoopJoin": "10-row bin grid crossed with |groups| dim"
     },
+    # r13 fused ADC: the per-query distance tables ride a broadcast
+    # Q-row frame (Q = |query batch|, 5 here) crossed against the coded
+    # corpus — deliberately replaces the m-way explode + (m, code)
+    # lookup join + re-aggregation shuffle (plans/r13/sim_pq_adc_topk_*).
+    "sim_pq_adc_topk": {
+        "BroadcastNestedLoopJoin": "Q-row broadcast dtable crossed with coded corpus (fused ADC)"
+    },
+    "sim_pq_recall_at_k": {
+        "BroadcastNestedLoopJoin": "Q-row broadcast dtable crossed with coded corpus (fused ADC)"
+    },
     # One-row scalar folds: crossJoin(broadcast(1-row)) is a BNLJ by
     # construction and costs one row per partition.
     "events_funnel_view_click_purchase": {

@@ -1079,35 +1079,13 @@ def pq_adc_topk(
     coded = pq_codes(emb, m, k, id_col)
     dtable = _pq_dtable(emb, query_ids, m, k, id_col)
 
-    unpivot = coded.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("m"), F.col(f"code_{i}").alias("code")
-                )
-                for i in range(m)
-            ])
-        ).alias("mc"),
-    ).select("neighbor_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
-
-    parts = (
-        unpivot.join(
-            F.broadcast(dtable),
-            (unpivot["m"] == dtable["m"]) & (F.col("code") == F.col("k")),
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(*[
-            F.sum(F.when(unpivot["m"] == i, F.col("d"))).alias(f"_d{i}")
-            for i in range(m)
-        ])
+    cand = coded.crossJoin(F.broadcast(dtable)).filter(
+        F.col("query_id") != F.col(id_col)
     )
-    total = F.col("_d0")
-    for i in range(1, m):
-        total = total + F.col(f"_d{i}")
-    scored = parts.select(
-        "query_id", "neighbor_id", total.alias("adc_dist")
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_lookup_sum(m).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
@@ -1123,10 +1101,13 @@ def _pq_dtable(
     k: int = PQ_K,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Per-query ADC distance tables — ``(query_id, m, k, d)`` with
-    ``d = ||query_sub - trained_centroid[m][k]||^2`` computed
-    driver-side with the shared left-fold arithmetic (M·K doubles per
-    query; broadcast into the (m, code) lookup join by callers)."""
+    """Per-query ADC distance tables — ``(query_id, dtab)`` with
+    ``dtab[m][code] = ||query_sub(m) - trained_centroid[m][code]||^2``
+    computed driver-side with the shared left-fold arithmetic (M·K
+    doubles per query, one array-of-arrays cell; broadcast and read by
+    ``element_at`` projection — see :func:`_adc_lookup_sum`)."""
+    import numpy as np
+
     fbooks = pq_books_float(pq_train_codebooks(emb, m, k, id_col=id_col))
     dsub = fbooks[0][1].shape[1]
     spark = emb.sparkSession
@@ -1135,19 +1116,20 @@ def _pq_dtable(
         .select(id_col, "embedding")
         .collect()
     )
-    table_rows = []
-    for r in qrows:
-        qv = [float(x) for x in r["embedding"]]
-        for mi in range(m):
-            cids, C = fbooks[mi]
-            for ki, crow in zip(cids.tolist(), C):
-                acc = 0.0
-                for d in range(dsub):
-                    t = qv[mi * dsub + d] - float(crow[d])
-                    acc = acc + t * t
-                table_rows.append((int(r[id_col]), mi, int(ki), float(acc)))
+    table_rows = [
+        (
+            int(r[id_col]),
+            _adc_tables(
+                np.asarray([float(x) for x in r["embedding"]], dtype=np.float64),
+                fbooks,
+                m,
+                dsub,
+            ),
+        )
+        for r in qrows
+    ]
     return local_df(
-        spark, table_rows, "query_id long, m int, k int, d double"
+        spark, table_rows, "query_id long, dtab array<array<double>>"
     )
 
 
@@ -1466,11 +1448,15 @@ def ivfpq_refresh_decision(
 
 def load_ivfpq_coarse(spark, base_path: str) -> dict[int, list[int]]:
     """The frozen trained coarse centroids persisted by
-    :func:`build_ivfpq_index`, in kmeans_fit_centroids shape."""
+    :func:`build_ivfpq_index`, in kmeans_fit_centroids shape.
+
+    Ascending-cid iteration order is part of the contract (the old
+    Spark-job loader ``orderBy("cid")``-ed; part-file enumeration order
+    is NOT trusted to reproduce it), so the dict is built sorted."""
     d = _read_sidecar_pydict(base_path, "_coarse")
     return {
         int(cid): [int(x) for x in cq]
-        for cid, cq in zip(d["cid"], d["cq"])
+        for cid, cq in sorted(zip(d["cid"], d["cq"]), key=lambda t: int(t[0]))
     }
 
 
@@ -1557,7 +1543,17 @@ def _ivfpq_adc_search(
     callable returning the inverted-list rows for the probed cells —
     the seam that lets the bare cell-partitioned store and the
     manifest-versioned store (operators/ivf_versioned.py) share one
-    bit-identical search."""
+    bit-identical search.
+
+    Plan shape (r13): the per-(query, probed-cell) ADC distance table
+    travels as ONE ``array<array<double>>`` column on the broadcast
+    probe frame and every code lookup is an ``element_at`` projection —
+    ONE broadcast hash join against the pruned lists, no m-way explode,
+    no (m, code) lookup join, no re-aggregation shuffle. The per-pair
+    distance still re-associates in the fixed ``((d0+d1)+d2)+...``
+    left-fold order over the SAME driver-computed doubles, so results
+    are bit-identical to the r12 join/groupBy formulation (the r12
+    plan's ``_di`` partial sums each summed exactly one row)."""
     import numpy as np
 
     from sressentials_spark.operators.cluster import QUANT_SCALE
@@ -1576,8 +1572,7 @@ def _ivfpq_adc_search(
     )
     # Probe selection: exact integer L2 against the frozen coarse
     # centroids (same grid + tie rule as the corpus assignment).
-    table_rows = []
-    probe_pairs = []
+    probe_rows = []
     for r in qrows:
         qid = int(r[id_col])
         qv = np.asarray(r["embedding"], dtype=np.float64)
@@ -1587,78 +1582,78 @@ def _ivfpq_adc_search(
         order = np.argsort(dist, kind="stable")[: min(nprobe, len(cids_c))]
         for j in order:
             pcell = int(cids_c[j])
-            probe_pairs.append((qid, pcell))
             qr = qv - Cf[j]
-            for mi in range(m):
-                bcids, C = fbooks[mi]
-                for ki, crow in zip(bcids.tolist(), C):
-                    acc = 0.0
-                    for d in range(dsub):
-                        t = qr[mi * dsub + d] - float(crow[d])
-                        acc = acc + t * t
-                    table_rows.append((qid, pcell, mi, int(ki), float(acc)))
-    probes = local_df(spark, probe_pairs, "query_id long, pcell long")
-    dtable = local_df(
-        spark, table_rows, "query_id long, pcell long, m int, k int, d double"
+            probe_rows.append(
+                (qid, pcell, _adc_tables(qr, fbooks, m, dsub))
+            )
+    probes = local_df(
+        spark, probe_rows,
+        "query_id long, pcell long, dtab array<array<double>>",
     )
-    probed = sorted({c for _, c in probe_pairs})
+    probed = sorted({pc for _, pc, _ in probe_rows})
 
     lists = lists_for(probed)
     cand = (
         F.broadcast(probes)
         .join(lists, F.col("pcell") == F.col("cell"))
         .filter(F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            "pcell",
-            F.col(id_col).alias("neighbor_id"),
-            *[F.col(f"code_{i}") for i in range(m)],
-        )
     )
-    unpivot = cand.select(
+    scored = cand.select(
         "query_id",
-        "pcell",
-        "neighbor_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("m"), F.col(f"code_{i}").alias("code")
-                )
-                for i in range(m)
-            ])
-        ).alias("mc"),
-    ).select(
-        "query_id",
-        "pcell",
-        "neighbor_id",
-        F.col("mc.m").alias("m"),
-        F.col("mc.code").alias("code"),
-    )
-    parts = (
-        unpivot.join(
-            F.broadcast(dtable),
-            (unpivot["query_id"] == dtable["query_id"])
-            & (unpivot["pcell"] == dtable["pcell"])
-            & (unpivot["m"] == dtable["m"])
-            & (F.col("code") == F.col("k")),
-        )
-        .groupBy(unpivot["query_id"], "neighbor_id")
-        .agg(*[
-            F.sum(F.when(unpivot["m"] == i, F.col("d"))).alias(f"_d{i}")
-            for i in range(m)
-        ])
-    )
-    total = F.col("_d0")
-    for i in range(1, m):
-        total = total + F.col(f"_d{i}")
-    scored = parts.select(
-        "query_id", "neighbor_id", total.alias("adc_dist")
+        F.col(id_col).alias("neighbor_id"),
+        _adc_lookup_sum(m).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= topk)
     )
+
+
+def _adc_tables(qr, fbooks, m: int, dsub: int) -> list[list[float]]:
+    """Per-subspace ADC lookup tables for ONE (query, cell) residual:
+    ``out[mi][code] = ||qr_sub(mi) - codebook[mi][code]||^2``.
+
+    Accumulates dimension-by-dimension (``acc = acc + t*t`` per ``d``,
+    vectorized across the k codewords) — elementwise IEEE ops in the
+    identical sequential order as the scalar loop it replaces, so every
+    double is bit-identical. Codeword ids index the inner array
+    directly; ``_lloyd_int`` DROPS empty clusters without reindexing,
+    so the array is sized to the max surviving id and the gaps hold
+    NaN — unreachable by construction, because every stored code is an
+    argmin over the surviving ids (the r12 lookup JOIN likewise had no
+    row for a dropped id)."""
+    out: list[list[float]] = []
+    for mi in range(m):
+        bcids, C = fbooks[mi]
+        ids = [int(i) for i in bcids.tolist()]
+        acc = None
+        for d in range(dsub):
+            t = qr[mi * dsub + d] - C[:, d]
+            tt = t * t
+            acc = tt if acc is None else acc + tt
+        row = [float("nan")] * (max(ids) + 1)
+        for pos, ki in enumerate(ids):
+            row[ki] = float(acc[pos])
+        out.append(row)
+    return out
+
+
+def _adc_lookup_sum(m: int):
+    """The fixed-order ADC distance expression over a ``dtab``
+    array-of-arrays column and ``code_0..code_{m-1}``:
+    ``((dtab[0][code_0] + dtab[1][code_1]) + ...)`` — the same
+    left-fold re-association order as the r12 join/groupBy plan."""
+    def term(i: int):
+        return F.element_at(
+            F.element_at(F.col("dtab"), i + 1),
+            F.col(f"code_{i}").cast("int") + F.lit(1),
+        )
+
+    total = term(0)
+    for i in range(1, m):
+        total = total + term(i)
+    return total
 
 
 def pq_adc_rerank_topk(
