@@ -22,7 +22,17 @@ from sressentials_spark.catalog import (
     QUERIES,
     clear_sheets_cache,
 )
-from sressentials_spark.operators.dedup import release_persisted
+from sressentials_spark.operators.dedup import (
+    ARTIFACT_EVENTS,
+    release_persisted,
+)
+
+
+def _artifact_label(key_parts: tuple) -> str:
+    """Human-readable label for a shared-artifact cache key."""
+    if key_parts and key_parts[0] == "qshare" and len(key_parts) > 1:
+        return f"qshare:{key_parts[1]}"
+    return str(key_parts[0]) if key_parts else "?"
 
 #: Headline benchmark set: every shipped catalog query. The quadratic
 #: all-pairs baselines no longer live in the registry at all — they are
@@ -99,14 +109,47 @@ def main() -> None:
     # inside the timed pass (min-of-3 hid it from the reported number
     # but the cost itself was invisible; r8 verdict asked for the
     # split).
+    # Shared-artifact attribution (r12 VERDICT item 2): record which
+    # query FIRST BUILT each shared artifact and label every later
+    # query that consumed one it didn't build — those per-query times
+    # measure "reuse a frame another query materialized this pass",
+    # i.e. amortization, not per-query speed. Additions-only: the
+    # timing methodology and the one-line stdout contract are
+    # unchanged.
+    builders_of: dict[tuple, str] = {}
+    amortized: dict[str, set] = {}
+
+    def _note_events(qname: str, offset: int) -> None:
+        for ev, key in ARTIFACT_EVENTS[offset:]:
+            if ev == "build":
+                builders_of.setdefault(key, qname)
+            elif ev == "hit":
+                src = builders_of.get(key)
+                if src is not None and src != qname:
+                    amortized.setdefault(qname, set()).add(
+                        _artifact_label(key)
+                    )
+
+    # Focused-iteration escape hatch: SPARK_GRAFT_SKIP_BUILDS=1 skips
+    # the index-build pre-pass, honored ONLY together with
+    # SPARK_GRAFT_ONLY (an isolated rerun of queries that don't serve
+    # from a persisted index — a query that does would just pay its
+    # build inside its own time, visibly). The driver's full-suite
+    # methodology is unaffected: without ONLY the flag is ignored.
+    skip_builds = bool(os.environ.get("SPARK_GRAFT_SKIP_BUILDS")) and bool(only)
+
     index_builds: dict[str, float] = {}
     for name, builder in INDEX_BUILDERS.items():
+        if skip_builds:
+            break
         start = time.perf_counter()
+        ev_off = len(ARTIFACT_EVENTS)
         try:
             builder(spark, sf_dir)
         except Exception as exc:  # pre-warm must never fail the bench
             print(f"[bench] index build {name} failed: {exc}", file=sys.stderr)
             continue
+        _note_events(f"index:{name}", ev_off)
         index_builds[name] = round(time.perf_counter() - start, 3)
         print(
             f"[bench] {name}: {index_builds[name]:.1f}s",
@@ -129,8 +172,10 @@ def main() -> None:
         release_persisted()
         for name, fn in bench_queries.items():
             start = time.perf_counter()
+            ev_off = len(ARTIFACT_EVENTS)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t = round(time.perf_counter() - start, 3)
+            _note_events(name, ev_off)
             times[name] = min(times.get(name, t), t)
             print(f"[bench] {name}: {t:.1f}s", file=sys.stderr, flush=True)
 
@@ -142,12 +187,18 @@ def main() -> None:
     except ValueError:
         sf = tag
     total = round(sum(times.values()), 3)
+    # Per-query amortization labels (queries only, builders excluded):
+    # {query: [shared-frame labels it consumed but did not build]}.
+    amortized_q = {
+        n: sorted(v) for n, v in amortized.items() if n in times
+    }
     payload = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "index_builds": index_builds,
+        "amortized": amortized_q,
         "sf": sf,
     }
     # The full per-query map goes to a FILE, never stdout: at 160
@@ -176,6 +227,7 @@ def main() -> None:
         "queries": {n: times[n] for n in headline if n in times},
         "n_queries": len(times),
         "index_build_seconds": round(sum(index_builds.values()), 3),
+        "n_amortized": len(amortized_q),
         "sf": sf,
     }
     print(json.dumps(summary))

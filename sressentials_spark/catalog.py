@@ -101,7 +101,15 @@ def _shared_query(spark: SparkSession, sf_dir: str, name: str, build):
     dropped by ``release_persisted`` — bench clears it between passes
     and driver_sim builds a fresh session, so every run still computes
     from the parquet inputs; only intra-pass recomputation of the
-    identical frame is removed."""
+    identical frame is removed.
+
+    Two disclosed consequences (r12 ADVICE/VERDICT): per-query bench
+    timings of consumers are ORDER-DEPENDENT within a pass (the first
+    consumer pays materialization; bench.py labels later consumers in
+    its ``amortized`` output map), and the cache key is
+    (session, name, sf_dir) — inputs rewritten under ``sf_dir``
+    MID-SESSION would serve a stale frame (no engine query path does
+    this; rebuilds go through new scratch dirs + manifests)."""
     return D.get_or_build_artifact(
         spark, ("qshare", name, sf_dir), lambda: D.tracked_persist(build())
     )
@@ -121,9 +129,12 @@ def _sheets(
 ) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, tool, path)
     if key not in _sheets_cache:
+        D.ARTIFACT_EVENTS.append(("build", ("sheets", tool)))
         while len(_sheets_cache) >= _SHEETS_CACHE_MAX:
             _evict_sheets(_sheets_cache.pop(next(iter(_sheets_cache))))
         _sheets_cache[key] = analyze(spark, path)
+    else:
+        D.ARTIFACT_EVENTS.append(("hit", ("sheets", tool)))
     return _sheets_cache[key]
 
 
@@ -746,12 +757,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 12 bands x 2 rows the banded recall at J=0.8 is ~1-2e-6 under
     the random model, and tests/test_dedup.py pins equality on the
     fixed testdata — so LSH-vs-exact equivalence is itself under test.
-    """
-    return _shared_query(
-        spark, sf_dir, "dedup_minhash_lsh",
-        lambda: D.minhash_lsh_pairs(
-            load_table(spark, sf_dir, "documents"), threshold=0.8
-        ),
+
+    NOT ``_shared_query``-wrapped (r12 regression, VERDICT item 1):
+    persisting the verified pair table charged its materialization to
+    this producer (+1.25 s driver-measured) to save the one recall-eval
+    consumer less than that. The shareable INPUTS (shingle rows +
+    signatures) are session artifacts already, so the consumer re-pays
+    only the band join + verification."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
     )
 
 
@@ -791,12 +805,13 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 
 @register("dedup_simhash_pairs", _simhash_oracle(8))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (48-bit) near-dup pairs via banded Hamming LSH."""
-    return _shared_query(
-        spark, sf_dir, "dedup_simhash_pairs",
-        lambda: D.simhash_pairs(
-            load_table(spark, sf_dir, "documents"), max_hamming=8
-        ),
+    """SimHash (48-bit) near-dup pairs via banded Hamming LSH.
+
+    NOT ``_shared_query``-wrapped (same reasoning as
+    ``dedup_minhash_lsh``): the signature table is the session-shared
+    artifact; the band join re-runs per consumer."""
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=8
     )
 
 

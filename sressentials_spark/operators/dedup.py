@@ -90,6 +90,15 @@ def release_persisted() -> int:
 # applicationId (a second session never sees dead plans) + the
 # DataFrame's semantic hash; dropped by :func:`release_persisted`.
 _ARTIFACTS: dict[tuple, object] = {}
+
+#: Build/hit event log for the artifact caches, appended as
+#: ``("build"|"hit", key_parts)``. bench.py reads it to LABEL
+#: amortized queries — a query whose time partly measures "consume a
+#: frame another query built this pass" is flagged in the output
+#: instead of masquerading as an optimization (r12 VERDICT item 2).
+#: Append-only within a process; readers track their own offsets.
+ARTIFACT_EVENTS: list[tuple[str, tuple]] = []
+
 #: Capacity covers one bench/oracle pass's live artifacts: minhash /
 #: simhash / embedding-LSH intermediates, the three annotated-corpus
 #: variants, k-means assignments, co-purchase edges, staged-replay
@@ -135,7 +144,9 @@ def get_or_build_artifact(spark, key_parts: tuple, builder):
     except Exception:  # no live context → build uncached
         return builder()
     if key in _ARTIFACTS:
+        ARTIFACT_EVENTS.append(("hit", key_parts))
         return _ARTIFACTS[key]
+    ARTIFACT_EVENTS.append(("build", key_parts))
     val = builder()
     while len(_ARTIFACTS) >= _ARTIFACTS_MAX:
         _evict_artifact(_ARTIFACTS.pop(next(iter(_ARTIFACTS))))
@@ -156,7 +167,10 @@ def _minhash_artifacts(
     except Exception:  # semanticHash unavailable → build uncached
         key = None
     if key is not None and key in _ARTIFACTS:
+        ARTIFACT_EVENTS.append(("hit", ("minhash", n, id_col)))
         return _ARTIFACTS[key]
+    if key is not None:
+        ARTIFACT_EVENTS.append(("build", ("minhash", n, id_col)))
     ex = _tracked_persist(shingle_rows(docs, n, id_col))
     sig = _tracked_persist(
         signatures_from_shingles(
@@ -374,7 +388,22 @@ def simhash_pairs(
     both sides of the band self-join, and without the persist each side
     recomputes the full tokenize+explode+aggregate pipeline.
     """
-    sig = _tracked_persist(simhash_signatures(docs, id_col))
+    # Session-share the per-doc signature table (id + one long) the
+    # same way the minhash shingle/signature artifacts are shared: the
+    # recall eval re-derives this pair plan in the same pass, and the
+    # signatures are the expensive shareable input — sharing the
+    # VERIFIED pair table instead (r12) moved a persist-materialization
+    # cost into the producer query (r12 VERDICT item 1).
+    try:
+        sem = docs.semanticHash()
+    except Exception:  # semanticHash unavailable → build uncached
+        sig = _tracked_persist(simhash_signatures(docs, id_col))
+    else:
+        sig = get_or_build_artifact(
+            docs.sparkSession,
+            ("simhash_sig", sem, id_col),
+            lambda: _tracked_persist(simhash_signatures(docs, id_col)),
+        )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sig.select(
         F.col(id_col),
@@ -1176,7 +1205,10 @@ def get_or_build_disk_artifact(spark, key_parts: tuple, builder):
     except Exception:  # no live context → build uncached
         return builder()
     if key not in _DISK_ARTIFACTS:
+        ARTIFACT_EVENTS.append(("build", key_parts))
         _DISK_ARTIFACTS[key] = builder()
+    else:
+        ARTIFACT_EVENTS.append(("hit", key_parts))
     return _DISK_ARTIFACTS[key]
 
 
