@@ -70,6 +70,18 @@ def state_store_provider(spark: SparkSession, provider: str):
         spark.conf.set(key, old)
 
 
+def ephemeral_checkpoint() -> str:
+    """Explicit checkpoint dir for a memory-sink availableNow replay.
+
+    Without it Spark creates a temporary checkpoint under
+    ``java.io.tmpdir`` — on this sandbox that is ext4 at 5-9 ms/fsync,
+    and the commit/offset/state files fsync per micro-batch per state
+    partition. Routing through :func:`scratch_dir` keeps every replay's
+    checkpoint on the engine's fast scratch base (tmpfs here), removed
+    at process exit exactly like the auto-created one."""
+    return os.path.join(scratch_dir("sressentials_ckpt_"), "ckpt")
+
+
 def replay_to_parquet(
     spark: SparkSession, stream_df: DataFrame, name: str
 ) -> tuple[DataFrame, list[dict]]:

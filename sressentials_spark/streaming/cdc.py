@@ -71,6 +71,7 @@ def run_latest_state_batch(
 ) -> DataFrame:
     """Replay the changelog to completion; return the state table."""
     from sressentials_spark.streaming import (
+        ephemeral_checkpoint,
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
     )
@@ -85,6 +86,7 @@ def run_latest_state_batch(
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
+            .option("checkpointLocation", ephemeral_checkpoint())
             .start()
         )
         q.awaitTermination()

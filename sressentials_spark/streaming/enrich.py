@@ -98,6 +98,7 @@ def run_enriched_rollup_batch(
     """Replay the stream to completion (availableNow) and return the
     settled rollup."""
     from sressentials_spark.streaming import (
+        ephemeral_checkpoint,
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
     )
@@ -118,6 +119,7 @@ def run_enriched_rollup_batch(
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
+            .option("checkpointLocation", ephemeral_checkpoint())
             .start()
         )
         q.awaitTermination()

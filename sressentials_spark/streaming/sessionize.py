@@ -546,6 +546,7 @@ def run_session_window_batch(
     :func:`run_session_window_append` below runs for this exact
     aggregation."""
     from sressentials_spark.streaming import (
+        ephemeral_checkpoint,
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
     )
@@ -578,6 +579,7 @@ def run_session_window_batch(
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
+            .option("checkpointLocation", ephemeral_checkpoint())
             .start()
         )
         q.awaitTermination()

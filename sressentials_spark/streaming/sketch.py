@@ -56,6 +56,7 @@ def run_hll_stream_batch(
     tests only; the shipped query omits it (it is the computation the
     sketch avoids)."""
     from sressentials_spark.streaming import (
+        ephemeral_checkpoint,
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
     )
@@ -69,6 +70,7 @@ def run_hll_stream_batch(
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
+            .option("checkpointLocation", ephemeral_checkpoint())
             .start()
         )
         q.awaitTermination()
@@ -117,6 +119,7 @@ def run_histogram_stream_batch(
         )
     )
     from sressentials_spark.streaming import (
+        ephemeral_checkpoint,
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
     )
@@ -131,6 +134,7 @@ def run_histogram_stream_batch(
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
+            .option("checkpointLocation", ephemeral_checkpoint())
             .start()
         )
         q.awaitTermination()
@@ -191,6 +195,7 @@ def run_cms_stream_batch(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     from sressentials_spark.streaming import (
+        ephemeral_checkpoint,
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
     )
@@ -204,6 +209,7 @@ def run_cms_stream_batch(
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
+            .option("checkpointLocation", ephemeral_checkpoint())
             .start()
         )
         q.awaitTermination()
@@ -246,6 +252,7 @@ def run_drift_stream_batch(
     """
     from sressentials_spark.operators.drift import bin_cohorts, drift_from_counts
     from sressentials_spark.streaming import (
+        ephemeral_checkpoint,
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
     )
@@ -277,6 +284,7 @@ def run_drift_stream_batch(
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
+            .option("checkpointLocation", ephemeral_checkpoint())
             .start()
         )
         q.awaitTermination()
@@ -321,6 +329,7 @@ def run_f2_stream_batch(
     schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     from sressentials_spark.streaming import (
+        ephemeral_checkpoint,
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
     )
@@ -334,6 +343,7 @@ def run_f2_stream_batch(
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
+            .option("checkpointLocation", ephemeral_checkpoint())
             .start()
         )
         q.awaitTermination()

@@ -100,6 +100,7 @@ def run_slow_rate_batch(
 ) -> DataFrame:
     """Run the stream to completion (availableNow) and return the result."""
     from sressentials_spark.streaming import (
+        ephemeral_checkpoint,
         DEFAULT_STATE_PARTITIONS,
         state_partitions,
     )
@@ -112,6 +113,7 @@ def run_slow_rate_batch(
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
+            .option("checkpointLocation", ephemeral_checkpoint())
             .start()
         )
         q.awaitTermination()
