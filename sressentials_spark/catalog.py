@@ -115,6 +115,26 @@ def _shared_query(spark: SparkSession, sf_dir: str, name: str, build):
     )
 
 
+def _consume_shared(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Consumer-side session-sharing of another registered query's
+    frame: persist ``QUERIES[name]``'s plan once per (session, sf_dir)
+    at the FIRST consumer call, through the same registry/hygiene as
+    :func:`_shared_query`.
+
+    The difference from wrapping the producer (r12's approach, reverted
+    per its VERDICT item 1): the producer query itself stays an
+    unpersisted plan, so its bench time is pure compute — the persist
+    materialization is charged to the first consumer, which is the
+    query actually buying the reuse. Spark's CacheManager additionally
+    substitutes the cached relation into any later semantically-equal
+    plan (e.g. ``dedup_components`` builds the same pair plan
+    internally), so all downstream consumers benefit without referring
+    to this helper."""
+    return _shared_query(
+        spark, sf_dir, name, lambda: QUERIES[name](spark, sf_dir)
+    )
+
+
 def _evict_sheets(sheets: dict[str, DataFrame]) -> None:
     unpersist = getattr(sheets, "unpersist_base", None)
     if unpersist is not None:
@@ -830,11 +850,11 @@ def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth is a real, informative number: the knob loop for
     (bits, bands, max_hamming), measured in-engine the way the
     LSH/PQ/IVF recall evals are."""
-    exact = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
+    exact = _consume_shared(spark, sf_dir, "dedup_minhash_lsh").select(
         "doc_a", "doc_b"
     )
     sim = (
-        QUERIES["dedup_simhash_pairs"](spark, sf_dir)
+        _consume_shared(spark, sf_dir, "dedup_simhash_pairs")
         .select("doc_a", "doc_b")
         .withColumn("hit", F.lit(1))
     )
@@ -4241,7 +4261,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter). Pairs come from the MinHash-LSH path; the oracle walks the
     same edge set with a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    # Pairs via the session-shared frame (_consume_shared): the closure
+    # loop's edge persist would otherwise recompute the band join +
+    # verification this pass already materialized for the recall eval.
+    pairs = _consume_shared(spark, sf_dir, "dedup_minhash_lsh")
     return P.connected_components(docs, pairs)
 
 
