@@ -34,6 +34,28 @@ from sressentials_spark.localrel import local_df
 
 _PID = "__ssk_pid"
 
+
+def fan_out_numbered(df: DataFrame, scan_partitions: int) -> DataFrame:
+    """Round-robin repartition an already-NUMBERED scan to the
+    session's parallelism when the file split count underfills it.
+
+    A single medium log file splits into only a handful of scan tasks
+    (ceil(bytes / maxPartitionBytes)), and everything fused into that
+    stage — the envelope parse, routing flags, the persist — is then
+    pinned to that many cores (profiled: the 25 MB mongo parse ran 18 s
+    of executor time on 6 of 32 cores). Repartitioning AFTER the row
+    numbers are assigned keeps the numbering exact (the projection
+    stays below the exchange; ``monotonically_increasing_id`` is
+    non-deterministic so Catalyst may not move it past the shuffle) and
+    spreads the expensive downstream projections across the cluster.
+    Scale-adaptive by construction: a 100 TB log directory already
+    yields far more splits than cores, and this is a no-op.
+    """
+    para = df.sparkSession.sparkContext.defaultParallelism
+    if scan_partitions >= para:
+        return df
+    return df.repartition(para)
+
 #: Above this many partitions the offsets literal map would bloat the
 #: plan; fall back to a broadcast join on partition id.
 _MAP_LITERAL_MAX = 1024

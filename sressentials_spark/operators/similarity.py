@@ -1489,6 +1489,7 @@ def pq_adc_topk_ivf_from_index(
     m: int = PQ_M,
     k: int = PQ_K,
     id_col: str = "vec_id",
+    qrows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ search (IVFADC): trained-coarse cell pruning composed
     with RESIDUAL compressed-domain asymmetric-distance scoring — each
@@ -1522,6 +1523,7 @@ def pq_adc_topk_ivf_from_index(
         nprobe=nprobe,
         m=m,
         id_col=id_col,
+        qrows=qrows,
     )
 
 
@@ -1537,6 +1539,7 @@ def _ivfpq_adc_search(
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
     id_col: str = "vec_id",
+    qrows: list | None = None,
 ) -> DataFrame:
     """The IVFADC scoring core against GIVEN frozen artifacts:
     ``coarse`` / ``books`` in their loader shapes and ``lists_for``, a
@@ -1565,11 +1568,12 @@ def _ivfpq_adc_search(
     Cf = Cc.astype(np.float64) / float(QUANT_SCALE)
     dsub = fbooks[0][1].shape[1]
 
-    qrows = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(id_col, "embedding")
-        .collect()
-    )
+    if qrows is None:
+        qrows = (
+            emb.filter(F.col(id_col).isin(query_ids))
+            .select(id_col, "embedding")
+            .collect()
+        )
     # Probe selection: exact integer L2 against the frozen coarse
     # centroids (same grid + tie rule as the corpus assignment).
     probe_rows = []
@@ -1680,6 +1684,15 @@ def pq_adc_rerank_topk(
     (measured in docs/ANN_EVAL.md). The re-rank join is an
     id-equi-join against the corpus (pushed-down ``isin`` fetch), and
     the final rank is the usual per-query window."""
+    # ONE query-row collect serves both stages: the ADC shortlist's
+    # probe selection and the exact re-rank's broadcast query side read
+    # the same (id, embedding) rows (two scan+collect jobs per serve
+    # otherwise).
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, "embedding")
+        .collect()
+    )
     short = pq_adc_topk_ivf_from_index(
         spark,
         emb,
@@ -1690,12 +1703,8 @@ def pq_adc_rerank_topk(
         m=m,
         k=k,
         id_col=id_col,
+        qrows=qrows,
     ).select("query_id", "neighbor_id")
-    qrows = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), F.col("embedding").alias("qv"))
-        .collect()
-    )
     queries = F.broadcast(
         local_df(
             spark, qrows, emb.select(id_col, "embedding").schema

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sressentials_spark.operators.rownum import (
+    fan_out_numbered,
     with_file_row_numbers,
     with_row_numbers,
 )
@@ -50,12 +51,17 @@ def read_mongo_log(
       predicate, not the JSON decoder (``Mongo/mongo_parser.py:30,91``).
     """
     lines = spark.read.text(path)
+    # Scan split count, read before numbering: the envelope parse and
+    # routing flags fuse into the scan stage, so a single medium file
+    # would otherwise run the whole parse on ceil(bytes/split) cores.
+    nparts = lines.rdd.getNumPartitions()
     if per_file:
         lines = with_file_row_numbers(lines, "line_no", file_col="src_file")
     elif number_lines:
         lines = with_row_numbers(lines, "line_no")
     else:
         lines = lines.withColumn("line_no", F.monotonically_increasing_id() + 1)
+    lines = fan_out_numbered(lines, nparts)
     parsed = F.from_json(
         F.col("value"),
         MONGO_ENVELOPE,

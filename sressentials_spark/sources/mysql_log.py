@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sressentials_spark.operators.rownum import with_row_numbers
+from sressentials_spark.operators.rownum import (
+    fan_out_numbered,
+    with_row_numbers,
+)
 
 _PREFIX = "# Time: "
 
@@ -34,7 +37,11 @@ def read_mysql_log(spark: SparkSession, path: str) -> DataFrame:
     ``log_entries[0]``.
     """
     raw = spark.read.option("lineSep", "\n" + _PREFIX).text(path)
-    numbered = with_row_numbers(raw, "rec_no")
+    nparts = raw.rdd.getNumPartitions()
+    # Fan the numbered records out to the session's parallelism: the
+    # downstream regex extraction fuses into this stage and a single
+    # medium file otherwise pins it to a handful of scan tasks.
+    numbered = fan_out_numbered(with_row_numbers(raw, "rec_no"), nparts)
 
     # The file-initial record keeps its literal '# Time: ' prefix (the
     # record delimiter includes the preceding newline); a first record
